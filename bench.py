@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over all benched queries. Each query is
+forced to full materialization with a cheap count-style action (the driver
+collects separately for correctness; here we only time the plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: the scan/agg/join/window/sessionize relational core plus
+# the full chunk-ingest grid path and the training-data pipeline ops.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_customers_by_revenue",
+    "q03_regional_revenue",
+    "q04_priority_high_qty_orders",
+    "q06_revenue_forecast",
+    "q07_top3_parts_per_brand",
+    "q10_rollup_lineitem",
+    "q11_sessionize_events",
+    "grid_ingest_checksum",
+    "grid_matmul_tn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # crude sf label from the directory name (".../sf0.1" -> 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from deisa_ray_spark.registry import load_all
+    from deisa_ray_spark.session import get_session
+
+    specs = load_all()
+    spark = get_session(app_name="deisa_ray_spark_bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in specs:
+            continue
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink materializes every column (count() would let Catalyst
+        # prune computed projections and under-report).
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "declared_query_wall_clock",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,306 @@
+"""Grid (long-form array) operators — the reference's delegated Dask
+compute surface (SURVEY §2.B, B1-B20) re-expressed as DataFrame plans.
+
+Every query here runs the FULL ingest path on the Spark side: binary chunk
+rows (sources/chunks.py, the ``Bridge.send`` payload shape) → Arrow-batched
+decode to long-form cells (model.explode_chunks, the A4 assembly
+equivalent) → Catalyst-native operators. The DuckDB oracle reproduces the
+same cells from the closed-form generator ``value = t * ((x//2)*2 + (y//2)
++ 1)`` (reference golden-value convention,
+tests/test_sliding_window.py:66-68), so a hash match verifies ingest +
+assembly + the operator in one shot.
+
+Scale notes (100 TB): long form is the scalable representation — chunk
+binaries explode lazily per partition (no shuffle), coordinate predicates
+prune before any wide op, and every aggregation below is partial-agg
+friendly. Dense-tensor materialization is reserved for kernels that truly
+need it (operators/linalg.py, operators/fft.py) and is bounded per (arr,t)
+group, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.model import explode_chunks
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.chunks import make_chunk_df
+
+#: DuckDB twin of the F1/F2 generator (FIXTURES.md): closed-form cells.
+GRID_CTE = """
+WITH grid AS (
+  SELECT a.arr, CAST(ts.t AS BIGINT) AS t, CAST(xs.x AS INT) AS x, CAST(ys.y AS INT) AS y,
+         CAST(ts.t * ((xs.x // 2) * 2 + (ys.y // 2) + 1) AS DOUBLE) AS value
+  FROM (SELECT unnest(['temperature', 'pressure']) AS arr) a,
+       range(0, 10) ts(t), range(0, 4) xs(x), range(0, 4) ys(y)
+)
+"""
+
+
+def grid(spark: SparkSession) -> DataFrame:
+    """Long-form grid via the real chunk-ingest path."""
+    return explode_chunks(make_chunk_df(spark))
+
+
+# --------------------------------------------------------------------------
+# A1/A4 — ingest + assembly checksum: decode of binary chunks equals the
+# closed form, i.e. assembled array == concatenation of its chunks.
+# --------------------------------------------------------------------------
+@query(
+    "grid_ingest_checksum",
+    oracle=GRID_CTE
+    + """
+    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
+           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
+    FROM grid GROUP BY arr
+    """,
+)
+def grid_ingest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 chunk ingest + A4 assembly: position-weighted checksum proves
+    every cell landed at the right global coordinate
+    (reference types.py:721-791 completeness protocol)."""
+    g = grid(spark)
+    return g.groupBy("arr").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B1-B4 — global reductions per timestep (mean/sum/min/max/stddev_pop).
+# Reference: tests/test_analytics.py:36-42 (std is population, ddof=0).
+# --------------------------------------------------------------------------
+@query(
+    "grid_global_aggs",
+    oracle=GRID_CTE
+    + """
+    SELECT t, round(avg(value), 6) AS mean_v, round(sum(value), 2) AS sum_v,
+           min(value) AS min_v, max(value) AS max_v,
+           round(stddev_pop(value), 6) AS std_v
+    FROM grid WHERE arr = 'temperature' GROUP BY t
+    """,
+)
+def grid_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter(F.col("arr") == "temperature")
+    return g.groupBy("t").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.round(F.stddev_pop("value"), 6).alias("std_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 + B17 — axis-wise mean and centering (broadcast-subtract of the
+# axis-0 mean). Reference: tests/test_analytics.py:86.
+# --------------------------------------------------------------------------
+@query(
+    "grid_axis_mean_centering",
+    oracle=GRID_CTE
+    + """
+    SELECT t, x, y,
+           round(avg(value) OVER (PARTITION BY t, y), 6) AS col_mean,
+           round(value - avg(value) OVER (PARTITION BY t, y), 6) AS centered
+    FROM grid WHERE arr = 'temperature'
+    """,
+)
+def grid_axis_mean_centering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter(F.col("arr") == "temperature")
+    w = W.partitionBy("t", "y")
+    return g.select(
+        "t",
+        "x",
+        "y",
+        F.round(F.avg("value").over(w), 6).alias("col_mean"),
+        F.round(F.col("value") - F.avg("value").over(w), 6).alias("centered"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B6/B12/B13/B14 — scalar arithmetic, clip, where/mask, sqrt, astype.
+# Reference: tests/test_analytics.py:44-48,71-78.
+# --------------------------------------------------------------------------
+@query(
+    "grid_elementwise_scalar",
+    oracle=GRID_CTE
+    + """
+    SELECT x, y, value,
+           value * 2              AS doubled,
+           round(value / 5, 6)    AS fifth,
+           value + 1              AS plus1,
+           least(greatest(value, 2.0), 6.0) AS clipped,
+           CASE WHEN value > 5 THEN value ELSE 0 END AS masked,
+           round(sqrt(value), 6)  AS root,
+           CAST(value AS INT)     AS as_int
+    FROM grid WHERE arr = 'temperature' AND t = 3
+    """,
+)
+def grid_elementwise_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter((F.col("arr") == "temperature") & (F.col("t") == 3))
+    v = F.col("value")
+    return g.select(
+        "x",
+        "y",
+        "value",
+        (v * 2).alias("doubled"),
+        F.round(v / 5, 6).alias("fifth"),
+        (v + 1).alias("plus1"),
+        F.least(F.greatest(v, F.lit(2.0)), F.lit(6.0)).alias("clipped"),
+        F.when(v > 5, v).otherwise(F.lit(0.0)).alias("masked"),
+        F.round(F.sqrt(v), 6).alias("root"),
+        v.cast("int").alias("as_int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B7 — elementwise array⊗array at the same timestep (coordinate-aligned
+# join of two arrays). Reference: tests/test_analytics.py:50-54.
+# Scale: equi-join on (t,x,y); both sides share the generator partitioning
+# so AQE plans a co-partitioned sort-merge; per-(t,x,y) keys are unique →
+# no skew.
+# --------------------------------------------------------------------------
+@query(
+    "grid_elementwise_product",
+    oracle=GRID_CTE
+    + """
+    SELECT a.t, a.x, a.y, a.value * b.value AS prod, a.value + b.value AS added
+    FROM (SELECT * FROM grid WHERE arr = 'temperature') a
+    JOIN (SELECT * FROM grid WHERE arr = 'pressure') b
+      ON a.t = b.t AND a.x = b.x AND a.y = b.y
+    """,
+)
+def grid_elementwise_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark)
+    a = g.filter(F.col("arr") == "temperature").select("t", "x", "y", F.col("value").alias("va"))
+    b = g.filter(F.col("arr") == "pressure").select("t", "x", "y", F.col("value").alias("vb"))
+    return a.join(b, ["t", "x", "y"]).select(
+        "t",
+        "x",
+        "y",
+        (F.col("va") * F.col("vb")).alias("prod"),
+        (F.col("va") + F.col("vb")).alias("added"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — temporal diff across timesteps (window[1] - window[0]).
+# Reference: tests/test_sliding_window.py:32-34.
+# --------------------------------------------------------------------------
+@query(
+    "grid_temporal_diff",
+    oracle=GRID_CTE
+    + """
+    SELECT t, x, y,
+           value - lag(value) OVER (PARTITION BY arr, x, y ORDER BY t) AS diff
+    FROM grid WHERE arr = 'temperature'
+    """,
+)
+def grid_temporal_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter(F.col("arr") == "temperature")
+    w = W.partitionBy("arr", "x", "y").orderBy("t")
+    return g.select("t", "x", "y", (F.col("value") - F.lag("value").over(w)).alias("diff"))
+
+
+# --------------------------------------------------------------------------
+# B20 — windowed temporal stencils: 3-pt and 5-pt trailing averages over t
+# (the docs' five_point_average / three_point_rate patterns).
+# --------------------------------------------------------------------------
+@query(
+    "grid_temporal_stencils",
+    oracle=GRID_CTE
+    + """
+    SELECT t, x, y,
+           round(avg(value) OVER (PARTITION BY arr, x, y ORDER BY t
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3,
+           round(avg(value) OVER (PARTITION BY arr, x, y ORDER BY t
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5,
+           count(*) OVER (PARTITION BY arr, x, y ORDER BY t
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_in_window
+    FROM grid WHERE arr = 'temperature'
+    """,
+)
+def grid_temporal_stencils(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter(F.col("arr") == "temperature")
+    w = W.partitionBy("arr", "x", "y").orderBy("t")
+    return g.select(
+        "t",
+        "x",
+        "y",
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 6).alias("avg3"),
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 6).alias("avg5"),
+        F.count(F.lit(1)).over(w.rowsBetween(-4, 0)).alias("n_in_window"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B9 + B10 — slicing (region select) and transpose (coordinate relabel).
+# Reference: tests/test_analytics.py:56-63.
+# --------------------------------------------------------------------------
+@query(
+    "grid_slice_transpose",
+    oracle=GRID_CTE
+    + """
+    SELECT t, y AS x, x AS y, value
+    FROM grid WHERE arr = 'temperature' AND y < 1
+    """,
+)
+def grid_slice_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark)
+    return (
+        g.filter((F.col("arr") == "temperature") & (F.col("y") < 1))
+        .select("t", F.col("y").alias("x"), F.col("x").alias("y"), "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — concatenate along axis 0 (UNION ALL with coordinate offset).
+# Reference: tests/test_analytics.py:80-84.
+# --------------------------------------------------------------------------
+@query(
+    "grid_concat_axis0",
+    oracle=GRID_CTE
+    + """
+    SELECT t, x, y, value FROM grid WHERE arr = 'temperature'
+    UNION ALL
+    SELECT t, CAST(x + 4 AS INT) AS x, y, value FROM grid WHERE arr = 'pressure'
+    """,
+)
+def grid_concat_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark)
+    top = g.filter(F.col("arr") == "temperature").select("t", "x", "y", "value")
+    bottom = g.filter(F.col("arr") == "pressure").select(
+        "t", (F.col("x") + 4).cast("int").alias("x"), "y", "value"
+    )
+    return top.unionAll(bottom)
+
+
+# --------------------------------------------------------------------------
+# B11 — matmul as join-aggregate: (A^T @ B)[i,j] = Σ_x A[x,i]·B[x,j] per t.
+# Reference: tests/test_analytics.py:65-69 (transpose @ array).
+# Scale: shuffle-on-contraction-index join + partial-agg; for dense blocks
+# at scale prefer the BlockMatrix path in operators/linalg.py.
+# --------------------------------------------------------------------------
+@query(
+    "grid_matmul_tn",
+    oracle=GRID_CTE
+    + """
+    SELECT a.t, a.y AS i, b.y AS j, round(sum(a.value * b.value), 2) AS mm
+    FROM (SELECT * FROM grid WHERE arr = 'temperature') a
+    JOIN (SELECT * FROM grid WHERE arr = 'temperature') b
+      ON a.t = b.t AND a.x = b.x
+    GROUP BY a.t, a.y, b.y
+    """,
+)
+def grid_matmul_tn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter(F.col("arr") == "temperature")
+    a = g.select("t", "x", F.col("y").alias("i"), F.col("value").alias("va"))
+    b = g.select("t", "x", F.col("y").alias("j"), F.col("value").alias("vb"))
+    return (
+        a.join(b, ["t", "x"])
+        .groupBy("t", "i", "j")
+        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 2).alias("mm"))
+    )

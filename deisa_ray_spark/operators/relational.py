@@ -1,0 +1,401 @@
+"""Relational surface: scans, filters, aggregates, joins, sorts/top-k,
+set ops, SQL window functions, scalar functions, rollup/cube,
+sessionization.
+
+The reference has NO relational operators (SURVEY §2.C: joins, grouping
+sets, SQL window functions, sorts, set ops are all absent — its nearest
+analogues are coordinate-aligned elementwise ops and AND-gating). These
+queries pin the capability the Spark engine adds, each with a DuckDB
+oracle.
+
+Scale notes (100 TB):
+- ``region``/``nation`` are O(10) rows at any SF → always broadcast;
+  ``customer``/``supplier``/``part`` grow with SF but remain << lineitem;
+  Catalyst + AQE pick broadcast vs sort-merge from stats at runtime.
+- All aggregations here are partial-aggregate friendly (sum/count/min/max/
+  avg decompose), so map-side combine bounds shuffle volume by group
+  cardinality, not row count.
+- Top-k per group uses row_number + filter: Spark inserts a per-partition
+  WindowGroupLimit (rank pushdown) before the shuffle in recent versions,
+  so only k rows per partition per key shuffle.
+- Float aggregates are rounded identically on both sides; summation order
+  is engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1-style pricing summary (scan → filter → agg).
+# Pins: parquet scan w/ predicate pushdown + column pruning, partial agg.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 4)                                          AS avg_qty,
+           round(avg(l_extendedprice), 4)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregate query (reference analogue: global sum/mean
+    reductions, tests/test_analytics.py:36-42, here over a relational
+    fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — join + top-k: revenue per customer, top 10.
+# Pins: 3-way join (fact→orders→customer), agg, deterministic top-k.
+# --------------------------------------------------------------------------
+@query(
+    "q02_top_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q02_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — star join through broadcast dims: revenue per region/nation.
+# Pins: broadcast hash join (nation/region are O(10) rows at any SF).
+# --------------------------------------------------------------------------
+@query(
+    "q03_regional_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — semi join (EXISTS): orders having any high-quantity lineitem.
+# --------------------------------------------------------------------------
+@query(
+    "q04_priority_high_qty_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_priority_high_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — anti join (NOT EXISTS): customers with no big-ticket order, by
+# segment. (Threshold chosen so the result is non-empty at every SF — an
+# empty anti-join would make the oracle check vacuous.)
+# --------------------------------------------------------------------------
+@query(
+    "q05_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — pure filter + scalar agg (TPC-H Q6 style).
+# Pins: predicate pushdown of range predicates to the parquet scan.
+# --------------------------------------------------------------------------
+@query(
+    "q06_revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — SQL window functions: top-3 parts per brand by retail price.
+# Pins: row_number over partition (reference has no SQL-window analogue).
+# --------------------------------------------------------------------------
+@query(
+    "q07_top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, rn
+    FROM (SELECT p_brand, p_partkey, p_name,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part)
+    WHERE rn <= 3
+    """,
+)
+def q07_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — set operations: INTERSECT / EXCEPT / UNION ALL over nation keys.
+# Reference has only concatenate (≈ UNION ALL, B15); INTERSECT/EXCEPT are
+# new surface (SURVEY §2.C "Set ops").
+# --------------------------------------------------------------------------
+@query(
+    "q08_set_ops_nations",
+    oracle="""
+    SELECT 'both' AS tag, n FROM
+      (SELECT DISTINCT c_nationkey AS n FROM customer
+       INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS tag, n FROM
+      (SELECT DISTINCT c_nationkey AS n FROM customer
+       EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'supp_only' AS tag, n FROM
+      (SELECT DISTINCT s_nationkey AS n FROM supplier
+       EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+    """,
+)
+def q08_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+    both = cn.intersect(sn).select(F.lit("both").alias("tag"), "n")
+    cust_only = cn.exceptAll(sn).select(F.lit("cust_only").alias("tag"), "n")
+    supp_only = sn.exceptAll(cn).select(F.lit("supp_only").alias("tag"), "n")
+    return both.unionAll(cust_only).unionAll(supp_only)
+
+
+# --------------------------------------------------------------------------
+# q09 — scalar functions: string / date / JSON (absent in reference,
+# SURVEY §2.C "Scalar functions": math only).
+# --------------------------------------------------------------------------
+@query(
+    "q09_scalar_functions",
+    oracle="""
+    SELECT event_id,
+           upper(event_type)                         AS type_upper,
+           substr(event_type, 1, 3)                  AS type_prefix,
+           length(event_type)                        AS type_len,
+           strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+           CAST(extract(year FROM ts) AS BIGINT)     AS yr,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           round(abs(value) + sqrt(abs(value)), 4)   AS math_mix
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+)
+def q09_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.length("event_type").alias("type_len"),
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM-dd").alias("month"),
+        F.year("ts").cast("bigint").alias("yr"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.round(F.abs("value") + F.sqrt(F.abs("value")), 4).alias("math_mix"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — grouping sets (ROLLUP): multi-level totals in one pass.
+# --------------------------------------------------------------------------
+@query(
+    "q10_rollup_lineitem",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — sessionization over the events stream table (gaps-and-islands).
+# Batch twin of streaming session windows; at 100 TB this is one shuffle
+# on user_id with window functions inside each partition.
+# --------------------------------------------------------------------------
+@query(
+    "q11_sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q11_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(wcum).cast("bigint"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — sort + limit with full ordering (ORDER BY ... LIMIT as TakeOrdered).
+# --------------------------------------------------------------------------
+@query(
+    "q12_latest_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q12_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(20)
+    )

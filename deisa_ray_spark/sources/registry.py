@@ -1,0 +1,59 @@
+"""Parquet table registry for the synthetic star schema + doc/embedding
+tables (TESTDATA.md).
+
+The reference has no file readers at all (SURVEY §2.C "Scans"); Spark's
+parquet source gives us scans with predicate pushdown and column pruning
+for free. At 100 TB these tables would be partitioned directories; the
+reader code is identical — ``spark.read.parquet`` over a directory prunes
+partitions from pushed-down filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor: region is
+# 5 rows and nation 25 at every TPC-H SF; broadcasting them never shuffles.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long via the
+    legacy conf (runtime-settable; only affects NANOS columns) and convert
+    to a micro-precision timestamp — still a native columnar scan with
+    pushdown on every other column."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

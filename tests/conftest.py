@@ -1,0 +1,60 @@
+"""Shared pytest fixtures: one SparkSession per test session, DuckDB
+oracle helper mirroring the driver's compare (sort columns by name,
+order-insensitive row compare)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deisa_ray_spark.session import get_session
+from deisa_ray_spark.sources.registry import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(
+        app_name="deisa_ray_spark_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, then rows by all columns (driver convention)."""
+    cols = sorted(pdf.columns)
+    out = pdf[cols]
+    if len(out):
+        out = out.sort_values(by=cols, na_position="first", kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, duck_con, sql: str) -> None:
+    got = canonical(spark_df.toPandas())
+    want = canonical(duck_con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count mismatch: spark={len(got)} oracle={len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
