@@ -1,1 +1,334 @@
-"""Deduplication operators (filled in by the LLM-pipeline milestone)."""
+"""Deduplication operators over ``documents`` / ``embeddings``: exact,
+word-n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+North-star extension (SURVEY §7 Phase 5) — the reference has no dedup of
+any kind; these are the operators a 100 TB training-data pipeline needs.
+
+Portability contract with the DuckDB oracle: every hash is ``md5`` hex
+(identical across engines), and minhash uses *lexicographic min over md5
+strings* as the permutation min — so the full MinHash/LSH pipeline is
+bit-for-bit reproducible in ANSI SQL and hash-checked end-to-end, not just
+rows-only.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on a 32-hex fingerprint (uniform — no skew).
+- minhash: signatures are narrow per-row array expressions (no explode);
+  only the 4 band keys per doc are exploded → candidate join shuffles
+  ~4 rows/doc on uniform md5 band keys. Verification joins only the
+  candidate pairs back to shingle sets — the classic LSH cost shape:
+  O(n) + O(candidates), never O(n²).
+- n-gram jaccard as declared here IS the O(shared-shingle) pairwise path —
+  correct as a ground-truth oracle; at scale use dedup_minhash_lsh and
+  reserve this for candidate verification.
+- simhash: per-row 16-bit signature via one explode over tokens + 16
+  partial-agg sums; bucket join on the signature is an equi-shuffle.
+- embedding cosine: label-blocked (IVF-style candidate restriction) so the
+  join is per-label; at scale replace the label with a learned coarse
+  quantizer cell id — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+N_MINHASH = 12  #: permutations
+N_BANDS = 4  #: LSH bands (rows per band = N_MINHASH // N_BANDS = 3)
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.35
+SHINGLE_K = 3  #: words per shingle
+
+#: DuckDB expression for the distinct word-3-gram shingle list.
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+    "|| ' ' || string_split(text,' ')[i+2]))"
+)
+
+
+def shingles_col(text_col: str = "text") -> Column:
+    """Distinct word-3-gram shingles as a JVM array expression."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    gram = F.transform(
+        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(SHINGLE_K)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def minhash_signature(shingles: Column, n: int = N_MINHASH) -> list[Column]:
+    """MinHash permutation i ≔ lexicographic min of ``md5(i || '|' || s)``
+    over the shingle set — portable to any engine with md5."""
+    return [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(n)
+    ]
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — hash-groupBy on the md5 of normalized text; canonical doc =
+# min(doc_id) in each group. One uniform-key shuffle at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+    ),
+    canon AS (
+      SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint, c.canonical_id, c.group_size,
+           f.doc_id <> c.canonical_id AS is_dup
+    FROM fp f JOIN canon c USING (fingerprint)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    w = W.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", shingles_col().alias("shingles")).withColumn(
+        "n_shingles", F.size("shingles")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact pairwise Jaccard over word-3-gram shingle
+# sets, candidate pairs = docs sharing ≥1 shingle. This is the ground-truth
+# near-dup operator; the scale path is dedup_minhash_lsh below.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE n_common * 1.0 / (na + nb - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
+    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures (12 perms) → 4 LSH bands → bucket
+# join for candidates → exact-Jaccard verification of candidates only.
+# O(n) signature pass + O(candidates) verify; no quadratic stage.
+# --------------------------------------------------------------------------
+def _lsh_oracle() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    rows = N_MINHASH // N_BANDS
+    bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sig" for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    mh AS (SELECT doc_id, shingles, {mh} FROM sh),
+    sig AS (SELECT *, {bands} FROM mh),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+             (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
+           jaccard >= {JACCARD_THRESHOLD} AS is_dup
+    FROM verified
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
+    sig = sh
+    for i, c in enumerate(minhash_signature(F.col("shingles"))):
+        sig = sig.withColumn(f"mh{i}", c)
+    rows = N_MINHASH // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.select("doc_id", "shingles", "n_shingles")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"), F.col("n_shingles").alias("na")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"), F.col("n_shingles").alias("nb")), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("jaccard"),
+        (F.col("jaccard") >= JACCARD_THRESHOLD).alias("is_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash — 16-bit weighted SimHash per doc (bit votes from token
+# md5s weighted by term frequency); docs sharing a signature are dup
+# candidates (bucket join on the signature at scale).
+# --------------------------------------------------------------------------
+N_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (instr('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1) "
+        f"& {1 << (j % 4)} > 0 THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(N_SIMHASH_BITS)
+    )
+    sh = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, md5(tok) AS h, count(*) AS cnt FROM tok GROUP BY doc_id, md5(tok)
+    ),
+    votes AS (SELECT doc_id, {votes} FROM tf GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM votes)
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS bucket_size
+    FROM sig
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", F.md5("tok").alias("h")).agg(F.count(F.lit(1)).alias("cnt"))
+
+    # bit j of the md5: hex digit j//4 (1-based substr), bit j%4 within it.
+    def bit(j: int) -> Column:
+        digit = F.expr(f"instr('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1")
+        return digit.bitwiseAND(F.lit(1 << (j % 4)))
+
+    votes = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit(j) > 0, F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"v{j}")
+            for j in range(N_SIMHASH_BITS)
+        ]
+    )
+    simhash = sum(
+        [F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(N_SIMHASH_BITS)],
+        F.lit(0),
+    ).cast("bigint")
+    sig = votes.select("doc_id", simhash.alias("simhash"))
+    return sig.select(
+        "doc_id", "simhash", F.count(F.lit(1)).over(W.partitionBy("simhash")).alias("bucket_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_cosine — near-dup pairs by embedding cosine within a
+# coarse block (label = IVF-cell stand-in). Dot/norm computed JVM-side via
+# zip_with + aggregate in index order (bit-compatible with the oracle).
+# --------------------------------------------------------------------------
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("eb"))
+    cos = cosine_sim(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "label", F.round("cosine_raw", 6).alias("cosine"))
+    )

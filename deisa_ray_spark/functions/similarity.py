@@ -1,2 +1,170 @@
-"""Similarity search over embeddings (filled in by the LLM-pipeline
-milestone)."""
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k baseline + IVF (coarse-quantizer) bucketed variant.
+
+North-star extension (SURVEY §7 Phase 5). Cosine is computed JVM-side
+(``zip_with`` + ``aggregate`` fold in index order — bit-compatible with the
+DuckDB oracle's ``list_cosine_similarity``); ranking uses the cosine
+rounded to 6 dp with vec_id tie-break so both engines rank identically.
+
+Scale notes (100 TB):
+- brute force: the query side is broadcast (queries << corpus always), so
+  the scan is a single narrow pass over the corpus — no shuffle until the
+  per-query top-k, which is a WindowGroupLimit (only k rows per partition
+  per query survive to the shuffle).
+- IVF: centroid assignment restricts each query to one coarse cell —
+  here cells are the ``label`` column; in a real pipeline the cell id
+  comes from k-means (Spark MLlib) but the query plan — broadcast
+  centroids, prune to cell, top-k within — is exactly this one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.dedup import cosine_sim
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+N_QUERIES = 5  #: vectors with vec_id < N_QUERIES are the query set
+TOP_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_bruteforce_topk — exact cosine top-k: broadcast queries × corpus
+# scan → windowed rank → k rows per query.
+# --------------------------------------------------------------------------
+@query(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS neighbor_id, c.label,
+             round(list_cosine_similarity(q.qe, c.embedding::DOUBLE[]), 6) AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT qid, neighbor_id, label, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "label", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_ivf_topk — IVF-style: per-cell centroid (cell = label), assign each
+# query to its nearest centroid, search ONLY that cell. Scan cost drops
+# from |corpus| to |cell| per query; recall vs brute force is the standard
+# IVF trade (verified in tests/test_similarity.py).
+# --------------------------------------------------------------------------
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    assign AS (
+      SELECT qid, qe, label AS cell
+      FROM (
+        SELECT q.qid, q.qe, cent.label,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qe, cent.cvec), 6) DESC,
+                          cent.label) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.qid, a.cell, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.qe, c.embedding::DOUBLE[]), 6) AS cosine
+      FROM assign a JOIN embeddings c ON c.label = a.cell AND c.vec_id <> a.qid
+    )
+    SELECT qid, cell, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # per-cell centroid: posexplode → per-dim avg → re-assemble in dim order
+    dims = emb.select("label", F.posexplode("e").alias("dim", "v"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    rn_w = W.partitionBy("qid").orderBy(
+        F.desc(F.round(cosine_sim(F.col("qe"), F.col("cvec")), 6)), F.asc("label")
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qe", F.col("label").alias("cell"))
+    )
+    scored = (
+        F.broadcast(assign)
+        .join(emb, (emb.label == F.col("cell")) & (emb.vec_id != F.col("qid")))
+        .select(
+            "qid",
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cell", "neighbor_id", "cosine", "rank")
+    )

@@ -1,2 +1,248 @@
-"""Text analysis operators over the ``documents`` table (filled in by the
-LLM-pipeline milestone)."""
+"""Text analysis over the ``documents`` table: token stats, BPE-ish regex
+tokenization, language-ID, quality scoring, document fingerprinting.
+
+North-star extension beyond the reference surface (SURVEY §7 Phase 5): the
+reference computes only numeric tensor kernels (its scalar-function surface
+is math-only, SURVEY §2.C); these operators add the text side a
+training-data pipeline needs.
+
+All computation is JVM-side (split / regexp / array functions — no Python
+UDFs), so every query here runs inside whole-stage codegen and scales as a
+single narrow projection + one partial-agg shuffle.
+
+Scale notes (100 TB): every op is per-row (narrow) until the final
+aggregate; fingerprint dedup shuffles on a 32-hex-char key (uniform, no
+skew); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+#: Whitespace tokens of the raw text.
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+#: BPE-ish tokenizer: word pieces OR single non-word-non-space symbols —
+#: the standard pre-tokenization regex shape (\w+ | single punct).
+TOKEN_RE = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+#: Tiny per-language marker profiles for the n-gram/stopword heuristic.
+#: Real-world profiles would be learned n-gram frequencies; the heuristic
+#: (score = Σ marker hits, argmax with fixed tie order) is what's pinned.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "de": ("vector", "hash", "merge"),
+    "fr": ("row", "column", "line"),
+    "es": ("data", "table", "value"),
+    "zh": ("window", "stream", "batch"),
+}
+
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    """# tokens that are one of ``words`` (JVM-side filter on the array)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token-statistics columns; reusable pipeline step."""
+    toks = F.split(F.col(text_col), " ")
+    re_toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_tokens_re", F.size(re_toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("ttr", F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+                / F.size(toks),
+                6,
+            ),
+        )
+        .withColumn("stopword_ratio", F.round(_count_in(toks, STOPWORDS) / F.size(toks), 6))
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_token_stats — whitespace + regex token counting, type-token ratio,
+# average token length, stopword ratio. All codegen'd array expressions.
+# --------------------------------------------------------------------------
+@query(
+    "txt_token_stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split(text, ' ') AS toks,
+             regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]') AS re_toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           len(re_toks) AS n_tokens_re,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+           round(list_sum(list_transform(toks, t -> length(t))) / len(toks), 6) AS avg_token_len,
+           round(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) / len(toks), 6)
+             AS stopword_ratio
+    FROM tok
+    """,
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_tokens_re",
+        "n_distinct_tokens",
+        "ttr",
+        "avg_token_len",
+        "stopword_ratio",
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_lang_id — marker-profile scoring: count hits of each language's
+# marker set, argmax with deterministic tie order (profile declaration
+# order). The synthetic corpus shares one vocabulary across its ``lang``
+# labels, so predictions reflect per-doc marker frequencies — the declared
+# contract is the scoring computation, not linguistic accuracy.
+# --------------------------------------------------------------------------
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"score_{lang}", _count_in(toks, markers))
+    # argmax with ties broken by declaration order: compare pairwise.
+    best_lang = F.lit("unknown")
+    best_score = F.lit(-1)
+    for lang in LANG_MARKERS:  # later entries win only on strict >
+        s = F.col(f"score_{lang}")
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return out.withColumn("pred_lang", best_lang).withColumn("pred_score", best_score)
+
+
+@query(
+    "txt_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'fast', 'slow')))       AS score_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('vector', 'hash', 'merge')))         AS score_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('row', 'column', 'line')))           AS score_fr,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('data', 'table', 'value')))          AS score_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('window', 'stream', 'batch')))       AS score_zh
+      FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_de, score_fr, score_es, score_zh,
+           CASE greatest(score_en, score_de, score_fr, score_es, score_zh)
+             WHEN score_en THEN 'en' WHEN score_de THEN 'de'
+             WHEN score_fr THEN 'fr' WHEN score_es THEN 'es' ELSE 'zh' END AS pred_lang,
+           greatest(score_en, score_de, score_fr, score_es, score_zh) AS pred_score
+    FROM scored
+    """,
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_scores(docs).select(
+        "doc_id",
+        "lang",
+        "score_en",
+        "score_de",
+        "score_fr",
+        "score_es",
+        "score_zh",
+        "pred_lang",
+        "pred_score",
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_quality_score — composite filter score: length band + stopword ratio
+# + repetition penalty (1 - TTR), with a keep/drop flag. The shape every
+# pretraining pipeline uses (C4/Gopher-style rules), deterministic here.
+# --------------------------------------------------------------------------
+@query(
+    "txt_quality_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) / len(toks) AS ttr,
+             len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) / len(toks) AS stop_ratio
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           round(ttr, 6) AS ttr,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(0.4 * (CASE WHEN n_tokens BETWEEN 20 AND 100 THEN 1.0
+                             ELSE n_tokens / 100.0 END)
+               + 0.3 * least(stop_ratio * 10, 1.0)
+               + 0.3 * ttr, 6) AS quality,
+           (n_tokens >= 10 AND ttr >= 0.2) AS keep
+    FROM feat
+    """,
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    stop_ratio = _count_in(toks, STOPWORDS) / n_tokens
+    length_score = F.when((n_tokens >= 20) & (n_tokens <= 100), F.lit(1.0)).otherwise(
+        n_tokens / F.lit(100.0)
+    )
+    quality = 0.4 * length_score + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)) + 0.3 * ttr
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+        ((n_tokens >= 10) & (ttr >= 0.2)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_fingerprint — content-defined document fingerprint: md5 over the
+# sorted distinct token set (word-order-insensitive), plus a positional
+# rolling fingerprint md5(text) for exact identity. Both engines produce
+# identical hex, so the fingerprint itself is oracle-checked — this is the
+# key the exact-dedup operator groups on.
+# --------------------------------------------------------------------------
+@query(
+    "txt_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS vocab_fp
+    FROM documents
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("exact_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))).alias("vocab_fp"),
+    )
