@@ -1,0 +1,165 @@
+"""Simulation-side ingest client: the Spark-engine replacement for the
+reference's ``Bridge`` (bridge.py:138-584).
+
+The reference pushes chunks into a Ray object store and routes refs
+through actors; here the transport is a file-drop directory of chunk-row
+parquet files consumed by Structured Streaming (SURVEY §1.5/§3.1 "Spark
+shape"). One file per ``send`` keeps micro-batch granularity under the
+engine's control via ``maxFilesPerTrigger`` (A13 backpressure analogue).
+
+Writes are atomic (tmp file + rename) so a concurrently-running stream
+never reads a partial file, and file mtimes are strictly increasing so
+the file source's arrival order matches send order (the reference's
+"Sends are ordered" assumption, docs/source/quick_start.rst).
+
+No SparkSession is needed on the simulation side — chunks are written
+with pyarrow directly; ranks of an MPI job can write concurrently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Mapping
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deisa_ray_spark.errors import ContractError
+from deisa_ray_spark.model import SENTINEL_ARRAY, validate_arrays_metadata
+
+#: Arrow schema of the chunk drop files (mirrors model.CHUNK_SCHEMA).
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("arr", pa.string()),
+        ("t", pa.int64()),
+        ("bridge_id", pa.int32()),
+        ("pos", pa.list_(pa.int32())),
+        ("chunk_shape", pa.list_(pa.int32())),
+        ("global_shape", pa.list_(pa.int32())),
+        ("dtype", pa.string()),
+        ("data", pa.binary()),
+    ]
+)
+
+
+class SparkBridge:
+    """Declare arrays up front, then ``send`` chunks per timestep.
+
+    Mirrors the reference contract (bridge.py:201-315): metadata is
+    validated at construction (A2); sending an undeclared array raises
+    ``ContractError``; ``close(timestep)`` emits the sentinel (A3).
+    """
+
+    def __init__(
+        self,
+        bridge_id: int,
+        arrays_metadata: Mapping[str, Mapping[str, Any]],
+        chunk_dir: str,
+        feedback_dir: str | None = None,
+    ) -> None:
+        self.bridge_id = int(bridge_id)
+        self.metadata = validate_arrays_metadata(arrays_metadata)
+        self.chunk_dir = chunk_dir
+        self.feedback_dir = feedback_dir
+        self._seq = 0
+        self._last_t: int | None = None
+        os.makedirs(chunk_dir, exist_ok=True)
+
+    # -- send path ---------------------------------------------------------
+
+    def send(self, array_name: str, chunk: np.ndarray, timestep: int) -> None:
+        """Write one chunk row (reference bridge.py:343-407). Blocks only
+        for the local file write — Spark-side flow control is the stream's
+        ``maxFilesPerTrigger`` (A13)."""
+        if array_name not in self.metadata:
+            raise ContractError(f"undeclared array {array_name!r}")
+        md = self.metadata[array_name]
+        if tuple(chunk.shape) != md["chunk_shape"]:
+            raise ContractError(
+                f"{array_name}: chunk shape {chunk.shape} != declared {md['chunk_shape']}"
+            )
+        if self._last_t is not None and timestep < self._last_t:
+            raise ContractError(
+                f"out-of-order send: t={timestep} after t={self._last_t} (sends are ordered)"
+            )
+        self._last_t = int(timestep)
+        self._write_row(
+            arr=array_name,
+            t=int(timestep),
+            pos=list(md["chunk_position"]),
+            chunk_shape=list(md["chunk_shape"]),
+            global_shape=list(md["global_shape"]),
+            dtype=chunk.dtype.name,
+            data=np.ascontiguousarray(chunk).tobytes(),
+        )
+
+    def close(self, timestep: int) -> None:
+        """End-of-stream sentinel: a 1x1 array named ``SENTINEL_ARRAY``
+        (reference bridge.py:269-274,425-459). Only one bridge (id 0 by
+        convention, like rank 0) should call this."""
+        self._write_row(
+            arr=SENTINEL_ARRAY,
+            t=int(timestep),
+            pos=[0, 0],
+            chunk_shape=[1, 1],
+            global_shape=[1, 1],
+            dtype="int64",
+            data=np.zeros((1, 1), dtype=np.int64).tobytes(),
+        )
+
+    def _write_row(self, **row: Any) -> None:
+        row["bridge_id"] = self.bridge_id
+        table = pa.Table.from_pandas(pd.DataFrame([row]), schema=_ARROW_SCHEMA, preserve_index=False)
+        fname = f"chunk-{self.bridge_id:04d}-{self._seq:08d}-{uuid.uuid4().hex[:8]}.parquet"
+        self._seq += 1
+        tmp = os.path.join(self.chunk_dir, f".{fname}.tmp")
+        pq.write_table(table, tmp)
+        final = os.path.join(self.chunk_dir, fname)
+        os.rename(tmp, final)
+        # Strictly-increasing mtime => file-source arrival order == send
+        # order even within the same clock tick.
+        ts = time.time()
+        SparkBridge._mtime_counter = max(getattr(SparkBridge, "_mtime_counter", 0.0) + 0.001, ts)
+        os.utime(final, (SparkBridge._mtime_counter, SparkBridge._mtime_counter))
+
+    # -- feedback read path (A12) -----------------------------------------
+
+    def get(self, key: str, timestep: int | None = None, default: Any = None) -> Any:
+        """Feedback lookup (reference bridge.py:525-584): exact-t value,
+        or the full queue oldest→newest when ``timestep`` is None;
+        ``default`` on miss. Best-effort by contract (the reference
+        explicitly disclaims read-your-writes timing)."""
+        if self.feedback_dir is None:
+            raise ValueError("bridge constructed without feedback_dir")
+        from deisa_ray_spark.streaming.feedback import read_feedback
+
+        return read_feedback(self.feedback_dir, key, timestep, default)
+
+
+def metadata_for_grid(
+    arrays: tuple[str, ...],
+    global_shape: tuple[int, ...],
+    chunk_shape: tuple[int, ...],
+    chunk_position: tuple[int, ...],
+) -> dict[str, dict[str, tuple[int, ...]]]:
+    """Convenience: same layout for every array (the common MPI case)."""
+    return {
+        a: {
+            "global_shape": global_shape,
+            "chunk_shape": chunk_shape,
+            "chunk_position": chunk_position,
+        }
+        for a in arrays
+    }
+
+
+def feedback_value_to_json(value: Any) -> str:
+    """Feedback values are small JSON-able objects in this engine (the
+    reference allows arbitrary Python; JSON keeps the table queryable)."""
+    return json.dumps(value)

@@ -1,0 +1,357 @@
+"""Analytics-side in-situ engine: stateful assembly/trigger operator +
+windowed callback dispatch (the reference's ``Deisa`` +
+``execute_callbacks``, window_handler.py:75-405).
+
+Architecture (SURVEY §3.1 "Spark shape"):
+
+- **Control plane** — ``applyInPandasWithState`` over the *metadata
+  projection* of the chunk stream (the ``data`` column is dropped before
+  the shuffle, so payload bytes never flow through the stateful task —
+  the same property as the reference, where actors pass ObjectRefs and
+  "chunk payloads never pass through the actors", SURVEY §1.3). The
+  single-group state mirrors the reference's single head actor: per-(arr,
+  t) arrival counts (A4 completeness), current-timestep boundary (A5),
+  monotonicity enforcement (A6 — *fails the run*, not drop-late-data),
+  sentinel handling (A3), start-at-any-timestep bootstrap (A17).
+- **Data plane** — callbacks receive ``ArrayFrame`` handles that read the
+  chunk store lazily, filtered by (arr, t); at scale those reads are
+  partition-pruned parquet scans executed across the cluster, exactly
+  like any other DataFrame.
+- **Dispatch** — driver-side (like the reference's pull loop, which runs
+  on the analytics driver): per-array deques of the last N timesteps
+  (A7), AND/OR gating (A8), registration-order multi-callback dispatch
+  (A9), exception policy (A10), feedback publication (A11).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import deque
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.errors import ContractError, OrderingError
+from deisa_ray_spark.model import CHUNK_SCHEMA, SENTINEL_ARRAY, explode_chunks
+from deisa_ray_spark.streaming.feedback import DEFAULT_QUEUE_SIZE, FeedbackStore
+
+_ORDERING_MARKER = "DEISA_ORDERING_VIOLATION"
+_CONTRACT_MARKER = "DEISA_CONTRACT_VIOLATION"
+
+#: Event rows emitted by the control-plane operator.
+_EVENT_SCHEMA = "t bigint, arr string, n_chunks int, event string"
+_STATE_SCHEMA = "state string"
+
+
+@dataclass(frozen=True)
+class ArrayWindow:
+    """Sliding-window request: the last ``size`` shared timesteps of one
+    array, oldest→newest (reference ``Window(name, size)``,
+    types.py:180-201)."""
+
+    name: str
+    size: int = 1
+
+    def __post_init__(self) -> None:
+        if self.size < 1:
+            raise ValueError("window size must be >= 1")
+
+
+class ArrayFrame:
+    """A distributed array at one timestep: lazy handle over the chunk
+    store (the engine's ``DeisaArray`` — a DataFrame + ``.t`` instead of a
+    dask.Array + ``.t``, reference types.py:206-269)."""
+
+    def __init__(self, spark: SparkSession, chunk_dir: str, name: str, t: int) -> None:
+        self._spark = spark
+        self.chunk_dir = chunk_dir
+        self.name = name
+        self.t = int(t)
+
+    def chunks(self) -> DataFrame:
+        """Chunk rows of this (array, timestep) — a pruned scan."""
+        return (
+            self._spark.read.schema(CHUNK_SCHEMA)
+            .parquet(self.chunk_dir)
+            .filter((F.col("arr") == self.name) & (F.col("t") == self.t))
+        )
+
+    def cells(self) -> DataFrame:
+        """Long-form ``(arr, t, x, y, value)`` cells (never densifies)."""
+        return explode_chunks(self.chunks())
+
+    def to_numpy(self) -> np.ndarray:
+        """Assemble the dense tensor driver-side (bounded by the declared
+        global_shape — the analogue of calling ``.compute()`` on the
+        reference's DeisaArray)."""
+        rows = self.chunks().collect()
+        if not rows:
+            raise ValueError(f"no chunks for ({self.name}, t={self.t})")
+        gshape = tuple(rows[0]["global_shape"])
+        cshape = tuple(rows[0]["chunk_shape"])
+        out = np.empty(gshape, dtype=np.dtype(rows[0]["dtype"]))
+        for r in rows:
+            block = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(cshape)
+            sl = tuple(slice(p * c, (p + 1) * c) for p, c in zip(r["pos"], cshape))
+            out[sl] = block
+        return out
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ArrayFrame({self.name!r}, t={self.t})"
+
+
+@dataclass
+class _CallbackConfig:
+    fn: Callable[..., None]
+    windows: tuple[ArrayWindow, ...]
+    when: str
+    exception_handler: Callable[[BaseException], None] | None
+    calls: int = 0
+
+
+def _control_plane(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Stateful operator body: completeness counting, boundary detection,
+    ordering enforcement, sentinel. Pure metadata — tiny rows, one group.
+
+    Raises through the query (failing the run) on ordering violations —
+    the reference raises RuntimeError("Logical flow of data was
+    violated…") rather than dropping late data (window_handler.py:348-351).
+    """
+    st = json.loads(state.get[0]) if state.exists else {
+        "t_cur": None,  # open timestep (None until first assembly, A17)
+        "closed_t": None,  # newest closed timestep
+        "counts": {},  # "arr|t" -> arrived chunk count
+        "expected": {},  # arr -> nb_chunks of the declared grid
+        "open": {},  # str(t) -> {arr: n_chunks} assembled, not yet closed
+        "done": False,
+    }
+    events: list[dict] = []
+
+    def close_upto(limit_t: int | None) -> None:
+        """Emit ready events for every assembled timestep < limit_t
+        (None = all), oldest first."""
+        for ts in sorted(int(k) for k in st["open"]):
+            if limit_t is not None and ts >= limit_t:
+                continue
+            for arr, n in sorted(st["open"][str(ts)].items()):
+                events.append({"t": ts, "arr": arr, "n_chunks": n, "event": "ready"})
+            st["closed_t"] = ts
+            del st["open"][str(ts)]
+
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        rows.extend(pdf.itertuples(index=False))
+    rows.sort(key=lambda r: int(r.t))  # arrival order: per-file batches + t
+
+    sentinel_t: int | None = None
+    for r in rows:
+        t = int(r.t)
+        if r.arr == SENTINEL_ARRAY:
+            sentinel_t = t if sentinel_t is None else max(sentinel_t, t)
+            continue
+        grid = [g // c for g, c in zip(r.global_shape, r.chunk_shape)]
+        expected = int(np.prod(grid))
+        prev = st["expected"].setdefault(r.arr, expected)
+        if prev != expected:
+            raise ContractError(
+                f"{_CONTRACT_MARKER}: {r.arr}: grid changed {prev} -> {expected}"
+            )
+        ck = f"{r.arr}|{t}"
+        st["counts"][ck] = st["counts"].get(ck, 0) + 1
+        if st["counts"][ck] < expected:
+            continue
+        # assembled (A4 completeness reached)
+        del st["counts"][ck]
+        if st["t_cur"] is not None and t < st["t_cur"]:
+            # The reference raises on pulling an assembled array older than
+            # the current timestep, whether or not it was "closed"
+            # (window_handler.py:348-351).
+            raise OrderingError(
+                f"{_ORDERING_MARKER}: array ({r.arr}, t={t}) completed after "
+                f"timestep {st['t_cur']} was current — logical flow of data "
+                "was violated (sends must be ordered)"
+            )
+        st["open"].setdefault(str(t), {})[r.arr] = expected
+        if st["t_cur"] is None:
+            st["t_cur"] = t  # bootstrap from first arrival (A17)
+        elif t > st["t_cur"]:
+            close_upto(t)  # boundary: a newer assembly closes older ts (A5)
+            st["t_cur"] = t
+
+    if sentinel_t is not None:
+        close_upto(None)  # sentinel closes everything buffered (A3)
+        events.append({"t": sentinel_t, "arr": SENTINEL_ARRAY, "n_chunks": 0, "event": "sentinel"})
+        st["done"] = True
+
+    state.update((json.dumps(st),))
+    if events:
+        yield pd.DataFrame(events, columns=["t", "arr", "n_chunks", "event"])
+
+
+class InSituEngine:
+    """Register callbacks over sliding windows, then consume a chunk drop
+    directory as a stream (reference ``Deisa`` + ``register_callback`` +
+    ``execute_callbacks``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        chunk_dir: str,
+        feedback_dir: str | None = None,
+        feedback_queue_size: int = DEFAULT_QUEUE_SIZE,
+    ) -> None:
+        self.spark = spark
+        self.chunk_dir = chunk_dir
+        self.callbacks: list[_CallbackConfig] = []
+        self.feedback = (
+            FeedbackStore(feedback_dir, feedback_queue_size) if feedback_dir else None
+        )
+        self._windows: dict[str, deque[ArrayFrame]] = {}
+        self._new_at_boundary: set[str] = set()
+        self.done = False
+
+    # -- registration (A9) -------------------------------------------------
+
+    def register_callback(
+        self,
+        fn: Callable[..., None],
+        *windows: ArrayWindow,
+        when: str = "AND",
+        exception_handler: Callable[[BaseException], None] | None = None,
+    ) -> None:
+        if when not in ("AND", "OR"):
+            raise ValueError("when must be 'AND' or 'OR'")
+        if not windows:
+            raise ValueError("at least one ArrayWindow is required")
+        self.callbacks.append(_CallbackConfig(fn, windows, when, exception_handler))
+
+    # -- feedback publish (A11) -------------------------------------------
+
+    def set(self, key: str, value: Any, timestep: int) -> None:
+        if self.feedback is None:
+            raise ValueError("engine constructed without feedback_dir")
+        self.feedback.set(key, value, timestep)
+
+    # -- dispatch (driver-side, mirrors the reference pull loop) ----------
+
+    def _max_window(self, arr: str) -> int:
+        sizes = [w.size for cfg in self.callbacks for w in cfg.windows if w.name == arr]
+        return max(sizes, default=1)
+
+    def _should_call(self, cfg: _CallbackConfig, new_arrays: set[str]) -> bool:
+        """AND/OR gating (reference window_handler.py:432-453): AND = all
+        requested arrays have a new share at this boundary; OR = all seen
+        at least once and any has a new share (stale windows reused)."""
+        names = [w.name for w in cfg.windows]
+        if cfg.when == "AND":
+            return all(n in new_arrays for n in names)
+        all_seen = all(len(self._windows.get(n, ())) > 0 for n in names)
+        return all_seen and any(n in new_arrays for n in names)
+
+    def _dispatch_boundary(self, t: int, new_arrays: set[str]) -> None:
+        for arr in sorted(new_arrays):
+            dq = self._windows.setdefault(arr, deque(maxlen=self._max_window(arr)))
+            dq.append(ArrayFrame(self.spark, self.chunk_dir, arr, t))
+        for cfg in self.callbacks:
+            if not self._should_call(cfg, new_arrays):
+                continue
+            kwargs = {
+                w.name: list(self._windows[w.name])[-w.size :] for w in cfg.windows
+            }
+            cfg.calls += 1
+            try:
+                cfg.fn(**kwargs)
+            except (TimeoutError, AssertionError):
+                raise  # escalate so broken analytics fail the run (A10)
+            except Exception as exc:  # noqa: BLE001
+                if cfg.exception_handler is None:
+                    raise
+                cfg.exception_handler(exc)
+
+    def _process_events(self, batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            events = batch_df.toPandas()
+            if not len(events):
+                return
+            events = events.sort_values(["t", "arr"])
+            for t in sorted(events["t"].unique()):
+                at_t = events[events["t"] == t]
+                ready = at_t[at_t["event"] == "ready"]
+                if len(ready):
+                    self._dispatch_boundary(int(t), set(ready["arr"]))
+                if (at_t["event"] == "sentinel").any():
+                    self.done = True
+        except BaseException as exc:
+            # foreachBatch wraps driver-side exceptions in a
+            # StreamingQueryException; keep the original so run() can
+            # re-raise it unwrapped (exception policy A10).
+            self._dispatch_exc = exc
+            raise
+
+    # -- run (A1 source + control plane + dispatch) -----------------------
+
+    def events_stream(self, max_files_per_trigger: int | None = 1) -> DataFrame:
+        """The control-plane event stream (exposed for testing/explain)."""
+        from deisa_ray_spark.shipping import ensure_shipped
+
+        ensure_shipped(self.spark)
+        reader = self.spark.readStream.schema(CHUNK_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        chunks = reader.parquet(self.chunk_dir)
+        meta = chunks.drop("data").withColumn("k", F.lit(0))
+        return meta.groupBy("k").applyInPandasWithState(
+            _control_plane,
+            outputStructType=_EVENT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+
+    def run(
+        self,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = 1,
+        timeout_sec: float = 300.0,
+    ) -> None:
+        """Consume the drop directory until the sentinel arrives (one
+        AvailableNow pass at a time, so a simulation that is still ahead
+        of analytics keeps being polled — either side may start first,
+        A18). Raises OrderingError/ContractError exactly where the
+        reference fails the run."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_sec
+        while not self.done:
+            events = self.events_stream(max_files_per_trigger)
+            q = (
+                events.writeStream.outputMode("append")
+                .option("checkpointLocation", checkpoint_dir)
+                .foreachBatch(self._process_events)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            except Exception as exc:  # translate worker-side failures
+                pending = getattr(self, "_dispatch_exc", None)
+                self._dispatch_exc = None
+                msg = str(pending) if pending is not None else str(exc)
+                if _ORDERING_MARKER in msg:
+                    raise OrderingError(msg) from None
+                if _CONTRACT_MARKER in msg:
+                    raise ContractError(msg) from None
+                if pending is not None:
+                    raise pending from None
+                raise
+            if _time.monotonic() > deadline:
+                raise TimeoutError(f"sentinel not seen within {timeout_sec}s")
+            if not self.done:
+                _time.sleep(0.2)

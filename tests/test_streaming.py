@@ -1,0 +1,257 @@
+"""Behavioral tests for the streaming in-situ layer, mirroring the
+reference's e2e strategy (SURVEY §5): closed-form golden values
+(rank r sends ``t * (r+1) * ones(chunk)``), the test_when AND/OR count
+matrix (OR=4/AND=0 on alternating shares), ordering-violation abort,
+start-at-any-timestep, and feedback queue semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deisa_ray_spark.errors import ContractError, OrderingError
+from deisa_ray_spark.streaming import ArrayWindow, FeedbackStore, InSituEngine, SparkBridge
+from deisa_ray_spark.streaming.bridge import metadata_for_grid
+
+GLOBAL = (4, 4)
+CHUNK = (2, 2)
+GRID = (2, 2)  # 4 bridges, bridge r owns pos (r//2, r%2)
+
+
+def _send_timestep(bridges, arrays, t):
+    """All 4 bridges send t*(r+1)*ones — assembled sum = 4t*(1+2+3+4)=40t."""
+    for r, b in enumerate(bridges):
+        for arr in arrays:
+            b.send(arr, t * (r + 1) * np.ones(CHUNK, dtype=np.int64), t)
+
+
+def _make_bridges(tmp_path, arrays=("temperature", "pressure")):
+    chunk_dir = str(tmp_path / "chunks")
+    bridges = []
+    for r in range(4):
+        pos = (r // 2, r % 2)
+        md = metadata_for_grid(arrays, GLOBAL, CHUNK, pos)
+        bridges.append(SparkBridge(r, md, chunk_dir, feedback_dir=str(tmp_path / "fb")))
+    return chunk_dir, bridges
+
+
+def _run(engine, tmp_path, **kw):
+    kw.setdefault("max_files_per_trigger", None)  # one batch per pass: fast
+    engine.run(checkpoint_dir=str(tmp_path / "ckpt"), **kw)
+
+
+def test_full_workflow_golden_values(spark, tmp_path):
+    """Assembled sums match the closed form (reference
+    tests/test_full_workflow.py:24-27: exact golden values)."""
+    chunk_dir, bridges = _make_bridges(tmp_path)
+    for t in range(5):
+        _send_timestep(bridges, ("temperature", "pressure"), t)
+    bridges[0].close(4)
+
+    sums: dict[int, float] = {}
+    windows_seen: list[int] = []
+
+    def cb(temperature, pressure):
+        af = temperature[-1]
+        a = af.to_numpy()
+        assert a.shape == GLOBAL
+        sums[af.t] = float(a.sum())
+        windows_seen.append(len(temperature))
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(cb, ArrayWindow("temperature"), ArrayWindow("pressure"), when="AND")
+    _run(engine, tmp_path)
+
+    assert sums == {t: 40.0 * t for t in range(5)}
+    assert windows_seen == [1] * 5  # size-1 windows
+    assert engine.callbacks[0].calls == 5
+
+
+def test_when_and_or_count_matrix(spark, tmp_path):
+    """Alternating shares: AND fires 0 times, OR fires 4 times
+    (reference tests/test_when.py:118-191)."""
+    chunk_dir, bridges = _make_bridges(tmp_path)
+    for t in range(5):
+        arr = "temperature" if t % 2 == 0 else "pressure"
+        _send_timestep(bridges, (arr,), t)
+    bridges[0].close(4)
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(
+        lambda **kw: None, ArrayWindow("temperature"), ArrayWindow("pressure"), when="AND"
+    )
+    or_ts: list[tuple[int, int]] = []
+
+    def or_cb(temperature, pressure):
+        or_ts.append((temperature[-1].t, pressure[-1].t))
+
+    engine.register_callback(
+        or_cb, ArrayWindow("temperature"), ArrayWindow("pressure"), when="OR"
+    )
+    _run(engine, tmp_path)
+
+    assert engine.callbacks[0].calls == 0  # AND: never co-shared
+    assert engine.callbacks[1].calls == 4  # OR: every boundary after all-seen
+    # OR reuses the stale window for the array without a new share:
+    assert or_ts == [(0, 1), (2, 1), (2, 3), (4, 3)]
+
+
+def test_sliding_window_temporal_diff(spark, tmp_path):
+    """Size-2 window delivers oldest→newest; diff of sums == 40
+    (reference tests/test_sliding_window.py:29-34)."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    for t in range(5):
+        _send_timestep(bridges, ("temperature",), t)
+    bridges[0].close(4)
+
+    diffs = []
+
+    def cb(temperature):
+        if len(temperature) == 2:
+            older, newer = temperature
+            assert newer.t == older.t + 1
+            diffs.append(float(newer.to_numpy().sum() - older.to_numpy().sum()))
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(cb, ArrayWindow("temperature", size=2))
+    _run(engine, tmp_path)
+    assert diffs == [40.0] * 4
+
+
+def test_start_any_timestep(spark, tmp_path):
+    """First share may be any t (reference tests/test_start_any_timestep.py)."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    for t in (3, 4, 5):
+        _send_timestep(bridges, ("temperature",), t)
+    bridges[0].close(5)
+
+    ts = []
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(lambda temperature: ts.append(temperature[-1].t),
+                             ArrayWindow("temperature"))
+    _run(engine, tmp_path)
+    assert ts == [3, 4, 5]
+
+
+def test_ordering_violation_fails_run(spark, tmp_path):
+    """An older timestep completing after a newer one aborts the run —
+    late data is rejected, not dropped (reference
+    tests/test_sequential_consistency.py:49-52,85-86)."""
+    chunk_dir, _ = _make_bridges(tmp_path, arrays=("temperature",))
+    # Single-chunk grid so each send is a complete assembly.
+    md5 = metadata_for_grid(("temperature",), (2, 2), (2, 2), (0, 0))
+    b = SparkBridge(0, md5, chunk_dir)
+    b.send("temperature", np.ones((2, 2)), 5)
+    # A second producer violates global ordering with t=3 after t=5.
+    b2 = SparkBridge(1, md5, chunk_dir)
+    b2.send("temperature", np.ones((2, 2)), 3)
+    b.close(5)
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(lambda temperature: None, ArrayWindow("temperature"))
+    with pytest.raises(OrderingError):
+        # both sends in ONE micro-batch would legally sort by t; force
+        # per-file batches so arrival order is send order.
+        engine.run(checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+
+def test_bridge_contract_errors(tmp_path):
+    md = metadata_for_grid(("temperature",), GLOBAL, CHUNK, (0, 0))
+    b = SparkBridge(0, md, str(tmp_path / "chunks"))
+    with pytest.raises(ContractError):
+        b.send("undeclared", np.ones(CHUNK), 0)
+    with pytest.raises(ContractError):
+        b.send("temperature", np.ones((3, 3)), 0)  # wrong chunk shape
+    b.send("temperature", np.ones(CHUNK), 1)
+    with pytest.raises(ContractError):
+        b.send("temperature", np.ones(CHUNK), 0)  # out-of-order same bridge
+    with pytest.raises(ContractError):
+        SparkBridge(0, {"a": {"global_shape": (4,), "chunk_shape": (3,),
+                              "chunk_position": (0,)}}, str(tmp_path / "c2"))
+
+
+def test_callback_exception_policy(spark, tmp_path):
+    """User exceptions go to the handler; AssertionError escalates
+    (reference tests/test_error_handler.py:87-124)."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    _send_timestep(bridges, ("temperature",), 0)
+    bridges[0].close(0)
+
+    caught = []
+
+    def bad(temperature):
+        raise ValueError("user bug")
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(bad, ArrayWindow("temperature"),
+                             exception_handler=caught.append)
+    _run(engine, tmp_path)
+    assert len(caught) == 1 and isinstance(caught[0], ValueError)
+
+    # AssertionError must escalate (the guard against silently broken tests)
+    chunk_dir2 = str(tmp_path / "chunks2")
+    md = metadata_for_grid(("temperature",), GLOBAL, CHUNK, (0, 0))
+    bridges2 = [SparkBridge(r, metadata_for_grid(("temperature",), GLOBAL, CHUNK,
+                                                 (r // 2, r % 2)), chunk_dir2)
+                for r in range(4)]
+    _send_timestep(bridges2, ("temperature",), 0)
+    bridges2[0].close(0)
+
+    def asserting(temperature):
+        assert False, "must escalate"
+
+    engine2 = InSituEngine(spark, chunk_dir2)
+    engine2.register_callback(asserting, ArrayWindow("temperature"),
+                              exception_handler=caught.append)
+    with pytest.raises(AssertionError):
+        engine2.run(checkpoint_dir=str(tmp_path / "ckpt2"),
+                    max_files_per_trigger=None)
+
+
+def test_feedback_queue_semantics(spark, tmp_path):
+    """Strict increase, eviction, hit/miss matrix, full-queue read
+    (reference tests/test_feedback_loop.py:104-252)."""
+    fb_dir = str(tmp_path / "fb")
+    store = FeedbackStore(fb_dir, queue_size=3)
+    for t in (1, 3, 5, 7):
+        store.set("alpha", {"v": t * 10}, t)
+    with pytest.raises(ValueError):
+        store.set("alpha", {"v": 0}, 7)  # not strictly increasing
+    with pytest.raises(ValueError):
+        store.set("alpha", {"v": 0}, 2)
+    store.set("beta", 42, 0)
+
+    # eviction: queue_size=3 keeps t=3,5,7
+    assert store.get("alpha") == [(3, {"v": 30}), (5, {"v": 50}), (7, {"v": 70})]
+    assert store.get("alpha", 5) == {"v": 50}
+    assert store.get("alpha", 1, default="gone") == "gone"  # evicted
+    assert store.get("alpha", 2, default=-1) == -1  # never set
+    assert store.get("missing", default="dflt") == "dflt"
+
+    # bridge-side read (rank-0 lookup path)
+    md = metadata_for_grid(("temperature",), GLOBAL, CHUNK, (0, 0))
+    b = SparkBridge(0, md, str(tmp_path / "chunks"), feedback_dir=fb_dir)
+    assert b.get("beta", 0) == 42
+    assert b.get("beta", 9, default=None) is None
+
+
+def test_feedback_loop_end_to_end(spark, tmp_path):
+    """Analytics publishes per-timestep feedback; simulation reads it
+    after close (reference tests/test_feedback_loop.py:202-218)."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    for t in range(3):
+        _send_timestep(bridges, ("temperature",), t)
+    bridges[0].close(2)
+
+    fb_dir = str(tmp_path / "fb")
+    engine = InSituEngine(spark, chunk_dir, feedback_dir=fb_dir)
+
+    def cb(temperature):
+        af = temperature[-1]
+        engine.set("sum", float(af.to_numpy().sum()), af.t)
+
+    engine.register_callback(cb, ArrayWindow("temperature"))
+    _run(engine, tmp_path)
+
+    assert bridges[0].get("sum", 2) == 80.0
+    assert bridges[0].get("sum") == [(0, 0.0), (1, 40.0), (2, 80.0)]
