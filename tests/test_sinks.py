@@ -1,0 +1,74 @@
+"""Sink tests: parquet round-trip (real), VDS link plan (pure), format
+writers gated on their optional libraries (reference
+tests/test_saving_dask_arrays.py round-trip strategy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deisa_ray_spark import sinks
+from deisa_ray_spark.model import explode_chunks
+from deisa_ray_spark.sources.chunks import make_chunk_df
+
+
+def test_parquet_chunk_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "chunks_pq")
+    chunks = make_chunk_df(spark, timesteps=(0, 1, 2))
+    sinks.write_chunks_parquet(chunks, path)
+    back = spark.read.parquet(path)
+    assert back.count() == chunks.count()
+    # partition pruning: one (arr, t) reads only its directory
+    one = back.filter((back.arr == "temperature") & (back.t == 1))
+    assert one.count() == 4
+    # partition pruning visible in the physical plan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "t=1" in plan
+    # decoded cells equal the original decode
+    orig = explode_chunks(chunks.filter((chunks.arr == "temperature") & (chunks.t == 1)))
+    got = explode_chunks(one.select(*[f.name for f in chunks.schema.fields]))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_vds_plan_pure():
+    entries = sinks.plan_vds((4, 6), (2, 3), [(0, 0), (0, 1), (1, 0), (1, 1)], "out.h5")
+    assert [e.offsets for e in entries] == [(0, 0), (0, 3), (2, 0), (2, 3)]
+    assert all(e.chunk_shape == (2, 3) for e in entries)
+    assert entries[1].chunk_file == ".out.h5.chunk-0-1.h5"
+    # hyperslabs tile the global shape exactly
+    cover = np.zeros((4, 6), dtype=int)
+    for e in entries:
+        sl = tuple(slice(o, o + c) for o, c in zip(e.offsets, e.chunk_shape))
+        cover[sl] += 1
+    assert (cover == 1).all()
+
+
+def test_hdf5_roundtrip_or_gated(spark, tmp_path):
+    chunks = make_chunk_df(spark, timesteps=(3,)).filter("arr = 'temperature'")
+    fname = str(tmp_path / "vds.h5")
+    try:
+        import h5py  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="h5py"):
+            sinks.to_hdf5(chunks, fname, "data")
+        return
+    sinks.to_hdf5(chunks, fname, "data")  # pragma: no cover (env w/ h5py)
+    import h5py
+
+    with h5py.File(fname) as f:
+        a = f["data"][()]
+    expected = np.array([[3, 3, 6, 6], [3, 3, 6, 6], [9, 9, 12, 12], [9, 9, 12, 12]])
+    np.testing.assert_array_equal(a, expected)
+
+
+def test_zarr_netcdf_gated(spark, tmp_path):
+    chunks = make_chunk_df(spark, timesteps=(1,)).filter("arr = 'temperature'")
+    for fn, kwargs, lib in (
+        (sinks.to_zarr, {"url": str(tmp_path / "z.zarr")}, "zarr"),
+        (sinks.to_netcdf, {"fname": str(tmp_path / "a.nc"), "name": "temp"}, "xarray"),
+    ):
+        try:
+            __import__(lib)
+        except ImportError:
+            with pytest.raises(ImportError, match=lib):
+                fn(chunks, **kwargs)
