@@ -79,6 +79,15 @@ def chunk_rows_pdf(
     return pd.DataFrame(rows)
 
 
-def make_chunk_df(spark: SparkSession, **kwargs) -> DataFrame:
-    """Chunk table as a Spark DataFrame with ``CHUNK_SCHEMA``."""
-    return spark.createDataFrame(chunk_rows_pdf(**kwargs), schema=CHUNK_SCHEMA)
+def make_chunk_df(spark: SparkSession, n_partitions: int = 2, **kwargs) -> DataFrame:
+    """Chunk table as a Spark DataFrame with ``CHUNK_SCHEMA``.
+
+    Partition count is sized to the fixture (80 chunk rows), not the
+    cluster default: downstream ``mapInPandas`` decode spawns one Python
+    worker per partition, so letting this default to
+    ``spark.default.parallelism`` (32 here) pays ~30 s of worker spin-up
+    to decode rows that fit in one Arrow batch. At scale the same rule
+    holds in reverse — partitions should track chunk-table size.
+    """
+    pdf = chunk_rows_pdf(**kwargs)
+    return spark.createDataFrame(pdf, schema=CHUNK_SCHEMA).coalesce(n_partitions)
