@@ -168,3 +168,47 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "cell", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# emb_scalar_quantize — int8 scalar quantization of embeddings (the
+# storage-compression pass before ANN indexing at scale). Quantizer:
+# scale = 127 / max|v|; q_i = floor(v_i * scale + 0.5) — floor(x+0.5) is
+# used instead of round() on BOTH sides because numpy/Python round
+# half-to-even while SQL rounds half-away (a real 1-ulp trap).
+# Output: per-vector scale + position-weighted checksum of the codes,
+# verifying every code at every position. Narrow per-row op, no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "emb_scalar_quantize",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS amax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(127.0 / amax, 6) AS scale,
+           CAST(list_sum(list_transform(range(1, len(e) + 1),
+                i -> floor(e[i] * (127.0 / amax) + 0.5) * i)) AS BIGINT)
+             AS code_checksum
+    FROM prep
+    """,
+)
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    amax = F.array_max(F.transform(F.col("e"), lambda v: F.abs(v)))
+    scale = F.lit(127.0) / amax
+    codes = F.zip_with(
+        F.col("e"),
+        F.sequence(F.lit(1), F.size("e")),
+        lambda v, i: F.floor(v * scale + F.lit(0.5)) * i,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(codes, F.lit(0.0), lambda acc, v: acc + v)
+        .cast("bigint")
+        .alias("code_checksum"),
+    )

@@ -246,3 +246,137 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("exact_fp"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))).alias("vocab_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_ngram_topk — corpus-wide top-20 word bigrams: the n-gram frequency
+# pass every corpus-analysis pipeline starts with. One explode + one
+# partial-agg shuffle; top-k via deterministic ORDER BY ... LIMIT.
+# --------------------------------------------------------------------------
+@query(
+    "txt_ngram_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+               AS bigram
+      FROM toks
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def txt_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_tfidf — TF-IDF over the corpus, emitted for doc_id < 20 (bounded
+# output; DF computed over the FULL corpus). tf = term count / doc len,
+# idf = ln(N / df). Two partial-agg shuffles + one broadcast-able join of
+# the term-df table.
+# --------------------------------------------------------------------------
+@query(
+    "txt_tfidf",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tc) AS doc_len FROM tf GROUP BY doc_id),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tc,
+           CAST(df.df AS BIGINT) AS df,
+           round((tf.tc * 1.0 / dl.doc_len) * ln(n.n_docs * 1.0 / df.df), 6)
+             AS tfidf
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 20
+    """,
+)
+def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; at scale a broadcast count, not a collect of rows
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "term",
+            "tc",
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                (F.col("tc") / F.col("doc_len")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_source_stats — per-source corpus statistics incl. language-mix
+# entropy: -Σ p·ln(p) over the lang distribution of each source. The
+# shape of every corpus-composition report; two partial-agg shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "txt_source_stats",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, sum(n) AS n_docs, sum(chars) AS n_chars_total
+      FROM per GROUP BY source
+    )
+    SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_chars_total AS BIGINT) AS n_chars_total,
+           round(-sum((p.n * 1.0 / t.n_docs) * ln(p.n * 1.0 / t.n_docs)), 6)
+             AS lang_entropy,
+           count(*) AS n_langs
+    FROM tot t JOIN per p USING (source)
+    GROUP BY t.source, t.n_docs, t.n_chars_total
+    """,
+)
+def txt_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("n").alias("n_docs"), F.sum("chars").alias("n_chars_total")
+    )
+    p = F.col("n") / F.col("n_docs")
+    return (
+        per.join(tot, "source")
+        .groupBy("source", "n_docs", "n_chars_total")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chars_total").cast("bigint").alias("n_chars_total"),
+            "lang_entropy",
+            "n_langs",
+        )
+    )

@@ -304,3 +304,68 @@ def grid_matmul_tn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t", "i", "j")
         .agg(F.round(F.sum(F.col("va") * F.col("vb")), 2).alias("mm"))
     )
+
+
+# --------------------------------------------------------------------------
+# A8 — AND/OR callback-gating counts as a declared batch query: the
+# trigger-count matrix of the reference's test_when.py (alternating
+# shares: AND fires 0 times, OR fires 4 times) computed relationally.
+# Streaming twin: the dispatcher gate in streaming/engine.py
+# (_should_call); behavioral contract in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@query(
+    "grid_gating_counts",
+    oracle="""
+    WITH shares(arr, t) AS (
+      VALUES ('temperature', 0), ('pressure', 1), ('temperature', 2),
+             ('pressure', 3), ('temperature', 4)
+    ),
+    per_t AS (
+      SELECT t,
+             max(CASE WHEN arr = 'temperature' THEN 1 ELSE 0 END) AS has_temp,
+             max(CASE WHEN arr = 'pressure' THEN 1 ELSE 0 END) AS has_pres
+      FROM shares GROUP BY t
+    ),
+    gated AS (
+      SELECT t, has_temp, has_pres,
+             max(has_temp) OVER w AS seen_temp,
+             max(has_pres) OVER w AS seen_pres
+      FROM per_t
+      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           has_temp = 1 AND has_pres = 1 AS and_fire,
+           seen_temp = 1 AND seen_pres = 1
+             AND (has_temp = 1 OR has_pres = 1) AS or_fire
+    FROM gated
+    """,
+)
+def grid_gating_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND = all requested arrays share at t; OR = all seen at least once
+    and any shares at t (reference window_handler.py:432-453; count
+    matrix tests/test_when.py:118-191)."""
+    shares = spark.createDataFrame(
+        [("temperature", 0), ("pressure", 1), ("temperature", 2),
+         ("pressure", 3), ("temperature", 4)],
+        "arr string, t bigint",
+    )
+    per_t = shares.groupBy("t").agg(
+        F.max(F.when(F.col("arr") == "temperature", 1).otherwise(0)).alias("has_temp"),
+        F.max(F.when(F.col("arr") == "pressure", 1).otherwise(0)).alias("has_pres"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    gated = per_t.select(
+        "t",
+        "has_temp",
+        "has_pres",
+        F.max("has_temp").over(w).alias("seen_temp"),
+        F.max("has_pres").over(w).alias("seen_pres"),
+    )
+    return gated.select(
+        "t",
+        ((F.col("has_temp") == 1) & (F.col("has_pres") == 1)).alias("and_fire"),
+        (
+            (F.col("seen_temp") == 1) & (F.col("seen_pres") == 1)
+            & ((F.col("has_temp") == 1) | (F.col("has_pres") == 1))
+        ).alias("or_fire"),
+    )

@@ -1,0 +1,111 @@
+"""Event-time windowed streaming: tumbling/sliding/session aggregations
+with watermark late-data handling (the streaming surface the reference
+lacks, SURVEY §2.C). Late rows are DROPPED here by design — the in-situ
+layer's abort policy (A6) is tested separately in test_streaming.py."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deisa_ray_spark.streaming import windows as sw
+
+T0 = datetime(2026, 1, 1, 8, 0, 0)
+
+
+def _write_batch(src_dir: str, seq: int, rows: list[tuple[str, int, str, float]]) -> None:
+    """rows: (hh:mm, user_id, event_type, value)"""
+    os.makedirs(src_dir, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(seq * 100, seq * 100 + len(rows)),
+            "ts": [datetime(2026, 1, 1, int(hm[:2]), int(hm[3:])) for hm, *_ in rows],
+            "user_id": [u for _, u, _, _ in rows],
+            "event_type": [e for _, _, e, _ in rows],
+            "value": [v for _, _, _, v in rows],
+        }
+    )
+    path = os.path.join(src_dir, f"batch-{seq:04d}.parquet")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    # pandas datetimes become TIMESTAMP(NANOS), which Spark's reader
+    # rejects for a `timestamp` schema — write micros.
+    ts_idx = table.schema.get_field_index("ts")
+    table = table.set_column(ts_idx, "ts", table.column("ts").cast(pa.timestamp("us")))
+    pq.write_table(table, path)
+    mtime = time.time() + seq * 0.01
+    os.utime(path, (mtime, mtime))
+
+
+def test_tumbling_counts_with_late_drop(spark, tmp_path):
+    src = str(tmp_path / "events")
+    # batch 0: 08:00-09:59 → after it, watermark = 09:50 - 30m = 09:20
+    _write_batch(src, 0, [("08:10", 1, "click", 1.0), ("08:40", 1, "click", 2.0),
+                          ("09:10", 2, "view", 3.0), ("09:50", 2, "view", 4.0)])
+    # batch 1: advance watermark to 11:00 → the 08:00/09:00 windows are
+    # finalized (emitted + state evicted) at the end of this batch
+    _write_batch(src, 1, [("11:30", 3, "click", 5.0)])
+    # batch 2: a LATE row for the already-finalized 08:00 window → dropped
+    # (a row arriving in the SAME batch that finalizes its window is still
+    # merged — Spark's contract is "watermark = how late data may be")
+    _write_batch(src, 2, [("08:20", 1, "click", 100.0)])
+    # batch 3: flusher past 12:00 so a resurrected 08:00 window WOULD be
+    # re-emitted if the late row had created state — assert it doesn't
+    _write_batch(src, 3, [("13:00", 9, "flush", 0.0)])
+
+    events = sw.stream_events(spark, src, max_files_per_trigger=1)
+    agg = sw.tumbling_counts(events, window="1 hour", watermark="30 minutes")
+    sw.run_to_memory(agg, str(tmp_path / "ckpt"), "tumbling", output_mode="append")
+
+    rows = [r for r in spark.table("tumbling").collect() if r["event_type"] != "flush"]
+    got = {(r["w_start"].hour, r["event_type"]): (r["n"], r["sum_value"]) for r in rows}
+    # the late 08:20/value=100 row was dropped, window emitted exactly once
+    assert got[(8, "click")] == (2, 3.0)
+    assert len(rows) == len(got), "a finalized window was re-emitted"
+    assert got[(9, "view")] == (2, 7.0)
+    assert got[(11, "click")] == (1, 5.0)
+    # the 13:00 flusher window is still open → absent in append mode
+
+
+def test_sliding_windows_overlap(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_batch(src, 0, [("08:10", 1, "click", 2.0), ("08:40", 1, "click", 4.0),
+                          ("12:00", 9, "flush", 0.0)])  # flusher advances watermark
+    events = sw.stream_events(spark, src)
+    agg = sw.sliding_avg(events, window="1 hour", slide="30 minutes", watermark="0 seconds")
+    sw.run_to_memory(agg, str(tmp_path / "ckpt"), "sliding", output_mode="append")
+
+    rows = {r["w_start"].strftime("%H:%M"): (r["avg_value"], r["n"])
+            for r in spark.table("sliding").collect()}
+    # 08:10 lands in [07:30,08:30) and [08:00,09:00); 08:40 in [08:00,09:00)
+    # and [08:30,09:30)
+    assert rows["07:30"] == (2.0, 1)
+    assert rows["08:00"] == (3.0, 2)
+    assert rows["08:30"] == (4.0, 1)
+
+
+def test_session_windows_gap_close(spark, tmp_path):
+    src = str(tmp_path / "events")
+    # user 1: 08:00, 08:10 (same session), 09:30 (> 30 min gap → new one)
+    # user 2: 08:05 alone
+    _write_batch(src, 0, [("08:00", 1, "a", 0.0), ("08:10", 1, "a", 0.0),
+                          ("09:30", 1, "a", 0.0), ("08:05", 2, "a", 0.0),
+                          ("13:00", 9, "flush", 0.0)])
+    events = sw.stream_events(spark, src)
+    agg = sw.session_counts(events, gap="30 minutes", watermark="0 seconds")
+    sw.run_to_memory(agg, str(tmp_path / "ckpt"), "sessions", output_mode="append")
+
+    rows = sorted(
+        (r["user_id"], r["s_start"].strftime("%H:%M"), r["s_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.table("sessions").collect()
+        if r["user_id"] != 9
+    )
+    assert rows == [
+        (1, "08:00", "08:40", 2),  # 08:00+08:10, closes 30 min after last
+        (1, "09:30", "10:00", 1),
+        (2, "08:05", "08:35", 1),
+    ]
