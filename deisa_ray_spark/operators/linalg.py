@@ -229,3 +229,84 @@ def dense_matmul_tn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _per_tensor(_dense_grid(spark), matmul, "t bigint, i int, j int, mm double")
+
+
+# --------------------------------------------------------------------------
+# Scale-path tensor kernels via MLlib distributed matrices: when a single
+# (arr, t) tensor no longer fits one task, RowMatrix/BlockMatrix distribute
+# the kernel itself (SURVEY B11/B18 "Spark primitive" column). These two
+# queries pin the paths on the fixture tensor; same closed-form oracles as
+# the dense versions, proving both paths agree.
+# --------------------------------------------------------------------------
+def rowmatrix_svd_values(cells: DataFrame, k: int) -> list[float]:
+    """Distributed SVD of one long-form matrix via RowMatrix.computeSVD
+    (the MLlib path; rows = x-index, columns = y-index)."""
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    ncols = cells.groupBy().max("y").collect()[0][0] + 1
+    rows = (
+        cells.rdd.map(lambda r: (r["x"], (r["y"], r["value"])))
+        .groupByKey()
+        .sortByKey()
+        .map(lambda kv: Vectors.dense([v for _, v in sorted(kv[1])][:ncols]))
+    )
+    svd = RowMatrix(rows).computeSVD(k, computeU=False)
+    return list(svd.s.toArray())
+
+
+@query(
+    "mllib_svd_singular_values",
+    oracle="""
+    SELECT CAST(k.k AS INT) AS k,
+           round(CASE k.k
+             WHEN 0 THEN 3 * 2 * sqrt(15 + sqrt(221))
+             WHEN 1 THEN 3 * 2 * sqrt(15 - sqrt(221))
+             ELSE 0.0 END, 6) AS sv
+    FROM range(0, 4) k(k)
+    """,
+)
+def mllib_svd_singular_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 scale path: temperature@t=3 singular values via the MLlib
+    RowMatrix (matches the dense np.linalg.svd path and the closed form)."""
+    from deisa_ray_spark.model import explode_chunks
+
+    cells = explode_chunks(make_chunk_df(spark)).filter(
+        "arr = 'temperature' AND t = 3"
+    )
+    sv = rowmatrix_svd_values(cells, k=4)
+    sv = sv + [0.0] * (4 - len(sv))
+    return spark.createDataFrame(
+        [(i, float(round(abs(v), 6))) for i, v in enumerate(sv)], "k int, sv double"
+    )
+
+
+@query(
+    "mllib_blockmatrix_matmul",
+    oracle=GRID_CTE
+    + """
+    SELECT a.t, a.y AS i, b.y AS j, round(sum(a.value * b.value), 2) AS mm
+    FROM (SELECT * FROM grid WHERE arr = 'temperature' AND t = 3) a
+    JOIN (SELECT * FROM grid WHERE arr = 'temperature' AND t = 3) b
+      ON a.t = b.t AND a.x = b.x
+    GROUP BY a.t, a.y, b.y
+    """,
+)
+def mllib_blockmatrix_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 scale path: Aᵀ@A for temperature@t=3 via BlockMatrix.multiply
+    (block-partitioned distributed matmul; same oracle as the
+    join-aggregate and dense paths)."""
+    from pyspark.mllib.linalg.distributed import CoordinateMatrix, MatrixEntry
+
+    from deisa_ray_spark.model import explode_chunks
+
+    cells = explode_chunks(make_chunk_df(spark)).filter(
+        "arr = 'temperature' AND t = 3"
+    )
+    entries = cells.rdd.map(lambda r: MatrixEntry(r["x"], r["y"], r["value"]))
+    a = CoordinateMatrix(entries).toBlockMatrix(rowsPerBlock=2, colsPerBlock=2)
+    prod = a.transpose().multiply(a)  # distributed block multiply
+    out = prod.toCoordinateMatrix().entries.map(
+        lambda e: (3, int(e.i), int(e.j), float(round(e.value, 2)))
+    )
+    return spark.createDataFrame(out, "t bigint, i int, j int, mm double")

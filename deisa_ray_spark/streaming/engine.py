@@ -206,7 +206,14 @@ class InSituEngine:
         chunk_dir: str,
         feedback_dir: str | None = None,
         feedback_queue_size: int = DEFAULT_QUEUE_SIZE,
+        max_simulation_ahead: int = 1,
     ) -> None:
+        #: A15 parity: accepted and stored but NOT enforced — faithful to
+        #: the reference, where the documented semaphore does not exist
+        #: (head_node.py:33-37,87: attribute stored, arrays_ready queue
+        #: unbounded). Flow control lives in the source instead
+        #: (maxFilesPerTrigger, A13).
+        self.max_simulation_ahead = max_simulation_ahead
         self.spark = spark
         self.chunk_dir = chunk_dir
         self.callbacks: list[_CallbackConfig] = []
