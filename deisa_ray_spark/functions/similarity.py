@@ -212,3 +212,43 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("code_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# sim_kmeans_ivf_topk — real IVF: MLlib k-means learns the coarse
+# quantizer (k=8 cells, fixed seed), queries search only their nearest
+# cell. Declared WITHOUT a SQL oracle (iterative algorithm — the driver
+# records a rows-only check); recall vs the exact brute-force baseline is
+# pinned in tests/test_similarity_recall.py instead.
+# Scale: the fitted centroids are a broadcast table; assignment is a
+# narrow pass; per-query search scans |corpus|/k rows.
+# --------------------------------------------------------------------------
+@query("sim_kmeans_ivf_topk", oracle=None)
+def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir)
+    vecs = emb.withColumn("features", array_to_vector("e"))
+    km = KMeans(k=8, seed=42, maxIter=20).fit(vecs)
+    assigned = km.transform(vecs).select("vec_id", "e", F.col("prediction").alias("cell"))
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("cell").alias("qcell")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned, (assigned.cell == q.qcell) & (assigned.vec_id != q.qid))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cell", "cosine", "rank")
+    )

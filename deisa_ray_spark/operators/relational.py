@@ -399,3 +399,88 @@ def q12_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q13 — AS-OF JOIN: for each click, the latest view at-or-before it by
+# the same user. Spark lacks a native as-of join; implemented as the
+# union + tagged-sort + carry-forward-last composition (one shuffle on
+# user_id, one in-partition sort — the standard scale shape; no range
+# explosion, no per-row subquery). Oracle: DuckDB's native ASOF JOIN.
+# Tag sorts views (0) before clicks (1) at equal ts => inclusive >=.
+# --------------------------------------------------------------------------
+@query(
+    "q13_asof_join_click_view",
+    oracle="""
+    SELECT c.event_id,
+           epoch_us(c.ts) AS click_ts,
+           c.user_id,
+           v.event_id AS view_event_id,
+           epoch_us(v.ts) AS view_ts,
+           v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q13_asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_s"),
+        "user_id",
+        "value",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "tag", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    view_col = lambda c: F.when(F.col("tag") == 0, F.col(c))
+    carried = tagged.select(
+        "event_id",
+        "ts_s",
+        "user_id",
+        "tag",
+        F.last(view_col("event_id"), ignorenulls=True).over(w).alias("view_event_id"),
+        F.last(view_col("ts_s"), ignorenulls=True).over(w).alias("view_ts"),
+        F.last(view_col("value"), ignorenulls=True).over(w).alias("view_value"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        F.col("ts_s").alias("click_ts"),
+        "user_id",
+        "view_event_id",
+        "view_ts",
+        "view_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — salted two-stage aggregation: the skew-mitigation pattern for
+# hot keys (groupBy (key, salt) partial → groupBy key final). The event
+# types here are uniform, but the plan is the one that survives a 1000×
+# skewed key: stage 1 spreads each hot key over 16 reducers, stage 2
+# combines 16 tiny rows per key. Oracle: the plain single-stage agg —
+# salting must be semantically invisible.
+# --------------------------------------------------------------------------
+@query(
+    "q14_salted_agg_events",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q14_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum("value").alias("sum_p"),
+        F.max("value").alias("max_p"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_p").alias("n"),
+        F.round(F.sum("sum_p"), 2).alias("sum_value"),
+        F.round(F.max("max_p"), 6).alias("max_value"),
+    )

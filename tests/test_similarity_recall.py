@@ -1,0 +1,31 @@
+"""IVF recall vs the exact brute-force baseline — the standard ANN
+quality measure (the declared kmeans query has no SQL oracle, so quality
+is pinned here)."""
+
+from __future__ import annotations
+
+from deisa_ray_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+QUERIES = load_all()
+
+
+def _topk_sets(df, key="qid", val="neighbor_id"):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r[key], set()).add(r[val])
+    return out
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
+    approx = _topk_sets(QUERIES["sim_kmeans_ivf_topk"].fn(spark, SF_DIR))
+    assert set(approx) == set(exact)  # every query answered
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # embeddings are near-uniform (max cosine ~0.47) — the hardest case
+    # for IVF; searching 1 of 8 cells must still beat random (10/499)
+    assert mean_recall >= 0.1, f"mean recall {mean_recall:.3f}"
+    # and the scan was actually restricted to one cell
+    one = QUERIES["sim_kmeans_ivf_topk"].fn(spark, SF_DIR).select("cell").distinct()
+    assert one.count() <= 5  # <= one cell per query
