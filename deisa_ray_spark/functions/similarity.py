@@ -197,20 +197,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexplode + two-level aggregate: amax and the code-sum are both
+    # partial-agg friendly. (The pure array-expression form — aggregate
+    # over zip_with with `scale` referencing array_max(e) — is collapsed
+    # by Catalyst into ONE projection, so array_max re-evaluates per
+    # element: O(d²) per row, measured 71 s vs ~2 s on 5000×64 vectors.)
     emb = _emb(spark, sf_dir)
-    amax = F.array_max(F.transform(F.col("e"), lambda v: F.abs(v)))
-    scale = F.lit(127.0) / amax
-    codes = F.zip_with(
-        F.col("e"),
-        F.sequence(F.lit(1), F.size("e")),
-        lambda v, i: F.floor(v * scale + F.lit(0.5)) * i,
-    )
-    return emb.select(
-        "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.aggregate(codes, F.lit(0.0), lambda acc, v: acc + v)
-        .cast("bigint")
-        .alias("code_checksum"),
+    dims = emb.select("vec_id", F.posexplode("e").alias("dim", "v"))
+    amax = dims.groupBy("vec_id").agg(F.max(F.abs("v")).alias("amax"))
+    scale = F.lit(127.0) / F.col("amax")
+    return (
+        dims.join(amax, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.first(scale), 6).alias("scale"),
+            F.sum(F.floor(F.col("v") * scale + F.lit(0.5)) * (F.col("dim") + 1))
+            .cast("bigint")
+            .alias("code_checksum"),
+        )
     )
 
 

@@ -369,3 +369,31 @@ def grid_gating_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("has_temp") == 1) | (F.col("has_pres") == 1))
         ).alias("or_fire"),
     )
+
+
+# --------------------------------------------------------------------------
+# A1 (second source format) — the same ingest checksum through the
+# JSON-lines source: proves base64 payloads decode identically to parquet
+# binary (sources/chunks_json.py). Same oracle as grid_ingest_checksum.
+# --------------------------------------------------------------------------
+@query(
+    "grid_ingest_json_checksum",
+    oracle=GRID_CTE
+    + """
+    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
+           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
+    FROM grid GROUP BY arr
+    """,
+)
+def grid_ingest_json_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from deisa_ray_spark.sources.chunks_json import read_chunks_jsonl, write_chunks_jsonl
+
+    path = write_chunks_jsonl(tempfile.mkdtemp(prefix="jsonl_") + "/chunks.jsonl")
+    g = explode_chunks(read_chunks_jsonl(spark, path).coalesce(2))
+    return g.groupBy("arr").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
+    )
