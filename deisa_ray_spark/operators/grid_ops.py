@@ -397,3 +397,35 @@ def grid_ingest_json_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# A19-family (parquet, the first-class sink) — write → read round-trip:
+# the chunk table goes through the partitioned sink and back, and the
+# decoded cells still match the closed form. Partition pruning on the
+# read side is asserted in tests/test_sinks.py.
+# --------------------------------------------------------------------------
+@query(
+    "sink_roundtrip_checksum",
+    oracle=GRID_CTE
+    + """
+    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
+           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
+    FROM grid GROUP BY arr
+    """,
+)
+def sink_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from deisa_ray_spark.model import CHUNK_SCHEMA
+    from deisa_ray_spark.sinks import write_chunks_parquet
+
+    path = tempfile.mkdtemp(prefix="sink_rt_") + "/chunks"
+    write_chunks_parquet(make_chunk_df(spark), path)
+    back = spark.read.schema(CHUNK_SCHEMA).parquet(path).coalesce(2)
+    g = explode_chunks(back)
+    return g.groupBy("arr").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
+    )

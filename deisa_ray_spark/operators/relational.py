@@ -484,3 +484,54 @@ def q14_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("sum_p"), 2).alias("sum_value"),
         F.round(F.max("max_p"), 6).alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q15 — array & map scalar functions (SURVEY §2.C "Scalar functions":
+# absent in the reference beyond math): collect per-user event-type
+# arrays, sort/dedupe/filter/transform them, build a type→count map and
+# read it back. All codegen'd collection expressions.
+# --------------------------------------------------------------------------
+@query(
+    "q15_array_map_functions",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    agg AS (
+      SELECT user_id,
+             list_sort(list(DISTINCT event_type)) AS types,
+             map_from_entries(list(struct_pack(k := event_type, v := n)
+                              ORDER BY event_type)) AS counts
+      FROM per GROUP BY user_id
+    )
+    SELECT user_id,
+           len(types) AS n_types,
+           array_to_string(types, ',') AS types_csv,
+           len(list_filter(types, t -> t LIKE '%r%')) AS n_with_r,
+           array_to_string(list_transform(types, t -> upper(t)), ',') AS types_upper_csv,
+           coalesce(map_extract(counts, 'click')[1], 0) AS n_clicks,
+           coalesce(map_extract(counts, 'error')[1], 0) AS n_errors
+    FROM agg
+    WHERE user_id % 10 = 0
+    """,
+)
+def q15_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    agg = per.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v"))))
+        ).alias("counts"),
+    )
+    return agg.filter(F.col("user_id") % 10 == 0).select(
+        "user_id",
+        F.size("types").alias("n_types"),
+        F.array_join("types", ",").alias("types_csv"),
+        F.size(F.filter("types", lambda t: t.contains("r"))).alias("n_with_r"),
+        F.array_join(F.transform("types", lambda t: F.upper(t)), ",").alias("types_upper_csv"),
+        F.coalesce(F.col("counts").getItem("click"), F.lit(0)).cast("bigint").alias("n_clicks"),
+        F.coalesce(F.col("counts").getItem("error"), F.lit(0)).cast("bigint").alias("n_errors"),
+    )

@@ -322,6 +322,36 @@ class InSituEngine:
             timeoutConf="NoTimeout",
         )
 
+    def drain_available(
+        self, checkpoint_dir: str, max_files_per_trigger: int | None = 1
+    ) -> None:
+        """One AvailableNow pass over the drop directory. The checkpoint
+        carries the control-plane state across passes AND process
+        restarts: a new engine on the same checkpoint resumes exactly
+        after the last processed file (no re-delivery — a restart story
+        the reference does not have)."""
+        events = self.events_stream(max_files_per_trigger)
+        q = (
+            events.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self._process_events)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception as exc:  # translate worker-side failures
+            pending = getattr(self, "_dispatch_exc", None)
+            self._dispatch_exc = None
+            msg = str(pending) if pending is not None else str(exc)
+            if _ORDERING_MARKER in msg:
+                raise OrderingError(msg) from None
+            if _CONTRACT_MARKER in msg:
+                raise ContractError(msg) from None
+            if pending is not None:
+                raise pending from None
+            raise
+
     def run(
         self,
         checkpoint_dir: str,
@@ -337,27 +367,7 @@ class InSituEngine:
 
         deadline = _time.monotonic() + timeout_sec
         while not self.done:
-            events = self.events_stream(max_files_per_trigger)
-            q = (
-                events.writeStream.outputMode("append")
-                .option("checkpointLocation", checkpoint_dir)
-                .foreachBatch(self._process_events)
-                .trigger(availableNow=True)
-                .start()
-            )
-            try:
-                q.awaitTermination()
-            except Exception as exc:  # translate worker-side failures
-                pending = getattr(self, "_dispatch_exc", None)
-                self._dispatch_exc = None
-                msg = str(pending) if pending is not None else str(exc)
-                if _ORDERING_MARKER in msg:
-                    raise OrderingError(msg) from None
-                if _CONTRACT_MARKER in msg:
-                    raise ContractError(msg) from None
-                if pending is not None:
-                    raise pending from None
-                raise
+            self.drain_available(checkpoint_dir, max_files_per_trigger)
             if _time.monotonic() > deadline:
                 raise TimeoutError(f"sentinel not seen within {timeout_sec}s")
             if not self.done:

@@ -255,3 +255,34 @@ def test_feedback_loop_end_to_end(spark, tmp_path):
 
     assert bridges[0].get("sum", 2) == 80.0
     assert bridges[0].get("sum") == [(0, 0.0), (1, 40.0), (2, 80.0)]
+
+
+def test_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: a NEW engine on the same checkpoint
+    resumes after the last processed chunk file — no timestep is
+    re-delivered (Spark-checkpoint restart story; the reference has no
+    restart semantics at all)."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    for t in range(3):
+        _send_timestep(bridges, ("temperature",), t)
+
+    seen_first: list[int] = []
+    e1 = InSituEngine(spark, chunk_dir)
+    e1.register_callback(lambda temperature: seen_first.append(temperature[-1].t),
+                         ArrayWindow("temperature"))
+    e1.drain_available(str(tmp_path / "ckpt"), max_files_per_trigger=None)
+    assert seen_first == [0, 1]  # t=2 still open (no later share yet)
+
+    # simulate a crash: brand-new engine instance, same checkpoint
+    for t in (3, 4):
+        _send_timestep(bridges, ("temperature",), t)
+    bridges[0].close(4)
+
+    seen_second: list[int] = []
+    e2 = InSituEngine(spark, chunk_dir)
+    e2.register_callback(lambda temperature: seen_second.append(temperature[-1].t),
+                         ArrayWindow("temperature"))
+    e2.run(checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=None)
+
+    assert seen_second == [2, 3, 4]  # resumes exactly where e1 stopped
+    assert seen_first + seen_second == [0, 1, 2, 3, 4]  # no duplicates
