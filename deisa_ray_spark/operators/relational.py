@@ -535,3 +535,64 @@ def q15_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("counts").getItem("click"), F.lit(0)).cast("bigint").alias("n_clicks"),
         F.coalesce(F.col("counts").getItem("error"), F.lit(0)).cast("bigint").alias("n_errors"),
     )
+
+
+# --------------------------------------------------------------------------
+# q16 — distinct aggregates + exact percentiles (reference has neither,
+# SURVEY §2.C "Aggregations"): per event type, distinct-user count and
+# exact interpolated median/p90. Spark `percentile` and DuckDB
+# `quantile_cont` share the interpolation definition.
+# --------------------------------------------------------------------------
+@query(
+    "q16_distinct_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value,
+           round(avg(DISTINCT value), 6) AS avg_distinct_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q16_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        F.round(F.expr("avg(DISTINCT value)"), 6).alias("avg_distinct_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — range (interval) join: match each order to lineitems shipped
+# within 30 days after the order date. The range predicate rides on an
+# equi-key (orderkey), so Catalyst plans a hash join with the interval
+# as a post-join filter — the scale-safe shape. (A PURE range join with
+# no equi-key would plan BroadcastNestedLoop, O(n·m); the fix there is
+# binning both sides to interval-width buckets so candidates share a
+# bucket key — not needed when an equi-key exists, as here.)
+# --------------------------------------------------------------------------
+@query(
+    "q17_range_join_ship_window",
+    oracle="""
+    SELECT o.o_orderkey, count(*) AS n_items_in_window,
+           round(sum(l.l_extendedprice), 2) AS window_revenue
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def q17_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), 30))
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items_in_window"),
+        F.round(F.sum("l_extendedprice"), 2).alias("window_revenue"),
+    )

@@ -106,3 +106,15 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_events(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact deduplication: drop re-deliveries of the same
+    event within the watermark horizon (``dropDuplicatesWithinWatermark``
+    — state is bounded by the horizon, not stream length). The streaming
+    face of the batch dedup family (functions/dedup.py); at-least-once
+    sources + this = effectively-once ingestion."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -109,3 +109,34 @@ def test_session_windows_gap_close(spark, tmp_path):
         (1, "09:30", "10:00", 1),
         (2, "08:05", "08:35", 1),
     ]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered events (same event_id) inside the watermark horizon
+    are dropped; distinct events all survive."""
+    src = str(tmp_path / "events")
+    _write_batch(src, 0, [("08:00", 1, "a", 1.0), ("08:10", 2, "a", 2.0)])
+    # batch 1 re-delivers event 0 of batch 0 (same event_id=0) and adds
+    # a new one
+    import pandas as pdx
+
+    pdf = pdx.DataFrame(
+        {
+            "event_id": [0, 300],  # 0 == first row of batch 0
+            "ts": [datetime(2026, 1, 1, 8, 0), datetime(2026, 1, 1, 8, 20)],
+            "user_id": [1, 3],
+            "event_type": ["a", "a"],
+            "value": [1.0, 3.0],
+        }
+    )
+    path = os.path.join(src, "batch-0001.parquet")
+    t = pa.Table.from_pandas(pdf, preserve_index=False)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", t.column("ts").cast(pa.timestamp("us")))
+    pq.write_table(t, path)
+    mtime = time.time() + 10
+    os.utime(path, (mtime, mtime))
+
+    deduped = sw.dedup_events(sw.stream_events(spark, src, max_files_per_trigger=1))
+    sw.run_to_memory(deduped, str(tmp_path / "ckpt"), "dedup_t")
+    rows = sorted((r["event_id"], r["value"]) for r in spark.table("dedup_t").collect())
+    assert rows == [(0, 1.0), (1, 2.0), (300, 3.0)]  # the re-delivery is gone
