@@ -596,3 +596,65 @@ def q17_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items_in_window"),
         F.round(F.sum("l_extendedprice"), 2).alias("window_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q18 — pivot (long→wide) with a fixed column set: per-user event-type
+# value sums as columns. Fixed pivot values keep the plan a single
+# partial-agg pass (no extra distinct-values job) — required at scale.
+# Oracle: conditional aggregation (the relational identity of pivot).
+# --------------------------------------------------------------------------
+@query(
+    "q18_pivot_event_values",
+    oracle="""
+    SELECT user_id,
+           round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0), 2) AS click,
+           round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0), 2) AS view,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 2) AS purchase
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    """,
+)
+def q18_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])  # fixed values: one pass
+        .agg(F.sum("value"))
+    )
+    return wide.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("click", "view", "purchase")],
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — CUBE: all grouping-set combinations over two dimensions in one
+# pass (reference has no grouping sets of any kind, SURVEY §2.C).
+# --------------------------------------------------------------------------
+@query(
+    "q19_cube_orders",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(CAST(extract(year FROM o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, extract(year FROM o_orderdate))
+    """,
+)
+def q19_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "yr_num", F.year("o_orderdate")
+    )
+    return (
+        orders.cube("o_orderpriority", "yr_num")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("yr_num").cast("string"), F.lit("ALL")).alias("yr"),
+            "n_orders",
+            "total",
+        )
+    )

@@ -286,3 +286,34 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
 
     assert seen_second == [2, 3, 4]  # resumes exactly where e1 stopped
     assert seen_first + seen_second == [0, 1, 2, 3, 4]  # no duplicates
+
+
+def test_realistic_chunk_sizes(spark, tmp_path):
+    """Engine handles production-shaped chunks: 256x256 float64 per rank
+    (0.5 MiB each, 4 ranks, 8 timesteps = 16 MiB total payload) — the
+    scale band of the reference's own memory-release test (4 MiB chunks,
+    tests/test_memory_release.py:88-92). Checks golden sums and that
+    per-timestep assembly stays exact at this size."""
+    chunk_dir = str(tmp_path / "chunks")
+    G, C = (512, 512), (256, 256)
+    bridges = [
+        SparkBridge(r, metadata_for_grid(("temperature",), G, C, (r // 2, r % 2)), chunk_dir)
+        for r in range(4)
+    ]
+    for t in range(8):
+        for r, b in enumerate(bridges):
+            b.send("temperature", float(t * (r + 1)) * np.ones(C), t)
+    bridges[0].close(7)
+
+    sums = {}
+
+    def cb(temperature):
+        af = temperature[-1]
+        sums[af.t] = float(af.to_numpy().sum())
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(cb, ArrayWindow("temperature"))
+    engine.run(checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=None)
+
+    cells = C[0] * C[1]
+    assert sums == {t: float(t * (1 + 2 + 3 + 4) * cells) for t in range(8)}
