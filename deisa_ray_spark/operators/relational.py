@@ -658,3 +658,66 @@ def q19_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q20 — SQL window-function suite: lead/lag, dense_rank, ntile,
+# cume_dist, running sum — one partition pass for all of them (same
+# window spec → single sort+shuffle).
+# --------------------------------------------------------------------------
+@query(
+    "q20_window_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           dense_rank()       OVER w AS drank,
+           ntile(4)           OVER w AS quartile,
+           round(cume_dist()  OVER w, 6) AS cdist,
+           round(sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q20_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 — statistical aggregates: correlation, covariance, sample
+# variance/stddev between quantity and price per return flag.
+# --------------------------------------------------------------------------
+@query(
+    "q21_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(var_samp(l_quantity), 6) AS qty_var,
+           round(stddev_samp(l_extendedprice), 4) AS price_std
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q21_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+    )
