@@ -276,3 +276,94 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames, schema="media_id bigint, frame_idx int, frame_mean double"
     )
     return raw.withColumn("frame_mean", F.round("frame_mean", 6))
+
+
+# --------------------------------------------------------------------------
+# mm_audio_window_rms — audio modality: opaque PCM payload → framed
+# loudness features (RMS per 64-sample frame), the standard front end of
+# audio filtering/dedup pipelines. Same deterministic fake codec, bytes
+# read as unsigned samples; a real decoder (soundfile/ffmpeg) drops into
+# the same mapInPandas slot.
+#
+# Numeric contract: per-frame sums of integer byte values (and their
+# squares) are EXACT in double, and the frame length 64 divides exactly,
+# so avg/sqrt are bit-identical across engines — the round(…,6) is
+# belt-and-braces, not load-bearing.
+# --------------------------------------------------------------------------
+N_AUDIO = 24
+FRAME_LEN = 64
+
+
+def make_audio_df(spark: SparkSession, n: int = N_AUDIO) -> DataFrame:
+    """Synthetic audio table: 16 kHz mono, n_samples a multiple of the
+    frame length (256..448)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                n_samples = 256 + (m % 4) * FRAME_LEN
+                rows.append(
+                    {
+                        "media_id": m,
+                        "kind": "audio",
+                        "payload": fake_payload(m, n_samples),
+                        "meta": {"width": None, "height": None, "channels": 1,
+                                 "n_frames": n_samples // FRAME_LEN,
+                                 "sample_rate": 16000},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=2).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+@query(
+    "mm_audio_window_rms",
+    oracle=f"""
+    WITH audio AS (
+      SELECT CAST(r.range AS BIGINT) AS media_id,
+             CAST(256 + (r.range % 4) * {FRAME_LEN} AS INT) AS n_samples
+      FROM range(0, {N_AUDIO}) r
+    )
+    SELECT a.media_id, i.i // {FRAME_LEN} AS frame_id,
+           round(sqrt(avg(CAST(({_SQL_BYTE.replace('m.', 'a.')}) AS DOUBLE)
+                          * (({_SQL_BYTE.replace('m.', 'a.')})))) / 125.0, 6) AS rms,
+           round(avg(({_SQL_BYTE.replace('m.', 'a.')})) / 125.0, 6) AS mean_amp
+    FROM audio a JOIN range(0, 512) i(i) ON i.i < a.n_samples
+    GROUP BY a.media_id, i.i // {FRAME_LEN}
+    """,
+)
+def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio features: mapInPandas decode (np.frombuffer →
+    reshape n_frames×64) → per-frame RMS/mean. The per-frame explode
+    happens INSIDE the Arrow batch — the shuffle-facing output is
+    features, never samples."""
+    audio = make_audio_df(spark)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = np.frombuffer(r.payload, dtype=np.uint8).astype(np.float64)
+                frames = s.reshape(-1, FRAME_LEN)
+                rms = np.sqrt((frames * frames).mean(axis=1)) / 125.0
+                mean_amp = frames.mean(axis=1) / 125.0
+                for k in range(frames.shape[0]):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_id": k,
+                            "rms": float(rms[k]),
+                            "mean_amp": float(mean_amp[k]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    raw = audio.mapInPandas(
+        feats, schema="media_id bigint, frame_id bigint, rms double, mean_amp double"
+    )
+    return raw.withColumn("rms", F.round("rms", 6)).withColumn(
+        "mean_amp", F.round("mean_amp", 6)
+    )

@@ -256,3 +256,93 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cell", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# sim_rp_lsh_topk — random-hyperplane (sign) LSH with multi-probe:
+# bucket = the 4-bit sign pattern of the first 4 dimensions (a
+# deterministic stand-in for 4 random hyperplanes — same plan shape,
+# oracle-reproducible); each query probes its own bucket plus the 4
+# buckets at Hamming distance 1 (one flipped hyperplane), then exact
+# cosine top-k within the candidates.
+#
+# This is the LSH-bucketed ANN path next to the IVF one (sim_ivf_topk):
+# scale shape is one equi-shuffle on the bucket code instead of a full
+# cross join — each corpus vector lands in exactly one bucket, each
+# query fans out to (bits+1) probe codes, so candidates ~ n·(bits+1)/2^bits
+# per query with NO duplicate candidates. Production knobs: more bits →
+# smaller buckets (needs more probes), B independent tables → recall at
+# B× cost. Recall vs brute force is pinned in test_similarity_recall.py.
+# --------------------------------------------------------------------------
+RP_BITS = 4
+_PROBE_MASKS = [0] + [1 << i for i in range(RP_BITS)]  #: Hamming ≤ 1
+
+
+def _rp_bucket(e: Column) -> Column:
+    """Sign code of the first RP_BITS dims (JVM-side int)."""
+    code = F.lit(0)
+    for i in range(RP_BITS):
+        code = code + (F.element_at(e, i + 1) > 0).cast("int") * (1 << i)
+    return code
+
+
+def _rp_bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(RP_BITS)
+    )
+
+
+@query(
+    "sim_rp_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {_rp_bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS qe,
+                 unnest([{", ".join(f"xor(bucket, {m})" for m in _PROBE_MASKS)}])
+                     AS probe
+          FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS neighbor_id, c.bucket,
+             round(list_cosine_similarity(q.qe, c.e), 6) AS cosine
+      FROM q JOIN e c ON c.bucket = q.probe
+      WHERE c.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT qid, neighbor_id, bucket, cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("bucket", _rp_bucket(F.col("e")))
+    probes = F.array(*[F.col("bucket").bitwiseXOR(m) for m in _PROBE_MASKS])
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.explode(probes).alias("probe"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, q.probe == emb.bucket)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "bucket", "cosine", "rank")
+    )

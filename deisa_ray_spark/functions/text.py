@@ -380,3 +380,56 @@ def txt_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_langs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# txt_passage_chunks — split every document into overlapping token-window
+# passages (window 32 tokens, stride 16): the standard pre-training /
+# retrieval chunking step. Entirely JVM-side: split → sequence of chunk
+# starts → explode (Generate, pipelined in codegen) → slice + md5. No
+# shuffle at all until a downstream consumer groups — chunking is a pure
+# map, so at 100 TB it scales linearly with input splits. Passages are
+# value-checked by md5 so the result stays narrow.
+# --------------------------------------------------------------------------
+CHUNK_W = 32  #: tokens per passage
+CHUNK_S = 16  #: stride (W/2 → 50% overlap)
+
+
+@query(
+    "txt_passage_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, 1 + (greatest(len(toks) - {CHUNK_W}, 0)
+                                      + {CHUNK_S - 1}) // {CHUNK_S})) AS k
+          FROM d)
+    SELECT doc_id, k AS chunk_id,
+           len(toks[k*{CHUNK_S}+1 : k*{CHUNK_S}+{CHUNK_W}]) AS n_chunk_tokens,
+           md5(array_to_string(toks[k*{CHUNK_S}+1 : k*{CHUNK_S}+{CHUNK_W}], ' '))
+               AS passage_md5
+    FROM c
+    """,
+)
+def txt_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_extra = F.expr(
+        f"(greatest(size(split(text, ' ')) - {CHUNK_W}, 0) + {CHUNK_S - 1}) div {CHUNK_S}"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_extra.cast("int"))).alias("k"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("bigint").alias("chunk_id"),
+            F.size(F.slice("toks", F.col("k") * CHUNK_S + 1, CHUNK_W)).cast(
+                "bigint"
+            ).alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice("toks", F.col("k") * CHUNK_S + 1, CHUNK_W), " ")
+            ).alias("passage_md5"),
+        )
+    )

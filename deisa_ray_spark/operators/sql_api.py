@@ -1,0 +1,144 @@
+"""SQL-entry surface: the same engine driven through ``spark.sql`` over
+registered temp views, rather than the DataFrame builder API.
+
+The reference exposes NO SQL interface (its query surface is Python
+callbacks over Dask arrays — SURVEY §2.C "UDF surface"); this module pins
+the ANSI-SQL front door the Spark engine adds, and specifically the
+Catalyst rewrites that make declarative SQL scale:
+
+- GROUPING SETS → a single ``Expand`` + partial/final hash aggregate
+  (one scan, no N-pass union of sub-aggregations).
+- ``EXISTS`` / ``NOT EXISTS`` correlated subqueries → decorrelated to
+  left-semi / left-anti hash joins (broadcast when the build side is
+  small; sort-merge at scale via AQE).
+- Correlated scalar subqueries → decorrelated to an aggregate + equi-join
+  (TPC-H Q17 shape: the per-key average is computed ONCE, map-side
+  partial-aggregated, then joined — not re-run per outer row).
+- ``LATERAL VIEW posexplode`` → a ``Generate`` node pipelined inside
+  whole-stage codegen (the UDTF surface without leaving the JVM).
+
+Scale notes (100 TB): every query here aggregates before any ordering, so
+shuffled bytes are bounded by group cardinality; top-k uses ORDER BY +
+LIMIT which Spark executes as per-partition TakeOrdered (no global sort
+materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+
+def _sql(spark: SparkSession, sf_dir: str, stmt: str, *tables: str) -> DataFrame:
+    """Register ``tables`` as temp views (idempotent) and run ``stmt``."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(stmt)
+
+
+# --------------------------------------------------------------------------
+# q22 — GROUPING SETS with grouping() markers. Distinct from q10 (rollup)
+# and q19 (cube): an arbitrary, non-hierarchical set list, plus the
+# grouping() disambiguator for NULL-vs-subtotal. One Expand, one shuffle.
+# --------------------------------------------------------------------------
+_Q22 = """
+    SELECT o_orderpriority, o_orderstatus,
+           cast(grouping(o_orderpriority) AS INT) AS g_pri,
+           cast(grouping(o_orderstatus)  AS INT) AS g_st,
+           count(*)                               AS n_orders,
+           round(sum(o_totalprice), 2)            AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("q22_grouping_sets", oracle=_Q22)
+def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q22, "orders")
+
+
+# --------------------------------------------------------------------------
+# q23 — EXISTS / NOT EXISTS decorrelation: customers with vs without any
+# order, per nation. Catalyst rewrites both branches to semi/anti hash
+# joins on o_custkey; orders is aggregated map-side to distinct custkeys
+# before the join at scale (AQE picks broadcast when that side is small).
+# --------------------------------------------------------------------------
+_Q23 = """
+    SELECT 'with_orders' AS grp, c_nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    UNION ALL
+    SELECT 'no_orders' AS grp, c_nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+"""
+
+
+@query("q23_exists_anti_semi", oracle=_Q23)
+def q23_exists_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q23, "customer", "orders")
+
+
+# --------------------------------------------------------------------------
+# q24 — correlated scalar subquery (TPC-H Q17 shape): small-quantity
+# orders for one brand, threshold = 0.2 × per-part average quantity.
+# Decorrelates to groupBy(l_partkey).avg + join; l_quantity is integral
+# in the fixture so the average is bit-exact across engines.
+# --------------------------------------------------------------------------
+_Q24 = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q24_scalar_subquery", oracle=_Q24)
+def q24_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q24, "lineitem", "part")
+
+
+# --------------------------------------------------------------------------
+# q25 — UDTF surface: LATERAL VIEW posexplode of the token array; corpus
+# top-20 tokens by term frequency with document frequency and earliest
+# position. The Generate node stays inside whole-stage codegen — no
+# Python worker. ORDER BY tf DESC, tok is a total order (tok is the
+# group key), so the LIMIT frontier is deterministic.
+# --------------------------------------------------------------------------
+_Q25_SPARK = """
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df,
+           cast(min(pos) AS BIGINT) AS min_pos
+    FROM documents
+    LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+    WHERE tok != ''
+    GROUP BY tok
+    ORDER BY tf DESC, tok
+    LIMIT 20
+"""
+
+_Q25_ORACLE = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS tok
+          FROM d)
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df,
+           min(pos) AS min_pos
+    FROM e
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY tf DESC, tok
+    LIMIT 20
+"""
+
+
+@query("q25_lateral_posexplode", oracle=_Q25_ORACLE)
+def q25_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q25_SPARK, "documents")

@@ -60,13 +60,16 @@ def query(name: str, oracle: Optional[str] = None, doc: str = "") -> Callable[[Q
 def load_all() -> dict[str, QuerySpec]:
     """Import every query-defining module (side effect: registration)."""
     import deisa_ray_spark.operators.relational  # noqa: F401
+    import deisa_ray_spark.operators.sql_api  # noqa: F401
     import deisa_ray_spark.operators.grid_ops  # noqa: F401
     import deisa_ray_spark.operators.linalg  # noqa: F401
     import deisa_ray_spark.operators.feedback_queries  # noqa: F401
     import deisa_ray_spark.operators.insitu_query  # noqa: F401
     import deisa_ray_spark.functions.text  # noqa: F401
     import deisa_ray_spark.functions.dedup  # noqa: F401
+    import deisa_ray_spark.functions.sampling  # noqa: F401
     import deisa_ray_spark.functions.similarity  # noqa: F401
     import deisa_ray_spark.functions.multimodal  # noqa: F401
+    import deisa_ray_spark.functions.udfs  # noqa: F401
 
     return QUERIES

@@ -118,3 +118,47 @@ def dedup_events(
     sources + this = effectively-once ingestion."""
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: per-micro-batch broadcast hash join of the
+    stream against a (small) batch dimension table — the standard
+    streaming-enrichment shape. No state is kept: the static side is
+    planned as a broadcast into every micro-batch, so at scale the only
+    cost is shipping the dim once per executor, and the stream side
+    never shuffles."""
+    return events.join(F.broadcast(dim), "event_type", "inner").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round(F.col("value") * F.col("weight"), 6).alias("weighted_value"),
+    )
+
+
+def join_clicks_to_views(
+    clicks: DataFrame, views: DataFrame, max_gap: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's views at most ``max_gap`` BEFORE it (view.ts ≤ click.ts ≤
+    view.ts + gap). Both sides carry watermarks, so Spark bounds the
+    join state: a buffered view can be evicted once the click-side
+    watermark passes view.ts + gap — state is O(gap × rate), not
+    O(stream). The batch twin is ``q13_asof_join_click_view``."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("user_id").alias("v_user"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"c_user = v_user AND view_ts <= click_ts "
+            f"AND click_ts <= view_ts + INTERVAL {max_gap}"
+        ),
+        "inner",
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"),
+             "click_ts", "view_ts")

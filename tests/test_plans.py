@@ -119,3 +119,72 @@ def test_streaming_control_plane_prunes_payload(spark, tmp_path):
     logical = events._jdf.queryExecution().analyzed().toString()
     # the analyzed plan projects the metadata columns, not `data`
     assert "data" not in logical.split("StreamingRelation")[0]
+
+
+def tree_of(plan: str) -> str:
+    """Just the plan tree (formatted explain repeats every node in the
+    detail section below, which would double substring counts)."""
+    return plan.split("\n\n", 1)[0]
+
+
+def test_q22_single_expand(spark):
+    """GROUPING SETS compiles to ONE Expand + one agg pass — not a union
+    of four sub-aggregations re-scanning the input."""
+    tree = tree_of(plan_of(spark, "q22_grouping_sets"))
+    assert tree.count("Expand") == 1
+    assert tree.count("Scan parquet") == 1
+
+
+def test_q23_decorrelates_to_semi_anti(spark):
+    """EXISTS / NOT EXISTS become semi/anti hash joins, not per-row
+    subquery evaluation."""
+    plan = plan_of(spark, "q23_exists_anti_semi")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q24_decorrelates_scalar_subquery(spark):
+    """The correlated per-part average becomes aggregate + join: the
+    inner lineitem scan appears once, not per outer row."""
+    plan = plan_of(spark, "q24_scalar_subquery")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    tree = tree_of(plan)
+    assert tree.count("Scan parquet") <= 3  # lineitem ×2 (outer+agg), part ×1
+
+
+def test_q25_generate_stays_jvm_side(spark):
+    """LATERAL VIEW posexplode is a Generate node in codegen — the UDTF
+    surface without a Python worker."""
+    plan = plan_of(spark, "q25_lateral_posexplode")
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_prunes_before_shuffle(spark):
+    """Per-group k by row_number gets WindowGroupLimit: map tasks keep k
+    rows per group before the exchange."""
+    plan = plan_of(spark, "samp_stratified_k")
+    assert "WindowGroupLimit" in plan
+
+
+def test_bernoulli_sample_is_pure_filter(spark):
+    """Hash-Bernoulli sampling adds no shuffle before the aggregation —
+    one Exchange total (the group-by), none for the sampling itself."""
+    tree = tree_of(plan_of(spark, "samp_hash_bernoulli"))
+    assert tree.count("Exchange") == 1
+
+
+def test_passage_chunks_shuffle_free(spark):
+    """Chunking is a pure map: split → sequence → Generate → slice/md5,
+    zero Exchanges — linear scale-out with input splits."""
+    plan = plan_of(spark, "txt_passage_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_rp_lsh_is_equi_join(spark):
+    """Multi-probe LSH joins on the bucket code (hash join), never a
+    nested-loop cross join over the corpus."""
+    plan = plan_of(spark, "sim_rp_lsh_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -29,3 +29,15 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark):
     # and the scan was actually restricted to one cell
     one = QUERIES["sim_kmeans_ivf_topk"].fn(spark, SF_DIR).select("cell").distinct()
     assert one.count() <= 5  # <= one cell per query
+
+
+def test_rp_lsh_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
+    approx = _topk_sets(QUERIES["sim_rp_lsh_topk"].fn(spark, SF_DIR))
+    # single-probe 8-bit LSH: every query must still find candidates in
+    # its own bucket (its own sign pattern is never empty — it contains
+    # at least vectors sharing the pattern) and beat random recall
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.1, f"mean recall {mean_recall:.3f}"

@@ -140,3 +140,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     sw.run_to_memory(deduped, str(tmp_path / "ckpt"), "dedup_t")
     rows = sorted((r["event_id"], r["value"]) for r in spark.table("dedup_t").collect())
     assert rows == [(0, 1.0), (1, 2.0), (300, 3.0)]  # the re-delivery is gone
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_batch(src, 0, [("08:10", 1, "click", 2.0), ("08:20", 2, "view", 3.0),
+                          ("08:30", 3, "scroll", 5.0)])
+    dim = spark.createDataFrame(
+        [("click", 10.0), ("view", 0.5)], "event_type string, weight double"
+    )
+    events = sw.stream_events(spark, src)
+    sw.run_to_memory(
+        sw.enrich_stream_static(events, dim), str(tmp_path / "ckpt"), "enriched"
+    )
+    got = {
+        (r.event_id, r.weighted_value)
+        for r in spark.sql("select * from enriched").collect()
+    }
+    # 'scroll' has no dim row → dropped by the inner join
+    assert got == {(0, 20.0), (1, 1.5)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    views_dir, clicks_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    # user 1: view 08:00, clicks 08:30 (within 1h) and 09:30 (outside)
+    # user 2: view 08:00, click 08:10 (within); user 3: click only → no pair
+    _write_batch(views_dir, 0, [("08:00", 1, "view", 0.0), ("08:00", 2, "view", 0.0)])
+    _write_batch(clicks_dir, 0, [("08:30", 1, "click", 0.0), ("09:30", 1, "click", 0.0),
+                                 ("08:10", 2, "click", 0.0), ("08:40", 3, "click", 0.0)])
+    joined = sw.join_clicks_to_views(
+        sw.stream_events(spark, clicks_dir), sw.stream_events(spark, views_dir)
+    )
+    sw.run_to_memory(joined, str(tmp_path / "ckpt"), "paired")
+    got = {
+        (r.user_id, r.click_id, r.view_id)
+        for r in spark.sql("select * from paired").collect()
+    }
+    assert got == {(1, 0, 0), (2, 2, 1)}
