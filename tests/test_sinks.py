@@ -72,3 +72,24 @@ def test_zarr_netcdf_gated(spark, tmp_path):
         except ImportError:
             with pytest.raises(ImportError, match=lib):
                 fn(chunks, **kwargs)
+
+
+def test_csv_interchange_roundtrip(spark, tmp_path):
+    """CSV as an interchange format: write → schema'd read-back is
+    lossless (Spark writes Java shortest-round-trip doubles). Parquet
+    stays the first-class format; CSV covers external producers."""
+    from deisa_ray_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_csv")
+    ev.write.option("header", True).mode("overwrite").csv(path)
+    back = spark.read.option("header", True).schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).csv(path)
+    a = ev.agg({"event_id": "sum", "value": "sum"}).collect()[0]
+    b = back.agg({"event_id": "sum", "value": "sum"}).collect()[0]
+    assert back.count() == ev.count()
+    assert a[0] == b[0] and a[1] == b[1]
