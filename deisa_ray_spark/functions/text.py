@@ -433,3 +433,47 @@ def txt_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("passage_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# txt_rep_dup3gram — Gopher-style repetition filter signal: the fraction
+# of word-3-grams in a document that are duplicates of an earlier one.
+# High values mark boilerplate/spam for exclusion before training.
+# Reuses the dedup family's shingle expression; pure map + no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "txt_rep_dup3gram",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             greatest(len(string_split(text, ' ')) - 2, 0) AS n_3grams,
+             len(list_distinct(list_transform(
+                 range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' ||
+                      string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2]))) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_3grams, n_distinct,
+           round(1.0 - n_distinct * 1.0 / n_3grams, 6) AS dup_frac
+    FROM d WHERE n_3grams > 0
+    """,
+)
+def txt_rep_dup3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n3 = F.greatest(F.size(F.split(F.col("text"), " ")) - 2, F.lit(0))
+    nd = F.size(shingles_col())
+    return (
+        docs.select(
+            "doc_id",
+            n3.cast("bigint").alias("n_3grams"),
+            nd.cast("bigint").alias("n_distinct"),
+        )
+        .filter(F.col("n_3grams") > 0)
+        .withColumn(
+            "dup_frac",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_3grams"), 6),
+        )
+    )

@@ -721,3 +721,81 @@ def q21_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
     )
+
+
+# --------------------------------------------------------------------------
+# q26 — ordered conversion funnel over the event stream: users who
+# viewed, then clicked AFTER their first view, then purchased AFTER that
+# first qualifying click. Each stage aggregates to one row per user
+# BEFORE joining (min-ts per user), so the stage joins are on
+# deduplicated keys — at 100 TB the join input is |users|, not |events|.
+# --------------------------------------------------------------------------
+@query(
+    "q26_funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def q26_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — approximate aggregates: HyperLogLog++ distinct counts and
+# approximate percentiles. THE scale substitutes for exact
+# distinct/percentile (fixed-size sketch state, map-side combinable, no
+# giant shuffle of distinct keys). Sketch outputs are
+# implementation-defined, so there is no cross-engine oracle
+# (rows-only declared check); accuracy vs the exact answers is pinned
+# behaviorally in tests/test_approx_aggs.py.
+# --------------------------------------------------------------------------
+@query("q27_approx_aggs", oracle=None)
+def q27_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
