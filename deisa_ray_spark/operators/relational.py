@@ -799,3 +799,77 @@ def q27_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — unpivot (melt): wide metric columns → long (metric, value) rows,
+# the inverse of q18's pivot. Spark's unpivot is a zero-shuffle Expand
+# (each input row fans to k rows in place); the aggregate after it is
+# the only exchange.
+# --------------------------------------------------------------------------
+@query(
+    "q28_unpivot_lineitem",
+    oracle="""
+    SELECT l_returnflag, metric, round(sum(val), 2) AS total, count(*) AS n
+    FROM (
+      SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, metric
+    """,
+)
+def q28_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_extendedprice", "price")
+        .otherwise("discount"),
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum("val"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — RANGE window frame (value-based, not row-count-based): for each
+# order, revenue of the customer's orders within ±500 of its price, and
+# a time-based range frame: count of the customer's orders in the
+# preceding 90 days. Complements q20's ROWS frames.
+# --------------------------------------------------------------------------
+@query(
+    "q29_range_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+               AS n_similar_price,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+               AS n_last_90d
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def q29_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    orders.createOrReplaceTempView("orders_r")
+    return orders.sparkSession.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+                   AS n_similar_price,
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+                   AS n_last_90d
+        FROM orders_r
+        """
+    )
