@@ -388,49 +388,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 25
 
 
-@query(
-    "dedup_cluster_cc",
-    oracle=f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
-             any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
-             >= {JACCARD_THRESHOLD}
-    ),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-              UNION SELECT doc_b, doc_a FROM p),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, comp) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
-    ),
-    comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
-    SELECT cluster_id, count(*) AS n_docs FROM comps GROUP BY cluster_id
-    """,
-)
-def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_sets(spark, sf_dir)
-    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
-    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
-    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+def cc_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: (id, comp) with comp = min node id reachable from id.
+
+    ``pairs`` must have columns (doc_a, doc_b). Converges in
+    graph-diameter rounds, each one equi-shuffle on node id (the Pregel
+    shape GraphFrames uses). Returns a ``localCheckpoint``ed frame, so
+    the loop's persisted intermediates are already released."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -464,12 +429,56 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
 
-    out = labels.groupBy(F.col("comp").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    # Materialize before the loop's persisted inputs go away; the result
-    # is one row per cluster (tiny).
-    out = out.localCheckpoint(eager=True)
+    out = labels.localCheckpoint(eager=True)
     edges.unpersist()
     labels.unpersist()
     return out
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
+    SELECT cluster_id, count(*) AS n_docs FROM comps GROUP BY cluster_id
+    """,
+)
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
+    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    return cc_labels(pairs).groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
