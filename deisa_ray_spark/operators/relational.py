@@ -794,10 +794,24 @@ def q26_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q27_approx_aggs", oracle=None)
 def q27_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
-        F.count(F.lit(1)).alias("n"),
+    # One percentile_approx sketch for all three quantiles, projected to
+    # scalar columns: the harness canonicalizes by sorting every output
+    # column, so results must contain only hashable scalar types.
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("_pcts", 1).alias("value_p50"),
+            F.element_at("_pcts", 2).alias("value_p95"),
+            F.element_at("_pcts", 3).alias("value_p99"),
+            "n",
+        )
     )
 
 

@@ -142,3 +142,44 @@ _Q25_ORACLE = """
 @query("q25_lateral_posexplode", oracle=_Q25_ORACLE)
 def q25_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q25_SPARK, "documents")
+
+
+# --------------------------------------------------------------------------
+# q30 — TPC-H Q2 shape: minimum-cost supplier per part within a region,
+# expressed as a correlated scalar MIN subquery that itself joins four
+# tables. Catalyst decorrelates it to ONE aggregate over the
+# region-filtered (part × supplier) link relation joined back on
+# (l_partkey, min_price) — the inner join tree is planned once, not
+# re-run per outer row, and the dimension joins (supplier, nation,
+# region) broadcast. The engine has no partsupp table; lineitem is the
+# part↔supplier link (reference has no relational layer at all —
+# SURVEY §2.C "Joins: absent").
+# --------------------------------------------------------------------------
+_Q30 = """
+    SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+           l_extendedprice AS best_price
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'AMERICA'
+      AND p_size < 10
+      AND l_extendedprice = (
+            SELECT min(l2.l_extendedprice)
+            FROM lineitem l2, supplier s2, nation n2, region r2
+            WHERE l2.l_partkey = p_partkey
+              AND s2.s_suppkey = l2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'AMERICA')
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+"""
+
+
+@query("q30_min_cost_supplier", oracle=_Q30)
+def q30_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark, sf_dir, _Q30, "part", "supplier", "lineitem", "nation", "region"
+    )

@@ -37,11 +37,17 @@ def test_aqe_splits_skewed_join_partition(spark):
             F.col("id").alias("k2"), F.md5(F.col("id").cast("string")).alias("rpad")
         )
         j = left.join(right, F.col("k") == F.col("k2"))
-        j.write.format("noop").mode("overwrite").save()
+        # Execute THIS DataFrame's own QueryExecution: AQE finalizes the
+        # adaptive plan only for the execution that actually ran (a
+        # noop-write or .count() plans a separate QueryExecution and
+        # leaves j's plan at isFinalPlan=false).
+        rows = j.collect()
         plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
         assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan, plan[:2000]
         # correctness unaffected by the split
-        assert j.count() == 200_000
+        assert len(rows) == 200_000
     finally:
         for k, v in old.items():
             if v is None:

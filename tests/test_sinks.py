@@ -74,6 +74,23 @@ def test_zarr_netcdf_gated(spark, tmp_path):
                 fn(chunks, **kwargs)
 
 
+def test_sink_single_group_guard(spark, tmp_path):
+    """Whole-array sinks refuse a chunk table spanning >1 (arr, t) group
+    (silently merging groups into one layout = last-writer-wins
+    corruption). The guard runs BEFORE the optional-library import gate
+    and before any file is written, so it is testable everywhere."""
+    multi = make_chunk_df(spark, timesteps=(0, 1))  # ≥2 (arr, t) groups
+    for fn, kwargs in (
+        (sinks.to_hdf5, {"fname": str(tmp_path / "g.h5"), "dataset": "d"}),
+        (sinks.to_zarr, {"url": str(tmp_path / "g.zarr")}),
+    ):
+        with pytest.raises(ValueError, match="exactly one"):
+            fn(multi, **kwargs)
+    empty = make_chunk_df(spark, timesteps=(0,)).filter("t = 99")
+    with pytest.raises(ValueError, match="no chunks"):
+        sinks.to_zarr(empty, str(tmp_path / "e.zarr"))
+
+
 def test_csv_interchange_roundtrip(spark, tmp_path):
     """CSV as an interchange format: write → schema'd read-back is
     lossless (Spark writes Java shortest-round-trip doubles). Parquet
