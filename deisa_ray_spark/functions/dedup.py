@@ -482,3 +482,60 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_labels(pairs).groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_decontaminate — benchmark decontamination: drop training docs
+# sharing ANY word-3-gram shingle with a benchmark set (here: the
+# deterministic doc_id % 97 == 0 slice stands in for the held-out
+# benchmark). The standard pre-training hygiene op (remove test-set
+# leakage before training).
+#
+# Scale notes (100 TB): the benchmark side is tiny (eval suites are
+# KB-MB, the corpus is TB) — its distinct shingles BROADCAST, so marking
+# contamination is a broadcast left-semi join: one narrow pass over the
+# corpus, zero corpus shuffle. The per-source aggregate is the only
+# exchange.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    cont AS (SELECT DISTINCT doc_id FROM sh
+             WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+    SELECT source,
+           count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+               AS n_removed,
+           count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+               AS n_kept
+    FROM documents
+    WHERE doc_id % 97 <> 0
+    GROUP BY source
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_sh = sh.filter(is_bench).select("s").distinct()
+    cont = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(cont, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("is_cont") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("is_cont").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -367,3 +367,44 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("rms", F.round("rms", 6)).withColumn(
         "mean_amp", F.round("mean_amp", 6)
     )
+
+
+# --------------------------------------------------------------------------
+# mm_binary_ingest — raw-binary media ingestion via Spark's binaryFile
+# source: each file becomes one row (path, length, content BINARY) — the
+# entry point for real image/audio/video corpora, where payloads arrive
+# as opaque files and all downstream ops (decode, feature-extract, dedup
+# by content hash) run over the binary column. Here it reads the fixture
+# parquet files themselves as opaque blobs (the container ships no media
+# files); the oracle is DuckDB's read_blob over the same glob.
+#
+# NOTE the oracle embeds the driver's correctness scale factor
+# (sf0.01) literally — oracle SQL is static while the Spark side takes
+# sf_dir; the pytest twin re-checks at the test SF including content
+# md5 (DuckDB 1.0 cannot md5 a BLOB, so the declared oracle pins
+# name+size only).
+#
+# Scale notes (100 TB): binaryFile is a standard FileFormat — files
+# split across executors, content never passes the driver;
+# pathGlobFilter prunes at listing time. For many small media files,
+# pack into parquet-of-binary (make_media_df's shape) and read that —
+# this query pins the raw-file entry path.
+# --------------------------------------------------------------------------
+@query(
+    "mm_binary_ingest",
+    oracle="""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           size AS n_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
+def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+    )

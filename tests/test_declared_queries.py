@@ -18,7 +18,11 @@ ORACLED = sorted(name for name, spec in QUERIES.items() if spec.oracle is not No
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
     df = spec.fn(spark, SF_DIR)
-    assert_matches_oracle(df, duck, spec.oracle)
+    # File-reading oracles (read_blob) embed the driver's correctness SF
+    # literally (oracle SQL is static; the driver runs it at sf0.01) —
+    # retarget them at the test SF so both sides read the same files.
+    oracle = spec.oracle.replace("/root/testdata/sf0.01", SF_DIR)
+    assert_matches_oracle(df, duck, oracle)
 
 
 def test_entry_smoke(spark):

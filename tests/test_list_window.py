@@ -1,0 +1,143 @@
+"""Sliding list window (A7) as distributed keyed state: the reference's
+``deque(maxlen=N)`` per array (types.py:180-201,
+window_handler.py:272-293) re-expressed as a stateful streaming operator
+so window maintenance shards across executors by key. The
+transformWithStateInPandas (ListState) twin is protobuf-gated; its
+processor logic is unit-tested against a fake ListState so both
+implementations are pinned to the same contract."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from deisa_ray_spark.streaming import list_window as lw
+
+
+def _write_batch(src_dir: str, seq: int, rows: list[tuple[str, int, float]]) -> None:
+    os.makedirs(src_dir, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            "k": [k for k, _, _ in rows],
+            "t": [t for _, t, _ in rows],
+            "v": [v for _, _, v in rows],
+        }
+    )
+    path = os.path.join(src_dir, f"batch-{seq:04d}.parquet")
+    pdf.to_parquet(path)
+    mtime = time.time() + seq * 0.01
+    os.utime(path, (mtime, mtime))
+
+
+def _expected_windows(per_key_rows: dict[str, list[tuple[int, float]]], n: int):
+    """Reference semantics: deque(maxlen=n) per key, emit after each append."""
+    out = []
+    for k, rows in per_key_rows.items():
+        buf: list[tuple[int, float]] = []
+        for t, v in rows:
+            buf.append((t, v))
+            buf = buf[-n:]
+            out.append((k, t, tuple(x[0] for x in buf), tuple(x[1] for x in buf)))
+    return sorted(out)
+
+
+def test_sliding_last_n_matches_deque_semantics(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    # temperature shares t=0..4; pressure alternates (A8-style sparsity)
+    _write_batch(src, 0, [("temperature", 0, 10.0), ("pressure", 0, 1.0)])
+    _write_batch(src, 1, [("temperature", 1, 20.0)])
+    _write_batch(src, 2, [("temperature", 2, 30.0), ("pressure", 2, 3.0)])
+    _write_batch(src, 3, [("temperature", 3, 40.0)])
+    _write_batch(src, 4, [("temperature", 4, 50.0), ("pressure", 4, 5.0)])
+
+    stream = (
+        spark.readStream.schema("k string, t long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        lw.sliding_last_n(stream, n=3)
+        .writeStream.format("memory")
+        .queryName("win3")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.k, r.t, tuple(r.win_ts), tuple(r.win_vs))
+            for r in spark.sql("SELECT * FROM win3").collect()
+        )
+    finally:
+        q.stop()
+
+    expected = _expected_windows(
+        {
+            "temperature": [(0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0), (4, 50.0)],
+            "pressure": [(0, 1.0), (2, 3.0), (4, 5.0)],
+        },
+        n=3,
+    )
+    assert got == expected
+    # the A7 contract in one line: window at t=4 is the last 3, oldest first
+    t4 = [g for g in got if g[0] == "temperature" and g[1] == 4][0]
+    assert t4[2] == (2, 3, 4) and t4[3] == (30.0, 40.0, 50.0)
+
+
+class _FakeListState:
+    def __init__(self) -> None:
+        self.rows: list[tuple] = []
+
+    def get(self):
+        return iter(self.rows)
+
+    def put(self, rows):
+        self.rows = list(rows)
+
+
+class _FakeHandle:
+    def __init__(self, state) -> None:
+        self._state = state
+
+    def getListState(self, name, schema):
+        return self._state
+
+
+def test_tws_processor_logic_matches_contract():
+    """The ListState processor produces byte-identical windows to the
+    GroupState implementation (unit-level: fake state, three batches)."""
+    proc = lw.SlidingListProcessor(n=2)
+    state = _FakeListState()
+    proc.init(_FakeHandle(state))
+
+    def feed(rows):
+        pdf = pd.DataFrame({"t": [t for t, _ in rows], "v": [v for _, v in rows]})
+        (out,) = list(proc.handleInputRows(("temperature",), iter([pdf]), None))
+        return [
+            (r.k, r.t, tuple(r.win_ts), tuple(r.win_vs))
+            for r in out.itertuples(index=False)
+        ]
+
+    assert feed([(0, 1.0), (1, 2.0)]) == [
+        ("temperature", 0, (0,), (1.0,)),
+        ("temperature", 1, (0, 1), (1.0, 2.0)),
+    ]
+    # state persisted between batches; eviction at maxlen=2
+    assert feed([(2, 3.0)]) == [("temperature", 2, (1, 2), (2.0, 3.0))]
+    assert state.rows == [(1, 2.0), (2, 3.0)]
+
+
+def test_tws_runtime_gated_on_protobuf(spark, tmp_path):
+    src = str(tmp_path / "s2")
+    _write_batch(src, 0, [("a", 0, 1.0)])
+    stream = spark.readStream.schema("k string, t long, v double").parquet(src)
+    if lw.have_transform_with_state():  # pragma: no cover - env w/ protobuf
+        df = lw.sliding_last_n_tws(stream, n=2)
+        assert df.schema.simpleString().startswith("struct<k:string,t:bigint")
+    else:
+        with pytest.raises(ImportError, match="protobuf"):
+            lw.sliding_last_n_tws(stream, n=2)
