@@ -429,3 +429,36 @@ def sink_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# A19-adjacent — ORC as a second first-class columnar interchange format
+# (Spark-native, no external package): the chunk table round-trips
+# through a partitioned ORC sink and decodes to the same closed-form
+# cells. Covers engines/consumers standardized on ORC; parquet remains
+# the default. Same pruning properties (partitionBy(arr, t) directories
+# + ORC predicate pushdown).
+# --------------------------------------------------------------------------
+@query(
+    "sink_roundtrip_orc_checksum",
+    oracle=GRID_CTE
+    + """
+    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
+           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
+    FROM grid GROUP BY arr
+    """,
+)
+def sink_roundtrip_orc_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from deisa_ray_spark.model import CHUNK_SCHEMA
+
+    path = tempfile.mkdtemp(prefix="sink_rt_orc_") + "/chunks"
+    make_chunk_df(spark).write.partitionBy("arr", "t").mode("overwrite").orc(path)
+    back = spark.read.schema(CHUNK_SCHEMA).orc(path).coalesce(2)
+    g = explode_chunks(back)
+    return g.groupBy("arr").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
+    )

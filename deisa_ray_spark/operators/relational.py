@@ -887,3 +887,95 @@ def q29_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_r
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q32 — FULL OUTER join: daily order activity vs daily event activity.
+# The two date ranges are disjoint in the fixture (orders 1995-2001,
+# events 2024), so both unmatched sides must survive with zero-filled
+# counts — the full-outer semantics the declared set did not yet pin
+# (inner/left/semi/anti/asof/range are q02-q05/q13/q17). Both inputs
+# aggregate BEFORE the join, so the shuffle is per-day counts, not raw
+# rows.
+# --------------------------------------------------------------------------
+@query(
+    "q32_full_outer_daily_activity",
+    oracle="""
+    SELECT d, coalesce(n_orders, 0) AS n_orders, coalesce(n_events, 0) AS n_events
+    FROM (SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n_orders
+          FROM orders GROUP BY 1) o
+    FULL JOIN (SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+               FROM events GROUP BY 1) e USING (d)
+    """,
+)
+def q32_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    od = orders.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ed = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return od.join(ed, ["d"], "full").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — time-series densification + LOCF: build the dense hourly spine
+# (sequence + explode — generated, not scanned), left-join the sparse
+# hourly aggregates, and carry the last observed hourly average forward
+# with last(..., ignoreNulls=True) over an unbounded-preceding frame —
+# the gap-filling idiom for sensor/metric series. The spine is generated
+# from two scalars (min/max hour), so at 100 TB the only heavy op is the
+# initial per-hour partial aggregation; the window runs over
+# #hours × #types rows, not raw events.
+# --------------------------------------------------------------------------
+@query(
+    "q33_gap_fill_locf",
+    oracle="""
+    WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+    hourly AS (SELECT event_type, h, count(*) AS n, avg(value) AS avg_v
+               FROM ev GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+    grid AS (SELECT t.event_type, s.h
+             FROM (SELECT DISTINCT event_type FROM ev) t, spine s),
+    fg AS (SELECT g.event_type, g.h, hourly.n, hourly.avg_v
+           FROM grid g LEFT JOIN hourly USING (event_type, h))
+    SELECT event_type, h, coalesce(n, 0) AS n,
+           round(coalesce(last_value(avg_v IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 4)
+               AS locf_avg
+    FROM fg
+    """,
+)
+def q33_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v")
+    )
+    spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    fg = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return fg.select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(
+            F.coalesce(F.last("avg_v", ignorenulls=True).over(w), F.lit(0.0)), 4
+        ).alias("locf_avg"),
+    )

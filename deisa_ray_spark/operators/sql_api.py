@@ -183,3 +183,30 @@ def q30_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
         spark, sf_dir, _Q30, "part", "supplier", "lineitem", "nation", "region"
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — TPC-H Q11 shape: groups exceeding a global-aggregate threshold,
+# i.e. a scalar subquery that is itself an aggregate OVER an aggregate
+# (avg of per-part totals), consumed in HAVING. Catalyst plans the
+# threshold as an independent subquery (computed once, broadcast as a
+# literal) — the main aggregate is one scan + one partial/final agg;
+# nothing is recomputed per group. Threshold 1.2 × avg(per-part value)
+# is scale-free (selects ~16% of parts at every SF, verified min
+# relative gap to the cutoff ≥ 1.9e-5 ≫ cross-engine double noise).
+# --------------------------------------------------------------------------
+_Q31 = """
+    SELECT l_partkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT avg(v) * 1.2
+            FROM (SELECT sum(l_extendedprice * (1 - l_discount)) AS v
+                  FROM lineitem GROUP BY l_partkey))
+"""
+
+
+@query("q31_value_concentration", oracle=_Q31)
+def q31_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q31, "lineitem")

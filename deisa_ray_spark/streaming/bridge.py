@@ -33,6 +33,10 @@ import pyarrow.parquet as pq
 from deisa_ray_spark.errors import ContractError
 from deisa_ray_spark.model import SENTINEL_ARRAY, validate_arrays_metadata
 
+#: Engine-written analytics-progress marker inside the chunk dir
+#: (atomic rename; read by the bridge's A15 lookahead gate).
+PROGRESS_MARKER = ".analytics_progress.json"
+
 #: Arrow schema of the chunk drop files (mirrors model.CHUNK_SCHEMA).
 _ARROW_SCHEMA = pa.schema(
     [
@@ -62,14 +66,62 @@ class SparkBridge:
         arrays_metadata: Mapping[str, Mapping[str, Any]],
         chunk_dir: str,
         feedback_dir: str | None = None,
+        max_simulation_ahead: int | None = None,
+        ahead_timeout: float = 100.0,
+        ahead_poll: float = 0.05,
     ) -> None:
+        """``max_simulation_ahead``: opt-in ENFORCED lookahead bound — the
+        simulation may create at most K timesteps beyond the last one the
+        analytics dispatched. The reference documents this knob but never
+        enforces it (head_node.py:33-37,87: attribute stored, the
+        semaphore in the docstring does not exist); ``None`` (default)
+        reproduces that no-op faithfully. When set, ``send`` of a
+        too-new timestep blocks, polling the engine's progress marker,
+        and raises ``TimeoutError`` after ``ahead_timeout`` seconds —
+        the same block-then-raise shape as the reference's object-store
+        admission control (bridge.py:90-121, default 100 s)."""
         self.bridge_id = int(bridge_id)
         self.metadata = validate_arrays_metadata(arrays_metadata)
         self.chunk_dir = chunk_dir
         self.feedback_dir = feedback_dir
+        self.max_simulation_ahead = max_simulation_ahead
+        self.ahead_timeout = ahead_timeout
+        self.ahead_poll = ahead_poll
         self._seq = 0
         self._last_t: int | None = None
+        self._first_t: int | None = None
         os.makedirs(chunk_dir, exist_ok=True)
+
+    def _analyzed_t(self) -> int | None:
+        """Latest timestep the analytics dispatched (engine-written
+        marker), or None before any dispatch."""
+        path = os.path.join(self.chunk_dir, PROGRESS_MARKER)
+        try:
+            with open(path) as f:
+                return int(json.load(f)["t"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _wait_for_lookahead(self, timestep: int) -> None:
+        """Block until ``timestep`` is within ``max_simulation_ahead`` of
+        analytics progress (A15 enforcement; anchor = first sent timestep
+        so starting at any t works, A17)."""
+        k = self.max_simulation_ahead
+        if k is None:
+            return
+        anchor = self._first_t if self._first_t is not None else timestep
+        deadline = time.monotonic() + self.ahead_timeout
+        while True:
+            analyzed = self._analyzed_t()
+            floor = analyzed if analyzed is not None else anchor - 1
+            if timestep - floor <= k:
+                return
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"simulation {timestep - floor} timesteps ahead of analytics "
+                    f"(analyzed={floor}, limit={k}) after {self.ahead_timeout}s"
+                )
+            time.sleep(self.ahead_poll)
 
     # -- send path ---------------------------------------------------------
 
@@ -88,6 +140,10 @@ class SparkBridge:
             raise ContractError(
                 f"out-of-order send: t={timestep} after t={self._last_t} (sends are ordered)"
             )
+        if self._last_t is None or timestep > self._last_t:
+            self._wait_for_lookahead(int(timestep))
+        if self._first_t is None:
+            self._first_t = int(timestep)
         self._last_t = int(timestep)
         self._write_row(
             arr=array_name,

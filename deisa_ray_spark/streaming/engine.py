@@ -26,6 +26,7 @@ Architecture (SURVEY §3.1 "Spark shape"):
 from __future__ import annotations
 
 import json
+import os
 from collections import deque
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
@@ -282,6 +283,19 @@ class InSituEngine:
                     raise
                 cfg.exception_handler(exc)
 
+    def _write_progress(self, t: int) -> None:
+        """Publish the latest dispatched timestep (atomic rename) — the
+        marker the bridge's opt-in A15 lookahead gate polls. Written
+        unconditionally: one tiny file per boundary, and keeping it
+        engine-side means enforcement is purely a bridge decision."""
+        from deisa_ray_spark.streaming.bridge import PROGRESS_MARKER
+
+        path = os.path.join(self.chunk_dir, PROGRESS_MARKER)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"t": int(t)}, f)
+        os.replace(tmp, path)
+
     def _process_events(self, batch_df: DataFrame, batch_id: int) -> None:
         try:
             events = batch_df.toPandas()
@@ -293,6 +307,7 @@ class InSituEngine:
                 ready = at_t[at_t["event"] == "ready"]
                 if len(ready):
                     self._dispatch_boundary(int(t), set(ready["arr"]))
+                    self._write_progress(int(t))
                 if (at_t["event"] == "sentinel").any():
                     self.done = True
         except BaseException as exc:

@@ -188,3 +188,35 @@ def test_rp_lsh_is_equi_join(spark):
     plan = plan_of(spark, "sim_rp_lsh_topk")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q30_decorrelates_min_subquery_no_nested_loop(spark):
+    """The correlated MIN subquery becomes an aggregate + equi-join;
+    dimension joins broadcast. A nested-loop / cartesian anywhere here
+    would re-run the four-table inner tree per outer row."""
+    plan = plan_of(spark, "q30_min_cost_supplier")
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastNestedLoopJoin" not in tree and "CartesianProduct" not in tree
+    assert tree.count("BroadcastHashJoin") >= 4
+
+
+def test_q31_threshold_is_independent_subquery(spark):
+    """The global-threshold scalar subquery is planned once (separate
+    subquery section); the main plan is one scan + partial/final agg +
+    filter — no join, one exchange."""
+    plan = plan_of(spark, "q31_value_concentration")
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "Subquery" in plan  # threshold lives in the subquery section
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Contamination marking is a broadcast left-semi join on the tiny
+    benchmark shingle set — the training corpus is never shuffled for
+    it (the only corpus exchange is the final per-source aggregate)."""
+    plan = plan_of(spark, "dedup_decontaminate")
+    tree = plan.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin LeftSemi" in tree
+    assert "SortMergeJoin" not in tree

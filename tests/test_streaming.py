@@ -317,3 +317,47 @@ def test_realistic_chunk_sizes(spark, tmp_path):
 
     cells = C[0] * C[1]
     assert sums == {t: float(t * (1 + 2 + 3 + 4) * cells) for t in range(8)}
+
+
+def test_max_simulation_ahead_enforced_opt_in(spark, tmp_path):
+    """A15 lookahead as an opt-in EXTENSION: the reference documents the
+    semaphore but never enforces it (head_node.py:33-37,87); default
+    None reproduces that no-op. With max_simulation_ahead=K the bridge
+    blocks sends more than K timesteps past analytics progress
+    (TimeoutError after ahead_timeout, mirroring the admission-control
+    shape of reference bridge.py:90-121) and proceeds once the engine
+    catches up via the progress marker."""
+    chunk_dir = str(tmp_path / "chunks")
+    bridges = []
+    for r in range(4):
+        md = metadata_for_grid(("temperature",), GLOBAL, CHUNK, (r // 2, r % 2))
+        bridges.append(
+            SparkBridge(r, md, chunk_dir, max_simulation_ahead=2,
+                        ahead_timeout=0.3, ahead_poll=0.02)
+        )
+
+    def send_t(t):
+        for r, b in enumerate(bridges):
+            b.send("temperature", t * (r + 1) * np.ones(CHUNK, dtype=np.int64), t)
+
+    # anchor = first sent timestep: t=0, t=1 fit in the K=2 budget
+    send_t(0)
+    send_t(1)
+    # t=2 is 3 ahead of (anchor-1) with no analytics progress yet → blocks
+    with pytest.raises(TimeoutError, match="ahead of analytics"):
+        bridges[0].send("temperature", 2 * np.ones(CHUNK, dtype=np.int64), 2)
+
+    # analytics catches up: boundary t=0 closes once t=1 shares arrive
+    engine = InSituEngine(spark, chunk_dir)
+    seen = []
+    engine.register_callback(
+        lambda temperature: seen.append(temperature[-1].t),
+        ArrayWindow("temperature"),
+    )
+    engine.drain_available(str(tmp_path / "ckpt"), max_files_per_trigger=None)
+    assert seen == [0]
+
+    # progress marker now says t=0 → t=2 is exactly K=2 ahead → admitted
+    send_t(2)
+    engine.drain_available(str(tmp_path / "ckpt"), max_files_per_trigger=None)
+    assert seen == [0, 1]
