@@ -33,10 +33,13 @@ BENCH_QUERIES = [
     "q11_sessionize_events",
     "q13_asof_join_click_view",
     "q14_salted_agg_events",
+    "q30_min_cost_supplier",
+    "q33_gap_fill_locf",
     "grid_ingest_checksum",
     "grid_matmul_tn",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_decontaminate",
     "sim_bruteforce_topk",
     "txt_token_stats",
     "txt_tfidf",

@@ -210,3 +210,36 @@ _Q31 = """
 @query("q31_value_concentration", oracle=_Q31)
 def q31_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q31, "lineitem")
+
+
+# --------------------------------------------------------------------------
+# q34 — TPC-H Q21 shape: the hardest decorrelation in the TPC-H family —
+# EXISTS and NOT EXISTS over the SAME fact table with inequality
+# correlation (another supplier in the order / no other supplier with a
+# returned item). Catalyst turns both into left-semi/left-anti joins on
+# l_orderkey with the <> predicate as a join-side filter, so the fact
+# table is scanned a bounded number of times and never nested-looped.
+# (The fixture lacks commit/receipt dates; l_returnflag = 'R' stands in
+# for the reference Q21's "late delivery" mark.)
+# --------------------------------------------------------------------------
+_Q34 = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+"""
+
+
+@query("q34_sole_blame_supplier", oracle=_Q34)
+def q34_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q34, "supplier", "lineitem", "orders")

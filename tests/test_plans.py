@@ -220,3 +220,13 @@ def test_decontaminate_broadcasts_benchmark(spark):
     tree = plan.split("\n\n", 1)[0]
     assert "BroadcastHashJoin LeftSemi" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_q34_double_correlation_no_nested_loop(spark):
+    """Q21 shape: EXISTS and NOT EXISTS on the same fact table with <>
+    correlation become semi/anti hash joins on the equi-key (the
+    inequality rides along as a join condition) — never a nested loop."""
+    plan = plan_of(spark, "q34_sole_blame_supplier")
+    tree = plan.split("\n\n", 1)[0]
+    assert "LeftSemi" in tree and "LeftAnti" in tree
+    assert "BroadcastNestedLoopJoin" not in tree and "CartesianProduct" not in tree
