@@ -462,3 +462,33 @@ def sink_roundtrip_orc_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# A1 (no-files twin) — the custom Python DataSource (Spark 4 API,
+# sources/sim_source.py): the simulation generated INSIDE the source,
+# one input partition per bridge rank, chunks produced executor-side.
+# Same position-weighted checksum as grid_ingest_checksum, so the
+# oracle proves the source emits byte-identical chunk rows to the
+# file-drop ingest path.
+# --------------------------------------------------------------------------
+@query(
+    "grid_sim_source_checksum",
+    oracle=GRID_CTE
+    + """
+    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
+           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
+    FROM grid GROUP BY arr
+    """,
+)
+def grid_sim_source_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.sources.sim_source import register
+
+    register(spark)
+    chunks = spark.read.format("sim_grid").option("timesteps", "10").load()
+    g = explode_chunks(chunks)
+    return g.groupBy("arr").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
+    )

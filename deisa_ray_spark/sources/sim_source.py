@@ -1,0 +1,154 @@
+"""Simulation chunk producer as a Spark Python DataSource (Spark 4 API):
+``spark.read.format("sim_grid")`` / ``spark.readStream.format("sim_grid")``.
+
+The reference's ingest is a PUSH from MPI ranks through Ray actors
+(A1, bridge.py:343-407); the engine's production path mirrors it with the
+file-drop SparkBridge (streaming/bridge.py). THIS source is the
+no-files twin for development, benchmarks, and soak tests: the
+simulation is *generated inside the source*, one input partition per
+bridge rank, so chunk production runs executor-side and in parallel —
+exactly how an embedded simulation source would look on a cluster
+(each rank's partition is its send loop).
+
+Golden-value convention shared with sources/chunks.py and the DuckDB
+oracle GRID_CTE: rank ``r`` sends ``t * (r + 1) * ones(chunk_shape)``.
+
+Batch: all timesteps at once, one partition per rank (parallel scan).
+Streaming: one timestep per micro-batch (``latestOffset`` advances by
+one — the simulation's pace), partitions(start, end) = one per rank,
+rows generated executor-side; offsets make restarts exactly-once (the
+offset IS the timestep, so a checkpoint restart regenerates
+deterministically).
+
+Options: ``arrays`` (csv, default "temperature,pressure"),
+``timesteps`` (int, default 10), ``global_shape``/``chunk_shape``
+("4x4"/"2x2"), ``dtype`` (numpy name, default int64).
+
+Scale notes (100 TB): generation is embarrassingly parallel across
+ranks; no shuffle, no driver materialization — the driver sees only
+offsets and partition descriptors. A real cluster source for an
+external simulation keeps this exact shape and swaps the generator for
+a receive loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+#: DDL schema of the produced rows — mirrors model.CHUNK_SCHEMA.
+SIM_SCHEMA = (
+    "arr string, t bigint, bridge_id int, pos array<int>, "
+    "chunk_shape array<int>, global_shape array<int>, dtype string, data binary"
+)
+
+
+def _parse_shape(s: str) -> tuple[int, ...]:
+    return tuple(int(x) for x in s.lower().split("x"))
+
+
+class _Opts:
+    def __init__(self, options: dict) -> None:
+        self.arrays: tuple[str, ...] = tuple(
+            a for a in options.get("arrays", "temperature,pressure").split(",") if a
+        )
+        self.timesteps = int(options.get("timesteps", "10"))
+        self.gshape = _parse_shape(options.get("global_shape", "4x4"))
+        self.cshape = _parse_shape(options.get("chunk_shape", "2x2"))
+        self.dtype = options.get("dtype", "int64")
+        if any(g % c for g, c in zip(self.gshape, self.cshape)):
+            raise ValueError(
+                f"global_shape {self.gshape} not divisible by chunk_shape {self.cshape}"
+            )
+        self.grid = tuple(g // c for g, c in zip(self.gshape, self.cshape))
+        self.n_ranks = int(np.prod(self.grid))
+
+
+class _RankPartition(InputPartition):
+    def __init__(self, rank: int, t0: int, t1: int) -> None:
+        self.rank = rank
+        self.t0 = t0  # inclusive
+        self.t1 = t1  # exclusive
+
+
+def _rank_rows(opts: _Opts, rank: int, t0: int, t1: int) -> Iterator[tuple]:
+    """Rank ``rank``'s sends for timesteps [t0, t1) — the send loop."""
+    pos = list(map(int, np.unravel_index(rank, opts.grid)))
+    np_dtype = np.dtype(opts.dtype)
+    cshape = list(opts.cshape)
+    gshape = list(opts.gshape)
+    for t in range(t0, t1):
+        data = (t * (rank + 1)) * np.ones(opts.cshape, dtype=np_dtype)
+        for arr in opts.arrays:
+            yield (arr, t, rank, pos, cshape, gshape, np_dtype.name, data.tobytes())
+
+
+class SimGridBatchReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.opts = _Opts(options)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _RankPartition(r, 0, self.opts.timesteps)
+            for r in range(self.opts.n_ranks)
+        ]
+
+    def read(self, partition: _RankPartition) -> Iterator[tuple]:
+        return _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
+
+
+class SimGridStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.opts = _Opts(options)
+
+    def initialOffset(self) -> dict:
+        return {"t": 0}
+
+    def latestOffset(self) -> dict:
+        # One timestep per micro-batch until the configured horizon —
+        # the simulation's pace; afterwards the offset stops advancing
+        # (empty batches, stream idles like a finished sim).
+        self._latest = getattr(self, "_latest", 0)
+        if self._latest < self.opts.timesteps:
+            self._latest += 1
+        return {"t": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            _RankPartition(r, int(start["t"]), int(end["t"]))
+            for r in range(self.opts.n_ranks)
+        ]
+
+    def read(self, partition: _RankPartition) -> Iterator[tuple]:
+        return _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SimGridDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sim_grid"
+
+    def schema(self) -> str:
+        return SIM_SCHEMA
+
+    def reader(self, schema) -> SimGridBatchReader:
+        return SimGridBatchReader(self.options)
+
+    def streamReader(self, schema) -> SimGridStreamReader:
+        return SimGridStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: ``spark.read.format('sim_grid')``."""
+    spark.dataSource.register(SimGridDataSource)

@@ -141,3 +141,57 @@ def test_tws_runtime_gated_on_protobuf(spark, tmp_path):
     else:
         with pytest.raises(ImportError, match="protobuf"):
             lw.sliding_last_n_tws(stream, n=2)
+
+
+# -- property: the processor IS a deque(maxlen=n), under any batching ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _batched_series(draw):
+    """A monotonic (t, v) series split into arbitrary micro-batches."""
+    n_rows = draw(st.integers(1, 30))
+    ts = sorted(draw(st.sets(st.integers(0, 1000), min_size=n_rows, max_size=n_rows)))
+    vs = draw(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=n_rows, max_size=n_rows))
+    rows = list(zip(ts, vs))
+    cuts = sorted(draw(st.sets(st.integers(1, n_rows - 1), max_size=5))) if n_rows > 1 else []
+    batches, prev = [], 0
+    for c in cuts + [n_rows]:
+        batches.append(rows[prev:c])
+        prev = c
+    n = draw(st.integers(1, 6))
+    return batches, n
+
+
+@given(_batched_series())
+@settings(max_examples=150, deadline=None)
+def test_tws_processor_equals_deque_model(case):
+    """Whatever the micro-batch boundaries, the processor's emitted
+    windows equal the reference model: deque(maxlen=n) appended in t
+    order (A6 guarantees monotone sends), emitted after each append."""
+    from collections import deque
+
+    batches, n = case
+    proc = lw.SlidingListProcessor(n=n)
+    state = _FakeListState()
+    proc.init(_FakeHandle(state))
+
+    got = []
+    for batch in batches:
+        if not batch:
+            continue
+        pdf = pd.DataFrame({"t": [t for t, _ in batch], "v": [v for _, v in batch]})
+        (out,) = list(proc.handleInputRows(("k",), iter([pdf]), None))
+        got.extend(
+            (r.t, tuple(r.win_ts), tuple(r.win_vs))
+            for r in out.itertuples(index=False)
+        )
+
+    model = deque(maxlen=n)
+    expected = []
+    for t, v in [r for b in batches for r in b]:
+        model.append((t, v))
+        expected.append((t, tuple(x[0] for x in model), tuple(x[1] for x in model)))
+    assert got == expected
