@@ -61,6 +61,9 @@ class _Opts:
             a for a in options.get("arrays", "temperature,pressure").split(",") if a
         )
         self.timesteps = int(options.get("timesteps", "10"))
+        #: streaming only: rank 0 emits the end-of-stream sentinel with
+        #: the final timestep's batch — the Bridge.close(last_t) analogue.
+        self.with_sentinel = options.get("with_sentinel", "false").lower() == "true"
         self.gshape = _parse_shape(options.get("global_shape", "4x4"))
         self.cshape = _parse_shape(options.get("chunk_shape", "2x2"))
         self.dtype = options.get("dtype", "int64")
@@ -73,10 +76,11 @@ class _Opts:
 
 
 class _RankPartition(InputPartition):
-    def __init__(self, rank: int, t0: int, t1: int) -> None:
+    def __init__(self, rank: int, t0: int, t1: int, sentinel: bool = False) -> None:
         self.rank = rank
         self.t0 = t0  # inclusive
         self.t1 = t1  # exclusive
+        self.sentinel = sentinel  # emit close-sentinel after the rows
 
 
 def _rank_rows(opts: _Opts, rank: int, t0: int, t1: int) -> Iterator[tuple]:
@@ -122,13 +126,30 @@ class SimGridStreamReader(DataSourceStreamReader):
         return {"t": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        at_horizon = self.opts.with_sentinel and int(end["t"]) == self.opts.timesteps
         return [
-            _RankPartition(r, int(start["t"]), int(end["t"]))
+            _RankPartition(r, int(start["t"]), int(end["t"]), sentinel=at_horizon and r == 0)
             for r in range(self.opts.n_ranks)
         ]
 
     def read(self, partition: _RankPartition) -> Iterator[tuple]:
-        return _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
+        yield from _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
+        if partition.sentinel:
+            # Bridge.close(last_t): 1x1 sentinel array from rank 0
+            # (reference bridge.py:269-274).
+            from deisa_ray_spark.model import SENTINEL_ARRAY
+
+            last_t = self.opts.timesteps - 1
+            yield (
+                SENTINEL_ARRAY,
+                last_t,
+                0,
+                [0, 0],
+                [1, 1],
+                [1, 1],
+                "int64",
+                np.zeros((1, 1), dtype=np.int64).tobytes(),
+            )
 
     def commit(self, end: dict) -> None:
         pass
@@ -152,3 +173,19 @@ class SimGridDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration: ``spark.read.format('sim_grid')``."""
     spark.dataSource.register(SimGridDataSource)
+
+
+def batch_loader(spark, **options: str):
+    """Chunk loader for InSituEngine's data plane when the control plane
+    consumes the sim_grid stream: callbacks' ``ArrayFrame.chunks()``
+    re-reads the deterministic source (batch, partition-parallel) pruned
+    to one (arr, t) — the no-files analogue of the pruned parquet scan."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+
+    def load(name: str, t: int):
+        df = spark.read.format("sim_grid").options(**options).load()
+        return df.filter((F.col("arr") == name) & (F.col("t") == t))
+
+    return load

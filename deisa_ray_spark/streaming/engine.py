@@ -68,14 +68,26 @@ class ArrayFrame:
     store (the engine's ``DeisaArray`` — a DataFrame + ``.t`` instead of a
     dask.Array + ``.t``, reference types.py:206-269)."""
 
-    def __init__(self, spark: SparkSession, chunk_dir: str, name: str, t: int) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        chunk_dir: str,
+        name: str,
+        t: int,
+        loader: Callable[[str, int], DataFrame] | None = None,
+    ) -> None:
         self._spark = spark
         self.chunk_dir = chunk_dir
         self.name = name
         self.t = int(t)
+        self._loader = loader
 
     def chunks(self) -> DataFrame:
-        """Chunk rows of this (array, timestep) — a pruned scan."""
+        """Chunk rows of this (array, timestep) — a pruned scan (or the
+        injected loader when the chunk store is not a parquet drop dir,
+        e.g. the sim_grid source)."""
+        if self._loader is not None:
+            return self._loader(self.name, self.t)
         return (
             self._spark.read.schema(CHUNK_SCHEMA)
             .parquet(self.chunk_dir)
@@ -208,6 +220,8 @@ class InSituEngine:
         feedback_dir: str | None = None,
         feedback_queue_size: int = DEFAULT_QUEUE_SIZE,
         max_simulation_ahead: int = 1,
+        chunk_stream: DataFrame | None = None,
+        chunk_loader: Callable[[str, int], DataFrame] | None = None,
     ) -> None:
         #: A15 parity: accepted and stored but NOT enforced — faithful to
         #: the reference, where the documented semaphore does not exist
@@ -217,6 +231,12 @@ class InSituEngine:
         self.max_simulation_ahead = max_simulation_ahead
         self.spark = spark
         self.chunk_dir = chunk_dir
+        #: Alternative chunk transports: a streaming DataFrame of
+        #: CHUNK_SCHEMA rows for the control plane (e.g. the sim_grid
+        #: source) + a matching (arr, t) -> DataFrame loader for the
+        #: data plane. Default (None, None) = the parquet drop dir.
+        self._chunk_stream = chunk_stream
+        self._chunk_loader = chunk_loader
         self.callbacks: list[_CallbackConfig] = []
         self.feedback = (
             FeedbackStore(feedback_dir, feedback_queue_size) if feedback_dir else None
@@ -266,7 +286,9 @@ class InSituEngine:
     def _dispatch_boundary(self, t: int, new_arrays: set[str]) -> None:
         for arr in sorted(new_arrays):
             dq = self._windows.setdefault(arr, deque(maxlen=self._max_window(arr)))
-            dq.append(ArrayFrame(self.spark, self.chunk_dir, arr, t))
+            dq.append(
+                ArrayFrame(self.spark, self.chunk_dir, arr, t, self._chunk_loader)
+            )
         for cfg in self.callbacks:
             if not self._should_call(cfg, new_arrays):
                 continue
@@ -290,6 +312,7 @@ class InSituEngine:
         engine-side means enforcement is purely a bridge decision."""
         from deisa_ray_spark.streaming.bridge import PROGRESS_MARKER
 
+        os.makedirs(self.chunk_dir, exist_ok=True)
         path = os.path.join(self.chunk_dir, PROGRESS_MARKER)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -324,10 +347,13 @@ class InSituEngine:
         from deisa_ray_spark.shipping import ensure_shipped
 
         ensure_shipped(self.spark)
-        reader = self.spark.readStream.schema(CHUNK_SCHEMA)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        chunks = reader.parquet(self.chunk_dir)
+        if self._chunk_stream is not None:
+            chunks = self._chunk_stream
+        else:
+            reader = self.spark.readStream.schema(CHUNK_SCHEMA)
+            if max_files_per_trigger is not None:
+                reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+            chunks = reader.parquet(self.chunk_dir)
         meta = chunks.drop("data").withColumn("k", F.lit(0))
         return meta.groupBy("k").applyInPandasWithState(
             _control_plane,
@@ -366,6 +392,36 @@ class InSituEngine:
             if pending is not None:
                 raise pending from None
             raise
+
+    def run_live(self, checkpoint_dir: str) -> None:
+        """Consume an injected ``chunk_stream`` with a live continuous
+        query until its offsets stop advancing (``processAllAvailable``)
+        — the mode for rate-paced sources like sim_grid, where
+        AvailableNow snapshotting does not apply. Sentinel handling,
+        ordering abort, and exception translation are identical to the
+        file-drop path."""
+        events = self.events_stream(None)
+        q = (
+            events.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self._process_events)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception as exc:  # same translation as drain_available
+            pending = getattr(self, "_dispatch_exc", None)
+            self._dispatch_exc = None
+            msg = str(pending) if pending is not None else str(exc)
+            if _ORDERING_MARKER in msg:
+                raise OrderingError(msg) from None
+            if _CONTRACT_MARKER in msg:
+                raise ContractError(msg) from None
+            if pending is not None:
+                raise pending from None
+            raise
+        finally:
+            q.stop()
 
     def run(
         self,
