@@ -979,3 +979,46 @@ def q33_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.last("avg_v", ignorenulls=True).over(w), F.lit(0.0)), 4
         ).alias("locf_avg"),
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — semi-structured round trip through VARIANT (Spark 4): rows are
+# serialized to JSON (the shape raw event feeds arrive in), parsed with
+# parse_json into the binary VARIANT encoding, fields re-extracted with
+# typed try_variant_get, then aggregated. Pins the engine's
+# semi-structured path end-to-end: ingestion of schemaless payloads
+# without a pre-declared struct schema, with typed extraction pushed to
+# the JVM (no Python, no regex). Oracle extracts the same fields with
+# DuckDB's JSON functions — doubles round-trip exactly through
+# shortest-repr JSON in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q35_variant_json_roundtrip",
+    oracle="""
+    WITH payload AS (
+      SELECT to_json(struct_pack(event_type := event_type, value := value)) AS p
+      FROM events
+    )
+    SELECT json_extract_string(p, '$.event_type') AS event_type,
+           count(*) AS n,
+           round(sum(CAST(json_extract(p, '$.value') AS DOUBLE)), 2) AS total_value
+    FROM payload GROUP BY 1
+    """,
+)
+def q35_variant_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    payload = ev.select(
+        F.to_json(F.struct("event_type", "value")).alias("p")
+    )
+    var = payload.select(F.parse_json("p").alias("var"))
+    return (
+        var.select(
+            F.try_variant_get("var", "$.event_type", "string").alias("event_type"),
+            F.try_variant_get("var", "$.value", "double").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+    )
