@@ -26,9 +26,10 @@ Options: ``arrays`` (csv, default "temperature,pressure"),
 
 Scale notes (100 TB): generation is embarrassingly parallel across
 ranks; no shuffle, no driver materialization — the driver sees only
-offsets and partition descriptors. A real cluster source for an
-external simulation keeps this exact shape and swaps the generator for
-a receive loop.
+offsets and partition descriptors. Partitions emit ONE Arrow
+RecordBatch each (the DataSource fast path) rather than pickled
+per-row tuples. A real cluster source for an external simulation keeps
+this exact shape and swaps the generator for a receive loop.
 """
 
 from __future__ import annotations
@@ -83,16 +84,43 @@ class _RankPartition(InputPartition):
         self.sentinel = sentinel  # emit close-sentinel after the rows
 
 
-def _rank_rows(opts: _Opts, rank: int, t0: int, t1: int) -> Iterator[tuple]:
+def _rank_rows(opts: _Opts, rank: int, t0: int, t1: int) -> list[tuple]:
     """Rank ``rank``'s sends for timesteps [t0, t1) — the send loop."""
     pos = list(map(int, np.unravel_index(rank, opts.grid)))
     np_dtype = np.dtype(opts.dtype)
     cshape = list(opts.cshape)
     gshape = list(opts.gshape)
+    out = []
     for t in range(t0, t1):
         data = (t * (rank + 1)) * np.ones(opts.cshape, dtype=np_dtype)
         for arr in opts.arrays:
-            yield (arr, t, rank, pos, cshape, gshape, np_dtype.name, data.tobytes())
+            out.append(
+                (arr, t, rank, pos, cshape, gshape, np_dtype.name, data.tobytes())
+            )
+    return out
+
+
+def _to_record_batch(rows: list[tuple]):
+    """Pack rows into ONE Arrow RecordBatch — the Python DataSource fast
+    path (Arrow batches cross the Python↔JVM boundary zero-copy-ish;
+    per-row tuples are pickled one at a time)."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("arr", pa.string()),
+            ("t", pa.int64()),
+            ("bridge_id", pa.int32()),
+            ("pos", pa.list_(pa.int32())),
+            ("chunk_shape", pa.list_(pa.int32())),
+            ("global_shape", pa.list_(pa.int32())),
+            ("dtype", pa.string()),
+            ("data", pa.binary()),
+        ]
+    )
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    arrays = [pa.array(c, type=f.type) for c, f in zip(cols, schema)]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 class SimGridBatchReader(DataSourceReader):
@@ -105,8 +133,10 @@ class SimGridBatchReader(DataSourceReader):
             for r in range(self.opts.n_ranks)
         ]
 
-    def read(self, partition: _RankPartition) -> Iterator[tuple]:
-        return _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
+    def read(self, partition: _RankPartition) -> Iterator:
+        yield _to_record_batch(
+            _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
+        )
 
 
 class SimGridStreamReader(DataSourceStreamReader):
@@ -132,24 +162,27 @@ class SimGridStreamReader(DataSourceStreamReader):
             for r in range(self.opts.n_ranks)
         ]
 
-    def read(self, partition: _RankPartition) -> Iterator[tuple]:
-        yield from _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
+    def read(self, partition: _RankPartition) -> Iterator:
+        rows = _rank_rows(self.opts, partition.rank, partition.t0, partition.t1)
         if partition.sentinel:
             # Bridge.close(last_t): 1x1 sentinel array from rank 0
             # (reference bridge.py:269-274).
             from deisa_ray_spark.model import SENTINEL_ARRAY
 
             last_t = self.opts.timesteps - 1
-            yield (
-                SENTINEL_ARRAY,
-                last_t,
-                0,
-                [0, 0],
-                [1, 1],
-                [1, 1],
-                "int64",
-                np.zeros((1, 1), dtype=np.int64).tobytes(),
+            rows.append(
+                (
+                    SENTINEL_ARRAY,
+                    last_t,
+                    0,
+                    [0, 0],
+                    [1, 1],
+                    [1, 1],
+                    "int64",
+                    np.zeros((1, 1), dtype=np.int64).tobytes(),
+                )
             )
+        yield _to_record_batch(rows)
 
     def commit(self, end: dict) -> None:
         pass
