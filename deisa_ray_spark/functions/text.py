@@ -477,3 +477,65 @@ def txt_rep_dup3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_3grams"), 6),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# txt_curation_pipeline — the capstone: a full corpus-curation pass as
+# ONE declarative plan — quality filter (length + type-token ratio) →
+# language gate (marker argmax = 'en') → exact dedup (md5(text),
+# keep lowest doc_id) → deterministic 50% sample (md5 key) →
+# per-source yield report. Every stage is a narrow JVM-side
+# projection/filter except the dedup groupBy (one shuffle on a uniform
+# 32-hex key) and the final aggregate; Catalyst fuses the rest into one
+# codegen stage. This is the shape of a production pretraining-data
+# job: at 100 TB the only wide ops are the two keyed exchanges.
+# --------------------------------------------------------------------------
+@query(
+    "txt_curation_pipeline",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, text, string_split(text,' ') AS toks
+                 FROM documents),
+    feat AS (SELECT doc_id, source, text, len(toks) AS n_tokens,
+             len(list_distinct(toks))/len(toks) AS ttr,
+             len(list_filter(toks, t -> t IN ('the','a','fast','slow')))    AS score_en,
+             len(list_filter(toks, t -> t IN ('vector','hash','merge')))    AS score_de,
+             len(list_filter(toks, t -> t IN ('row','column','line')))      AS score_fr,
+             len(list_filter(toks, t -> t IN ('data','table','value')))     AS score_es,
+             len(list_filter(toks, t -> t IN ('window','stream','batch')))  AS score_zh
+             FROM tok),
+    kept AS (SELECT * FROM feat WHERE n_tokens >= 10 AND ttr >= 0.2),
+    langed AS (SELECT *, CASE greatest(score_en,score_de,score_fr,score_es,score_zh)
+               WHEN score_en THEN 'en' WHEN score_de THEN 'de'
+               WHEN score_fr THEN 'fr' WHEN score_es THEN 'es'
+               ELSE 'zh' END AS pred_lang FROM kept),
+    en AS (SELECT * FROM langed WHERE pred_lang = 'en'),
+    firsts AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+    final AS (SELECT e.* FROM en e JOIN firsts d ON e.doc_id = d.doc_id),
+    samp AS (SELECT * FROM final
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(ttr), 6) AS avg_ttr
+    FROM samp GROUP BY source
+    """,
+)
+def txt_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    feat = docs.withColumn("n_tokens", n_tokens).withColumn("ttr", ttr)
+    kept = feat.filter((F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.2))
+    en = lang_scores(kept).filter(F.col("pred_lang") == "en")
+    firsts = en.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    final = en.join(firsts.select("doc_id"), "doc_id", "left_semi")
+    samp = final.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80"
+    )
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+    )

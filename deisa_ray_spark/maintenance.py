@@ -1,0 +1,77 @@
+"""Table maintenance: small-file compaction for parquet directories.
+
+Streaming ingest (the bridge's one-file-per-send drop dir, or any
+micro-batched sink) accretes many small files; at 100 TB the resulting
+listing/footer overhead and 1-row-group scans dominate read cost. This
+op rewrites a directory into few large files, optionally range-sorted
+on a key — which both restores scan parallelism (row groups sized to
+``maxPartitionBytes``) and gives readers min/max-statistics pruning on
+the sort key.
+
+The reference has no storage maintenance at all (its store is Ray's
+in-memory object store, freed per timestep — SURVEY A16); this is part
+of the persistent-table surface the Spark engine adds.
+
+Scale notes: the rewrite is one shuffle (range partitioning on the sort
+key, or round-robin without one) sized so each output file ≈
+``target_file_bytes``; executors write in parallel; nothing passes the
+driver. Equivalent of OPTIMIZE/compaction in table formats, without
+requiring one.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionReport:
+    n_files_before: int
+    n_files_after: int
+    bytes_before: int
+    bytes_after: int
+    n_rows: int
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith((".", "_"))
+    ]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    sort_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> CompactionReport:
+    """Rewrite ``src_dir``'s parquet files into ``dst_dir`` as
+    ``ceil(input_bytes / target_file_bytes)`` files, range-sorted on
+    ``sort_by`` when given (enables min/max pruning on that key)."""
+    before = _parquet_files(src_dir)
+    bytes_before = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, -(-bytes_before // target_file_bytes))
+
+    df = spark.read.parquet(src_dir)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(dst_dir)
+
+    after = _parquet_files(dst_dir)
+    n_rows = spark.read.parquet(dst_dir).count()
+    return CompactionReport(
+        n_files_before=len(before),
+        n_files_after=len(after),
+        bytes_before=bytes_before,
+        bytes_after=sum(os.path.getsize(f) for f in after),
+        n_rows=n_rows,
+    )

@@ -230,3 +230,16 @@ def test_q34_double_correlation_no_nested_loop(spark):
     tree = plan.split("\n\n", 1)[0]
     assert "LeftSemi" in tree and "LeftAnti" in tree
     assert "BroadcastNestedLoopJoin" not in tree and "CartesianProduct" not in tree
+
+
+def test_curation_pipeline_two_shuffles_only(spark):
+    """The full curation pass (quality → lang → dedup → sample → report)
+    compiles to exactly TWO shuffles: the dedup aggregate and the final
+    per-source aggregate. Everything else is fused narrow projection/
+    filter; the dedup keep-set broadcasts back as a semi join."""
+    plan = plan_of(spark, "txt_curation_pipeline")
+    tree = plan.split("\n\n", 1)[0]
+    n_shuffles = tree.count("Exchange (") - tree.count("BroadcastExchange (")
+    assert n_shuffles == 2, tree
+    assert "BroadcastHashJoin LeftSemi" in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
