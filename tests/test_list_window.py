@@ -195,3 +195,48 @@ def test_tws_processor_equals_deque_model(case):
         model.append((t, v))
         expected.append((t, tuple(x[0] for x in model), tuple(x[1] for x in model)))
     assert got == expected
+
+
+def test_sliding_window_on_rocksdb_state_store(spark, tmp_path):
+    """Same stateful operator, production state backend: RocksDB state
+    store (incremental checkpoints, state spills off-heap — the backend
+    a 100 TB streaming deployment runs). Results must be identical to
+    the default (HDFS-backed in-memory) provider."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    old = spark.conf.get(provider_conf, None)
+    src = str(tmp_path / "stream")
+    _write_batch(src, 0, [("a", 0, 1.0), ("b", 0, 9.0)])
+    _write_batch(src, 1, [("a", 1, 2.0)])
+    _write_batch(src, 2, [("a", 2, 3.0), ("b", 2, 7.0)])
+    spark.conf.set(provider_conf, rocks)
+    try:
+        stream = (
+            spark.readStream.schema("k string, t long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            lw.sliding_last_n(stream, n=2)
+            .writeStream.format("memory")
+            .queryName("win_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                (r.k, r.t, tuple(r.win_ts), tuple(r.win_vs))
+                for r in spark.sql("SELECT * FROM win_rocks").collect()
+            )
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
+    assert got == _expected_windows(
+        {"a": [(0, 1.0), (1, 2.0), (2, 3.0)], "b": [(0, 9.0), (2, 7.0)]}, n=2
+    )
