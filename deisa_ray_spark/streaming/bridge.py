@@ -174,9 +174,19 @@ class SparkBridge:
         table = pa.Table.from_pandas(pd.DataFrame([row]), schema=_ARROW_SCHEMA, preserve_index=False)
         fname = f"chunk-{self.bridge_id:04d}-{self._seq:08d}-{uuid.uuid4().hex[:8]}.parquet"
         self._seq += 1
-        tmp = os.path.join(self.chunk_dir, f".{fname}.tmp")
+        # Drop files land under arr_<arr>/t_<t>/: the data plane then
+        # reads ONE directory per (array, timestep) — O(its chunks), not
+        # O(every file ever sent). A flat drop dir makes each boundary's
+        # pruned scan list + footer-read the whole history (quadratic
+        # over a run); the subdir layout keeps 10^5-timestep runs flat.
+        # The streaming control plane scans the root recursively. The
+        # ``arr_`` prefix matters: Spark silently ignores paths starting
+        # with '_' or '.', and the sentinel array name starts with '__'.
+        subdir = os.path.join(self.chunk_dir, f"arr_{row['arr']}", f"t_{row['t']}")
+        os.makedirs(subdir, exist_ok=True)
+        tmp = os.path.join(subdir, f".{fname}.tmp")
         pq.write_table(table, tmp)
-        final = os.path.join(self.chunk_dir, fname)
+        final = os.path.join(subdir, fname)
         os.rename(tmp, final)
         # Strictly-increasing mtime => file-source arrival order == send
         # order even within the same clock tick.

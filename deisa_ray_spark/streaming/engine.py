@@ -83,16 +83,15 @@ class ArrayFrame:
         self._loader = loader
 
     def chunks(self) -> DataFrame:
-        """Chunk rows of this (array, timestep) — a pruned scan (or the
-        injected loader when the chunk store is not a parquet drop dir,
-        e.g. the sim_grid source)."""
+        """Chunk rows of this (array, timestep) — reads exactly this
+        group's drop subdirectory ``<arr>/<t>/`` (O(its chunks) listing,
+        independent of run length), or the injected loader when the
+        chunk store is not a parquet drop dir (e.g. the sim_grid
+        source)."""
         if self._loader is not None:
             return self._loader(self.name, self.t)
-        return (
-            self._spark.read.schema(CHUNK_SCHEMA)
-            .parquet(self.chunk_dir)
-            .filter((F.col("arr") == self.name) & (F.col("t") == self.t))
-        )
+        path = os.path.join(self.chunk_dir, f"arr_{self.name}", f"t_{self.t}")
+        return self._spark.read.schema(CHUNK_SCHEMA).parquet(path)
 
     def cells(self) -> DataFrame:
         """Long-form ``(arr, t, x, y, value)`` cells (never densifies)."""
@@ -101,7 +100,43 @@ class ArrayFrame:
     def to_numpy(self) -> np.ndarray:
         """Assemble the dense tensor driver-side (bounded by the declared
         global_shape — the analogue of calling ``.compute()`` on the
-        reference's DeisaArray)."""
+        reference's DeisaArray).
+
+        Drop-dir mode reads the group's subdirectory directly with
+        pyarrow — the result lands on the analytics driver either way
+        (exactly like the reference's ``.compute()``), so launching a
+        Spark job per boundary only adds ~100 ms of scheduling to every
+        timestep. Distributed analytics still go through
+        ``chunks()``/``cells()`` (real DataFrame scans)."""
+        if self._loader is None:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            pattern = os.path.join(
+                self.chunk_dir, f"arr_{self.name}", f"t_{self.t}", "*.parquet"
+            )
+            files = [
+                f for f in _glob.glob(pattern)
+                if not os.path.basename(f).startswith(".")
+            ]
+            if not files:
+                raise ValueError(f"no chunks for ({self.name}, t={self.t})")
+            out = None
+            for f in files:
+                tbl = _pq.read_table(f)
+                for row in tbl.to_pylist():
+                    cshape = tuple(row["chunk_shape"])
+                    dt = np.dtype(row["dtype"])
+                    if out is None:
+                        out = np.empty(tuple(row["global_shape"]), dtype=dt)
+                    block = np.frombuffer(row["data"], dtype=dt).reshape(cshape)
+                    sl = tuple(
+                        slice(p * c, (p + 1) * c)
+                        for p, c in zip(row["pos"], cshape)
+                    )
+                    out[sl] = block
+            return out
         rows = self.chunks().collect()
         if not rows:
             raise ValueError(f"no chunks for ({self.name}, t={self.t})")
@@ -350,7 +385,9 @@ class InSituEngine:
         if self._chunk_stream is not None:
             chunks = self._chunk_stream
         else:
-            reader = self.spark.readStream.schema(CHUNK_SCHEMA)
+            reader = self.spark.readStream.schema(CHUNK_SCHEMA).option(
+                "recursiveFileLookup", "true"  # bridge drops under <arr>/<t>/
+            )
             if max_files_per_trigger is not None:
                 reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
             chunks = reader.parquet(self.chunk_dir)
