@@ -346,3 +346,141 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "bucket", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# sim_pq_topk — product quantization (PQ) ANN: the memory-bound scale
+# path. Vectors are unit-normalized, split into PQ_M subvectors; a
+# PQ_K-entry codebook per subspace is trained driver-side on a BOUNDED
+# sample (deterministic Lloyd iterations — at 100 TB you train the
+# codebook on a sample regardless of corpus size), then:
+#   1. encode: each corpus vector → PQ_M small codes (a broadcast-join
+#      argmin per subspace, `min_by` JVM-side) — the corpus is never
+#      collected; the stored index is PQ_M ints/vector (64 B → 8 B here,
+#      ~16× at production dims).
+#   2. ADC scan: per-query distance table (qid, m, code → partial d²),
+#      Q×M×K rows, broadcast; approximate distance is a join-aggregate
+#      over the CODES ONLY — the full vectors are not touched.
+#   3. re-rank: exact cosine on the PQ_SHORTLIST ADC survivors.
+# Declared WITHOUT a SQL oracle (iterative codebook training — driver
+# records rows-only); recall vs brute force is pinned in
+# tests/test_similarity_recall.py. Scale shape: one narrow encode pass,
+# then all scoring reads |corpus|×M code rows (bytes, not vectors) with
+# broadcast joins only — no shuffle until the per-query top-k
+# WindowGroupLimit.
+# --------------------------------------------------------------------------
+PQ_M = 8  #: subspaces
+PQ_K = 32  #: codes per subspace
+PQ_SHORTLIST = 50  #: ADC survivors re-ranked exactly
+PQ_TRAIN_N = 2000  #: bounded driver-side training sample
+
+
+def _pq_train(sample: "list[list[float]]", sub_dim: int) -> "list[list[list[float]]]":
+    """Deterministic Lloyd k-means per subspace (numpy, fixed init: first
+    PQ_K distinct training subvectors). Returns [m][code][sub_dim]."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    books = []
+    for m in range(PQ_M):
+        sub = x[:, m * sub_dim : (m + 1) * sub_dim]
+        cent = sub[np.sort(np.unique(sub.round(9), axis=0, return_index=True)[1])[:PQ_K]]
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for k in range(len(cent)):
+                mask = assign == k
+                if mask.any():
+                    cent[k] = sub[mask].mean(0)
+        books.append(cent.tolist())
+    return books
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 between two equal-length arrays, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("sim_pq_topk", oracle=None)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    n_dim = len(emb.select("e").first()["e"])
+    sub_dim = n_dim // PQ_M
+
+    # unit-normalize via the explode shape (a transform(e, v -> v/norm)
+    # projection would inline the norm aggregate into every element —
+    # the O(d²) projection-collapse trap).
+    dims = emb.select("vec_id", F.posexplode("e").alias("dim", "v"))
+    norms = dims.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    sub = (
+        dims.join(norms, "vec_id")
+        .withColumn("m", (F.col("dim") / sub_dim).cast("int"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", (F.col("v") / F.col("nrm")).alias("nv")))),
+                lambda s: s["nv"],
+            ).alias("sv")
+        )
+    )
+
+    # bounded-sample codebook, broadcast back as a tiny DataFrame
+    train = [r["e"] for r in emb.select("e").limit(PQ_TRAIN_N).collect()]
+    books = _pq_train(train, sub_dim)
+    cb = spark.createDataFrame(
+        [(m, k, books[m][k]) for m in range(PQ_M) for k in range(len(books[m]))],
+        "m int, code int, cvec array<double>",
+    )
+
+    # 1. encode: per-(vector, subspace) argmin over the broadcast codebook
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct(_sq_dist(F.col("sv"), F.col("cvec")), F.col("code"))).alias("code"))
+    )
+
+    # 2. ADC: per-query distance table (broadcast) x corpus codes
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    dtable = qsub.join(F.broadcast(cb), "m").select(
+        "qid", "m", "code", _sq_dist(F.col("qsv"), F.col("cvec")).alias("pd")
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    wa = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= PQ_SHORTLIST)
+        .select("qid", "vec_id", "adist")
+    )
+
+    # 3. exact re-rank of the shortlist
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    scored = (
+        F.broadcast(shortlist)
+        .join(emb, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cosine", "rank")
+    )

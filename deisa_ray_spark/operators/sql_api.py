@@ -243,3 +243,173 @@ _Q34 = """
 @query("q34_sole_blame_supplier", oracle=_Q34)
 def q34_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q34, "supplier", "lineitem", "orders")
+
+
+# --------------------------------------------------------------------------
+# q36 — TPC-H Q7 shape (volume shipping): a five-way join with TWO roles
+# of the same dimension (nation as supplier-nation and customer-nation)
+# and a symmetric nation-pair disjunction. Catalyst broadcasts both
+# nation sides (tiny dims), the pair predicate prunes before the fact
+# shuffle, and the year bucketing groups after partial aggregation — at
+# 100 TB the only big exchange is the orders⋈lineitem equi-join, which
+# AQE plans sort-merge on o_orderkey. (Reference has no joins at all —
+# SURVEY §2.C; this pins the multi-role dimension surface.)
+# --------------------------------------------------------------------------
+_Q36 = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               cast(extract(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey  = l_suppkey
+        JOIN customer ON c_custkey  = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q36_volume_shipping", oracle=_Q36)
+def q36_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark, sf_dir, _Q36, "lineitem", "orders", "supplier", "customer", "nation"
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — TPC-H Q19 shape (disjunctive pushdown): an OR-of-ANDs predicate
+# mixing part attributes and lineitem ranges. Catalyst extracts the
+# common-factor conjuncts (l_quantity ∈ [1, 30] upper envelope is NOT
+# derivable here, but the per-branch p_brand IN (...) union is), pushes
+# the partkey equi-join condition, and evaluates the residual
+# disjunction post-join inside codegen — one scan of each table, no
+# union-of-three-queries rewrite needed. test_plans.py pins that the
+# lineitem scan still prunes to the 4 referenced columns.
+# --------------------------------------------------------------------------
+_Q37 = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q37_disjunctive_parts", oracle=_Q37)
+def q37_disjunctive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q37, "lineitem", "part")
+
+
+# --------------------------------------------------------------------------
+# q38 — TPC-H Q14 shape (promo revenue): conditional aggregation ratio —
+# two sums over one scan via CASE, no self-join, no second pass. The
+# month filter reaches the parquet scan as a min/max-prunable range.
+# --------------------------------------------------------------------------
+_Q38 = """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4
+           ) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+@query("q38_promo_revenue", oracle=_Q38)
+def q38_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q38, "lineitem", "part")
+
+
+# --------------------------------------------------------------------------
+# q39 — TPC-H Q15 shape (top supplier via view + scalar max): the
+# aggregated CTE is referenced twice (join input + scalar max). Catalyst
+# computes the scalar subquery independently and folds it to a literal;
+# the revenue aggregate itself is one scan + one keyed exchange. The
+# equality compares ROUNDED totals on both engines, sidestepping
+# summation-order ulps.
+# --------------------------------------------------------------------------
+_Q39 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q39_top_revenue_supplier", oracle=_Q39)
+def q39_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q39, "supplier", "lineitem")
+
+
+# --------------------------------------------------------------------------
+# q40 — TPC-H Q12 shape (priority line counts): join + dual conditional
+# counts. (The fixture has no l_shipmode; l_returnflag plays the mode
+# role.) Both counts come out of ONE scan of each side — the CASE pair
+# becomes two partial-aggregated longs, shuffled by the 3-value group
+# key only.
+# --------------------------------------------------------------------------
+_Q40 = """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@query("q40_priority_line_counts", oracle=_Q40)
+def q40_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q40, "orders", "lineitem")
+
+
+# --------------------------------------------------------------------------
+# q41 — TPC-H Q20 shape (suppliers of bulk-shipped stock): an aggregate
+# feeding a join, gated by a scalar threshold over the SAME aggregate —
+# avg-relative (1.1×; per-supplier volumes are tightly concentrated on
+# the uniform fixture, ~7 survivors at sf0.01, 60 at sf0.1) so the
+# selectivity is scale-free. l_quantity is integer-valued, so
+# per-supplier sums are exact doubles and the threshold comparison is
+# deterministic across engines (same IEEE ops on both sides — the q31
+# trick).
+# --------------------------------------------------------------------------
+_Q41 = """
+    WITH shipped AS (
+        SELECT l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, qty AS shipped_qty
+    FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+    WHERE qty > (SELECT 1.1 * avg(qty) FROM shipped)
+"""
+
+
+@query("q41_bulk_shippers", oracle=_Q41)
+def q41_bulk_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q41, "supplier", "lineitem")

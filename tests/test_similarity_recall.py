@@ -41,3 +41,19 @@ def test_rp_lsh_recall_vs_bruteforce(spark):
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.1, f"mean recall {mean_recall:.3f}"
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
+    approx_df = QUERIES["sim_pq_topk"].fn(spark, SF_DIR)
+    approx = _topk_sets(approx_df)
+    assert set(approx) == set(exact)  # every query answered
+    # every query returns exactly TOP_K re-ranked survivors
+    from deisa_ray_spark.functions.similarity import TOP_K
+
+    assert all(len(v) == TOP_K for v in approx.values())
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # ADC shortlist (50 of ~500) + exact re-rank on near-uniform vectors:
+    # must decisively beat random draw of a shortlist (50/499 -> ~0.1)
+    assert mean_recall >= 0.2, f"mean recall {mean_recall:.3f}"
