@@ -75,3 +75,45 @@ def compact_parquet(
         bytes_after=sum(os.path.getsize(f) for f in after),
         n_rows=n_rows,
     )
+
+
+@dataclass(frozen=True)
+class PartitionReport:
+    n_partitions: int
+    n_files: int
+    n_rows: int
+
+
+def partition_table(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    partition_by: list[str],
+    files_per_partition: int = 1,
+) -> PartitionReport:
+    """Rewrite a parquet directory hive-partitioned on ``partition_by``
+    (directory-encoded key values). This is what makes two pruning paths
+    available to every downstream query:
+
+    - static partition pruning — a literal predicate on the partition key
+      never lists, let alone reads, non-matching directories;
+    - dynamic partition pruning (DPP) — a join against a filtered
+      dimension prunes fact partitions at RUNTIME from the dimension's
+      build side (``dynamicpruningexpression`` in the scan's
+      PartitionFilters — pinned in tests/test_plans.py).
+
+    At 100 TB this is the difference between scanning a day and scanning
+    the archive. Keep the key low-cardinality (date buckets, source,
+    tenant): each (partition × shuffle task) pair can emit a file, so a
+    high-cardinality key re-creates the small-file problem compaction
+    removes — hence the per-partition repartition below.
+    """
+    df = spark.read.parquet(src_dir).repartition(files_per_partition, *partition_by)
+    df.write.partitionBy(*partition_by).mode("overwrite").parquet(dst_dir)
+    out = spark.read.parquet(dst_dir)
+    n_parts = out.select(*partition_by).distinct().count()
+    return PartitionReport(
+        n_partitions=n_parts,
+        n_files=len(_parquet_files(dst_dir)),
+        n_rows=out.count(),
+    )

@@ -243,3 +243,98 @@ def test_curation_pipeline_two_shuffles_only(spark):
     assert n_shuffles == 2, tree
     assert "BroadcastHashJoin LeftSemi" in tree
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join against a filtered dimension prunes hive partitions of the
+    fact at runtime: the fact scan's PartitionFilters carries a
+    dynamicpruningexpression fed from the dimension's broadcast — at
+    100 TB the scan reads the matching date buckets, not the archive."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from deisa_ray_spark.maintenance import partition_table
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "flat"))
+    report = partition_table(
+        spark, str(tmp_path / "flat"), str(tmp_path / "fact"), ["ship_month"]
+    )
+    assert report.n_rows == li.count()
+    dim = (
+        li.select("ship_month")
+        .distinct()
+        .withColumn(
+            "season",
+            F.when(F.col("ship_month").startswith("1996"), "hot").otherwise("cold"),
+        )
+    )
+    dim.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dimr = spark.read.parquet(str(tmp_path / "dim"))
+        j = (
+            fact.join(
+                dimr.filter(F.col("season") == "hot"),
+                fact.ship_month == dimr.ship_month,
+            )
+            .groupBy(fact.ship_month)
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "dynamicpruningexpression" in plan, plan
+        # and the pruning is real: only the 12 hot months survive
+        assert j.count() == 12
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bloom_runtime_filter_on_shuffle_join(spark):
+    """When neither join side broadcasts, Spark injects a bloom filter
+    built from the selective side into the large side's scan — rows that
+    cannot match are dropped BEFORE the shuffle (runtime row-level
+    pruning, the shuffle-join complement of DPP)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        j = (
+            li.join(
+                orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                li.l_orderkey == orders.o_orderkey,
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan, plan  # built on the filtered side
+        assert "might_contain" in plan, plan  # probed on the fact side
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
