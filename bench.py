@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q14_salted_agg_events",
     "q30_min_cost_supplier",
     "q33_gap_fill_locf",
+    "q36_volume_shipping",
+    "q40_priority_line_counts",
     "grid_ingest_checksum",
     "grid_matmul_tn",
     "dedup_exact",

@@ -51,15 +51,24 @@ _SQL_SHINGLES = (
 
 
 def shingles_col(text_col: str = "text") -> Column:
-    """Distinct word-3-gram shingles as a JVM array expression."""
+    """Distinct word-3-gram shingles as a JVM array expression.
+
+    Shape matters: the obvious ``transform(sequence(...), i ->
+    concat(element_at(toks, i), ...))`` re-evaluates ``toks`` (the whole
+    split) inside the lambda for every shingle position — O(tokens²) per
+    document (measured 2.5 s vs 0.27 s over sf0.1 documents). The
+    slice+zip_with form below evaluates the split a CONSTANT number of
+    times per row: k offset slices zipped pairwise, each argument
+    evaluated once."""
     toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    gram = F.transform(
-        F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(SHINGLE_K)]
-        ),
-    )
+    ln = F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(0))
+    gram = F.slice(toks, 1, ln)
+    for k in range(1, SHINGLE_K):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, 1 + k, ln),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(gram)
 
 
