@@ -106,3 +106,54 @@ def samp_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATA_K)
         .select("doc_id", "source", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# samp_lang_temperature — temperature re-balancing across languages (the
+# multilingual-corpus mixing step: sample language l with probability
+# ∝ n_l^α, α = 0.5). Implemented as a single-pass deterministic
+# Bernoulli gate: per-language keep rate √(min_n / n_l) (the smallest
+# language is kept whole, large languages downsample toward balance), doc
+# gate = md5-derived uniform fraction — so the "random" subset is
+# bit-identical across engines, runs, and cluster sizes. Scale shape:
+# the rates table is O(languages) and broadcast; the gate is a pure
+# filter — no corpus shuffle before the final per-language rollup.
+# --------------------------------------------------------------------------
+@query(
+    "samp_lang_temperature",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    rates AS (SELECT lang, sqrt((SELECT min(n) FROM counts) * 1.0 / n)
+                  AS keep_rate
+              FROM counts),
+    gated AS (
+      SELECT d.lang, r.keep_rate,
+             ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 / 4294967296.0 AS frac
+      FROM documents d JOIN rates r ON d.lang = r.lang)
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE frac < keep_rate) AS n_kept,
+           round(min(keep_rate), 6) AS keep_rate
+    FROM gated
+    GROUP BY lang
+    """,
+)
+def samp_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.withColumn(
+        "keep_rate",
+        F.sqrt(F.min("n").over(W.partitionBy()) * F.lit(1.0) / F.col("n")),
+    ).select("lang", "keep_rate")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    gated = docs.join(F.broadcast(rates), "lang").withColumn("frac", frac)
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("frac") < F.col("keep_rate"), 1)).alias("n_kept"),
+        F.round(F.min("keep_rate"), 6).alias("keep_rate"),
+    )

@@ -76,3 +76,73 @@ def test_insitu_engine_over_sim_stream(spark, tmp_path):
 
     assert engine.done
     assert sums == {t: 40.0 * t for t in range(5)}
+
+
+def test_feedback_sink_batch_write(spark, tmp_path):
+    """Batch write through the deisa_feedback DataSource publishes into
+    the same store SparkBridge.get reads, with strict-increase enforced
+    at commit."""
+    import json
+
+    from deisa_ray_spark.sources.feedback_sink import register
+    from deisa_ray_spark.streaming.feedback import read_feedback
+
+    register(spark)
+    fb = str(tmp_path / "fb")
+    rows = [("alpha", t, json.dumps({"v": t * 10})) for t in range(3)]
+    df = spark.createDataFrame(rows, "key string, t bigint, value string")
+    df.coalesce(1).write.format("deisa_feedback").option("path", fb).mode(
+        "append"
+    ).save()
+    assert read_feedback(fb, "alpha", 2) == {"v": 20}
+    assert [t for t, _ in read_feedback(fb, "alpha")] == [0, 1, 2]
+    # non-increasing replay must fail the write (A11 strict increase)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="strictly increasing"):
+        df.coalesce(1).write.format("deisa_feedback").option("path", fb).mode(
+            "append"
+        ).save()
+
+
+def test_feedback_sink_streaming_closes_fileless_loop(spark, tmp_path):
+    """sim_grid stream -> per-rank chunk telemetry -> deisa_feedback
+    stream sink -> SparkBridge-style read: the whole feedback loop runs
+    inside Spark with no user-managed files."""
+    import pyspark.sql.functions as F
+
+    from deisa_ray_spark.sources.feedback_sink import register as reg_sink
+    from deisa_ray_spark.sources.sim_source import register as reg_src
+    from deisa_ray_spark.streaming.feedback import read_feedback
+
+    reg_src(spark)
+    reg_sink(spark)
+    fb = str(tmp_path / "fb")
+    st = (
+        spark.readStream.format("sim_grid")
+        .options(arrays="temperature", timesteps="4", global_shape="4x4",
+                 chunk_shape="2x2")
+        .load()
+    )
+    # per-rank telemetry: one feedback row per (rank, t) — strictly
+    # increasing t within each key by construction
+    telemetry = st.select(
+        F.concat(F.col("arr"), F.lit("/rank"), F.col("bridge_id")).alias("key"),
+        F.col("t"),
+        F.to_json(F.struct(F.length("data").alias("n_bytes"))).alias("value"),
+    )
+    q = (
+        telemetry.writeStream.format("deisa_feedback")
+        .option("path", fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 4 ranks x 4 timesteps (t=1..4 — the stream advances one t per batch)
+    hist = read_feedback(fb, "temperature/rank0")
+    assert [t for t, _ in hist] == [0, 1, 2, 3]
+    assert hist[-1][1]["n_bytes"] == 2 * 2 * 8  # one 2x2 int64 chunk
+    assert read_feedback(fb, "temperature/rank3", 2)["n_bytes"] == 32
