@@ -107,3 +107,66 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_fn,
         "l_returnflag string, l_linestatus string, median_qty double, n bigint",
     )
+
+
+def make_word_runs():
+    """Python UDTF (Spark 4): collapse consecutive repeated words into
+    (word, start_pos, run_len) rows — sequential logic that is natural
+    imperatively and takes a two-window gaps-and-islands rewrite in SQL
+    (which is exactly what the DuckDB oracle does). Built lazily like
+    the pandas UDF: decorating at import time requires a session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, start_pos int, run_len int")
+    class WordRuns:
+        def eval(self, text: str):
+            words = text.split(" ")
+            i = 0
+            while i < len(words):
+                j = i
+                while j < len(words) and words[j] == words[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield (words[i], i, j - i)
+                i = j
+
+    return WordRuns
+
+
+# --------------------------------------------------------------------------
+# udtf_word_runs — the UDTF surface completing the triad (scalar pandas
+# UDF / grouped pandas UDAF / Python UDTF): SQL-registered, invoked via
+# LATERAL so each document fans out to its repeat-runs. The oracle is
+# the declarative twin — lag() island marking + running-sum run ids —
+# proving the imperative and declarative forms agree row-for-row.
+# Scale notes: the UDTF is Arrow-batched per partition and stateless
+# across rows, so it pipelines inside the scan stage — no shuffle until
+# a downstream aggregation; each doc's work is O(words).
+# --------------------------------------------------------------------------
+@query(
+    "udtf_word_runs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(string_split(text,' '),1) - 1 AS pos,
+             unnest(string_split(text,' ')) AS w
+      FROM documents),
+    marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY pos) = w
+                  THEN 0 ELSE 1 END AS brk
+      FROM toks),
+    runs AS (SELECT doc_id, w, pos,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+             FROM marked)
+    SELECT doc_id, min(w) AS word, cast(min(pos) AS INT) AS start_pos,
+           cast(count(*) AS INT) AS run_len
+    FROM runs GROUP BY doc_id, run_id HAVING count(*) >= 2
+    """,
+)
+def udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("word_runs", make_word_runs())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, r.word, r.start_pos, r.run_len "
+        "FROM documents d, LATERAL word_runs(d.text) r"
+    )

@@ -1022,3 +1022,59 @@ def q35_variant_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q42 — mergeable HLL sketch rollup (DataSketches): per-group sketches
+# union-merge into a global estimate WITHOUT rescanning the fact — the
+# pre-aggregated-sketch-table pattern that makes distinct-count
+# dashboards O(groups) instead of O(rows) at 100 TB (sketches compose
+# across partitions, days, and rollup levels; exact distincts do not).
+# The declared output pins BOTH the exact distincts (hash-matched
+# against DuckDB) and the sketch-accuracy contract (|est/exact − 1| <
+# 5%, emitted as a boolean the oracle asserts true) — so the driver's
+# gate verifies the estimates without requiring cross-engine sketch
+# equality (Spark's DataSketches HLL and DuckDB's HLL differ).
+# --------------------------------------------------------------------------
+@query(
+    "q42_hll_mergeable_rollup",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+           true AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', count(DISTINCT user_id), true FROM events
+    """,
+)
+def q42_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    ok = (
+        F.abs(
+            F.hll_sketch_estimate("sk") / F.col("exact_distinct") - F.lit(1.0)
+        )
+        < 0.05
+    )
+    per_out = per.select("event_type", "exact_distinct", ok.alias("within_5pct"))
+    # the rollup: union-merge the per-group sketches — no fact rescan
+    glob = (
+        per.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "exact_distinct",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk") / F.col("exact_distinct")
+                    - F.lit(1.0)
+                )
+                < 0.05
+            ).alias("within_5pct"),
+        )
+    )
+    return per_out.unionAll(glob)

@@ -47,3 +47,54 @@ def test_compaction_preserves_content_and_sorts(spark, tmp_path):
         ranges.append((lo, hi))
     ranges.sort()
     assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Z-order clustering gives per-file min/max locality on BOTH keys;
+    a single-key sort leaves the second key's per-file range ~ the whole
+    domain (no skipping possible on it)."""
+    import glob
+
+    from deisa_ray_spark.maintenance import zorder_parquet
+    from tests.conftest import SF_DIR
+
+    src = f"{SF_DIR}/lineitem.parquet"
+    flat = str(tmp_path / "flat")
+    spark.read.parquet(src).write.parquet(flat)
+
+    def mean_frac(path, col):
+        import pyarrow.parquet as pq
+
+        files = [f for f in glob.glob(f"{path}/*.parquet")]
+        spans, lo_g, hi_g = [], None, None
+        per_file = []
+        for f in files:
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            per_file.append((min(t), max(t)))
+        lo_g = min(lo for lo, _ in per_file)
+        hi_g = max(hi for _, hi in per_file)
+        return sum((hi - lo) / (hi_g - lo_g) for lo, hi in per_file) / len(per_file)
+
+    # baseline: single-key range sort on l_partkey
+    naive = str(tmp_path / "naive")
+    (
+        spark.read.parquet(flat)
+        .repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(naive)
+    )
+    zdir = str(tmp_path / "z")
+    report = zorder_parquet(
+        spark, flat, zdir, ["l_partkey", "l_suppkey"], n_files=8
+    )
+    assert report.n_rows == spark.read.parquet(src).count()
+    assert report.n_files_after >= 8
+
+    naive_second = mean_frac(naive, "l_suppkey")
+    z_first = mean_frac(zdir, "l_partkey")
+    z_second = mean_frac(zdir, "l_suppkey")
+    # single-key sort cannot skip on the second key at all
+    assert naive_second > 0.9
+    # z-order keeps BOTH dimensions skippable
+    assert z_first < 0.8 and z_second < 0.8, (z_first, z_second)
+    assert z_second < naive_second
