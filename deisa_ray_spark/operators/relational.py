@@ -1078,3 +1078,102 @@ def q42_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_out.unionAll(glob)
+
+
+# --------------------------------------------------------------------------
+# q43 — time-series linear interpolation (the LOCF complement, q33):
+# missing spine cells blend the surrounding observations weighted by
+# time distance. The carried value must bring its own timestamp, so the
+# forward/backward fills carry a STRUCT (obs time, obs value) through
+# last/first(..., ignoreNulls) windows — nullable-struct carry is the
+# idiom that generalizes LOCF to any "nearest observation" logic.
+# Scale shape identical to q33: heavy lifting is one per-hour partial
+# aggregation; windows run over #hours × #types rows, not raw events.
+# --------------------------------------------------------------------------
+@query(
+    "q43_gap_fill_interp",
+    oracle="""
+    WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+    hourly AS (SELECT event_type, h, count(*) AS n,
+                      floor(avg(value) * 1e6 + 0.5) / 1e6 AS avg_v
+               FROM ev GROUP BY 1, 2),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+    grid AS (SELECT t.event_type, s.h
+             FROM (SELECT DISTINCT event_type FROM ev) t, spine s),
+    fg AS (SELECT g.event_type, g.h, hourly.n, hourly.avg_v
+           FROM grid g LEFT JOIN hourly USING (event_type, h)),
+    fg2 AS (SELECT *, CASE WHEN avg_v IS NOT NULL
+                           THEN {'oh': h, 'ov': avg_v} END AS obs FROM fg),
+    w AS (SELECT event_type, h, n,
+            last_value(obs IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+            first_value(obs IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+          FROM fg2)
+    SELECT event_type, h, coalesce(n, 0) AS n,
+      cast(floor((CASE WHEN prev IS NULL THEN nxt.ov
+                 WHEN nxt IS NULL THEN prev.ov
+                 WHEN prev.oh = nxt.oh THEN prev.ov
+                 ELSE prev.ov + (nxt.ov - prev.ov)
+                      * ((epoch(h) - epoch(prev.oh))
+                         / (epoch(nxt.oh) - epoch(prev.oh)))
+            END) * 1e4 + 0.5) AS BIGINT) AS interp_avg_e4
+    FROM w
+    """,
+)
+def q43_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        # floor(x*1e6+0.5)/1e6 (NOT round): quantizes the 1-ulp
+        # summation-order noise of avg() identically on both engines —
+        # 2-decimal values make every true avg >= 5e-7 from a boundary.
+        (F.floor(F.avg("value") * 1e6 + 0.5) / 1e6).alias("avg_v"),
+    )
+    spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    fg = grid.join(hourly, ["event_type", "h"], "left").withColumn(
+        "obs",
+        F.when(
+            F.col("avg_v").isNotNull(),
+            F.struct(F.col("h").alias("oh"), F.col("avg_v").alias("ov")),
+        ),
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prev = F.last("obs", ignorenulls=True).over(wb)
+    nxt = F.first("obs", ignorenulls=True).over(wf)
+    frac = (
+        (F.unix_timestamp(F.col("h")) - F.unix_timestamp(prev["oh"]))
+        / (F.unix_timestamp(nxt["oh"]) - F.unix_timestamp(prev["oh"]))
+    )
+    interp = (
+        F.when(prev.isNull(), nxt["ov"])
+        .when(nxt.isNull(), prev["ov"])
+        .when(prev["oh"] == nxt["oh"], prev["ov"])
+        .otherwise(prev["ov"] + (nxt["ov"] - prev["ov"]) * frac)
+    )
+    return fg.select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        # identical input doubles on both engines -> floor is exact even
+        # at .5 boundaries (round() implementations differ there)
+        F.floor(interp * 1e4 + F.lit(0.5)).cast("bigint").alias("interp_avg_e4"),
+    )
