@@ -492,3 +492,54 @@ def grid_sim_source_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# grid_spatial_stencil5 — the reference docs' own five_point_average
+# (docs/source/analytics.rst "five_point_average": arr averaged with its
+# four spatial neighbors; edges average what is in-bounds). Long-form
+# Spark shape: each cell scatters itself to its 5 stencil targets
+# (explode of a constant offsets array — narrow), then ONE keyed
+# aggregation per target cell sums contributions. This is the
+# halo-exchange-free formulation: at 100 TB no chunk needs its
+# neighbors' blocks materialized — the shuffle on (arr, t, x, y) IS the
+# halo exchange, handled by the engine.
+# --------------------------------------------------------------------------
+@query(
+    "grid_spatial_stencil5",
+    oracle=GRID_CTE
+    + """
+    SELECT g.arr, g.t, g.x, g.y,
+           round(sum(n.value) / count(*), 6) AS five_pt
+    FROM grid g
+    JOIN grid n ON n.arr = g.arr AND n.t = g.t
+       AND abs(n.x - g.x) + abs(n.y - g.y) <= 1
+    GROUP BY g.arr, g.t, g.x, g.y
+    """,
+)
+def grid_spatial_stencil5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = grid(spark)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+        ]
+    )
+    scattered = (
+        cells.select("arr", "t", "x", "y", "value", F.explode(offsets).alias("o"))
+        .select(
+            "arr",
+            "t",
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            "value",
+        )
+        # bounds of the declared global shape (4x4 fixture grid)
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") < 4)
+            & (F.col("ty") >= 0) & (F.col("ty") < 4)
+        )
+    )
+    return scattered.groupBy(
+        "arr", "t", F.col("tx").alias("x"), F.col("ty").alias("y")
+    ).agg(F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("five_pt"))
