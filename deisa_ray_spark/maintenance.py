@@ -192,3 +192,68 @@ def zorder_parquet(
         bytes_after=sum(os.path.getsize(f) for f in after),
         n_rows=spark.read.parquet(dst_dir).count(),
     )
+
+
+@dataclass(frozen=True)
+class UpsertReport:
+    n_partitions_rewritten: int
+    n_updated: int
+    n_inserted: int
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    table_dir: str,
+    updates,
+    keys: list[str],
+    partition_by: list[str],
+) -> UpsertReport:
+    """MERGE (upsert by key) into a hive-partitioned parquet table
+    WITHOUT a table format: only the partitions present in ``updates``
+    are read, merged (existing rows losing to updates on ``keys``), and
+    rewritten — Spark's dynamic partitionOverwriteMode leaves every
+    other partition's files physically untouched (asserted by inode in
+    the test).
+
+    Scale notes (100 TB): cost is O(affected partitions), not O(table).
+    The affected-partition list is a distinct over the updates (tiny by
+    assumption — an upsert batch touches few partitions); the merge is
+    one partition-pruned scan + one anti-join against the update keys,
+    which broadcast when the batch is small. This is the idiomatic
+    no-format MERGE; a table format adds ACID/concurrency on top, not a
+    different data path.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
+    pred = F.lit(False)
+    for vals in parts:
+        clause = F.lit(True)
+        for c, v in zip(partition_by, vals):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+
+    old = spark.read.parquet(table_dir).filter(pred)
+    n_before = old.count()
+    kept = old.join(updates.select(*keys), keys, "left_anti")
+    n_kept = kept.count()
+    # The merged plan reads the very partitions the write replaces —
+    # materialize it (bounded: affected partitions + batch only) before
+    # overwriting, or the write's tasks race the deletes.
+    merged = kept.unionByName(updates).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(table_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # drop the session's stale file-listing cache for this path
+    spark.catalog.refreshByPath(table_dir)
+
+    n_updates = updates.count()
+    return UpsertReport(
+        n_partitions_rewritten=len(parts),
+        n_updated=n_before - n_kept,
+        n_inserted=n_updates - (n_before - n_kept),
+    )

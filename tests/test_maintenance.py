@@ -98,3 +98,51 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     # z-order keeps BOTH dimensions skippable
     assert z_first < 0.8 and z_second < 0.8, (z_first, z_second)
     assert z_second < naive_second
+
+
+def test_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """MERGE-by-key into a hive-partitioned table: updated keys replaced,
+    new keys inserted, and partitions outside the batch keep their exact
+    files (same inodes) — cost scales with the batch, not the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deisa_ray_spark.maintenance import upsert_parquet
+    from tests.conftest import SF_DIR
+    from deisa_ray_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    table = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(table)
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    target_day, other_day = days[0], days[-1]
+
+    def inodes(day):
+        d = f"{table}/day={day}"
+        return {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)
+                if f.endswith(".parquet")}
+
+    before_other = inodes(other_day)
+    orig = spark.read.parquet(table)
+    orig_count = orig.count()
+    victim = orig.filter(F.col("day") == target_day).limit(2).localCheckpoint()
+    changed = victim.withColumn("value", F.lit(-1.0))
+    updates = changed.unionByName(
+        changed.withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+
+    report = upsert_parquet(
+        spark, table, updates, keys=["event_id"], partition_by=["day"]
+    )
+    assert report.n_partitions_rewritten == 1
+    assert report.n_updated == 2 and report.n_inserted == 2
+
+    after = spark.read.parquet(table)
+    assert after.count() == orig_count + 2
+    got = after.filter(F.col("day") == target_day).filter(F.col("value") == -1.0)
+    assert got.count() == 4  # 2 replaced + 2 inserted rows carry value=-1
+    # untouched partition: identical files, identical inodes
+    assert inodes(other_day) == before_other
