@@ -338,3 +338,28 @@ def test_bloom_runtime_filter_on_shuffle_join(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_q36_broadcasts_both_nation_roles(spark):
+    """Q7 shape: the nation dim appears in two roles (supplier/customer
+    side) — both must broadcast; the only non-broadcast exchange inputs
+    are the fact tables."""
+    plan = plan_of(spark, "q36_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_q37_disjunction_prunes_columns(spark):
+    """Q19 shape: the OR-of-ANDs predicate must not defeat column
+    pruning — the lineitem scan reads only the 4 referenced columns."""
+    plan = plan_of(spark, "q37_disjunctive_parts")
+    li_scans = [
+        seg for seg in plan.split("ReadSchema:")[1:] if "l_quantity" in seg.splitlines()[0]
+    ]
+    assert li_scans, plan
+    schema_line = li_scans[0].splitlines()[0]
+    for col in ("l_extendedprice", "l_discount", "l_partkey", "l_quantity"):
+        assert col in schema_line
+    assert "l_shipdate" not in schema_line and "l_orderkey" not in schema_line
+    # the part-side single-branch conjuncts (brand IN set) reach the scan
+    assert "PushedFilters" in plan
