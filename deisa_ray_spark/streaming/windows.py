@@ -135,7 +135,7 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 def join_clicks_to_views(
     clicks: DataFrame, views: DataFrame, max_gap: str = "1 hour",
-    watermark: str = "30 minutes",
+    watermark: str = "30 minutes", how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each click pairs with the same
     user's views at most ``max_gap`` BEFORE it (view.ts ≤ click.ts ≤
@@ -159,6 +159,6 @@ def join_clicks_to_views(
             f"c_user = v_user AND view_ts <= click_ts "
             f"AND click_ts <= view_ts + INTERVAL {max_gap}"
         ),
-        "inner",
+        how,
     ).select("click_id", "view_id", F.col("c_user").alias("user_id"),
              "click_ts", "view_ts")

@@ -177,3 +177,42 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("select * from paired").collect()
     }
     assert got == {(1, 0, 0), (2, 2, 1)}
+
+
+def test_stream_stream_left_outer_join_emits_after_eviction(spark, tmp_path):
+    """Left-outer interval join: unmatched clicks surface with a NULL
+    view only after the watermark proves no view can still arrive —
+    state stays bounded and nulls are never premature."""
+    views_dir, clicks_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    _write_batch(views_dir, 0, [("08:00", 1, "view", 0.0)])
+    _write_batch(clicks_dir, 0, [("08:30", 1, "click", 0.0),  # pairs
+                                 ("08:40", 3, "click", 0.0)])  # never pairs
+    joined = sw.join_clicks_to_views(
+        sw.stream_events(spark, clicks_dir),
+        sw.stream_events(spark, views_dir),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("paired_lo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.user_id for r in spark.sql("select * from paired_lo").collect()}
+        assert got == {1}  # the unmatched click must NOT emit yet
+        # advance event time far past click_ts + gap on both streams
+        _write_batch(views_dir, 1, [("12:00", 9, "view", 0.0)])
+        _write_batch(clicks_dir, 1, [("12:00", 9, "click", 0.0)])
+        q.processAllAvailable()
+        _write_batch(views_dir, 2, [("12:30", 9, "view", 0.0)])
+        _write_batch(clicks_dir, 2, [("12:30", 9, "click", 0.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from paired_lo").collect()
+    unmatched = [r for r in rows if r.view_id is None]
+    assert {r.user_id for r in unmatched} == {3}
+    assert {(r.user_id, r.click_id, r.view_id) for r in rows if r.view_id is not None} >= {(1, 0, 0)}
