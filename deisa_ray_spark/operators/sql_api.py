@@ -413,3 +413,298 @@ _Q41 = """
 @query("q41_bulk_shippers", oracle=_Q41)
 def q41_bulk_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q41, "supplier", "lineitem")
+
+
+# --------------------------------------------------------------------------
+# q44 — TPC-H Q3 shape (shipping priority): date filters on BOTH sides of
+# the customer⋈orders⋈lineitem tree, aggregate by order, top-10 by
+# revenue. Both timestamp range predicates reach their parquet scans
+# (min/max row-group pruning); the LIMIT runs as TakeOrdered over the
+# aggregated (not raw) rows, so the sort frontier is group-cardinality
+# bounded. Tie-break on l_orderkey keeps the frontier deterministic
+# cross-engine.
+# --------------------------------------------------------------------------
+_Q44 = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@query("q44_shipping_priority", oracle=_Q44)
+def q44_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q44, "customer", "orders", "lineitem")
+
+
+# --------------------------------------------------------------------------
+# q45 — TPC-H Q5 shape (local supplier volume): the defining twist is the
+# NON-join-tree equality c_nationkey = s_nationkey — customer and
+# supplier nations must coincide, which Catalyst applies as a post-join
+# filter on two different dimension paths of the same fact row. Nation
+# and region broadcast; the only exchanges are the two fact-side keyed
+# shuffles (orders⋈lineitem build) and the final 25-group aggregate.
+# --------------------------------------------------------------------------
+_Q45 = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q45_local_supplier_volume", oracle=_Q45)
+def q45_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark, sf_dir, _Q45,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — TPC-H Q8 shape (national market share): the nation dimension
+# joins TWICE in different roles (customer's market region gate vs
+# supplier's nationality tag), and the share is a conditional-sum ratio
+# per year — one pass over the eight-table join, no self-join. The year
+# is cast to BIGINT on both engines so the schema hash agrees.
+# --------------------------------------------------------------------------
+_Q46 = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT cast(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'AMERICA'
+          AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("q46_market_share", oracle=_Q46)
+def q46_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark, sf_dir, _Q46,
+        "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — TPC-H Q9 shape (product-type profit): profit decomposition by
+# supplier nation × order year over a part-name substring filter. The
+# fixture has no partsupp/ps_supplycost; 0.1 × p_retailprice stands in
+# for unit cost (same join tree minus the partsupp hop — the shape under
+# test is the multi-way fact join + two-level reaggregation, cited
+# absence of any relational layer in the reference per SURVEY §2.C).
+# The LIKE '%red%' filter prunes part BEFORE the join (pushed scan
+# predicate), shrinking the build side Catalyst broadcasts.
+# --------------------------------------------------------------------------
+_Q47 = """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               cast(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - (0.1 * p_retailprice) * l_quantity AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey
+          AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey
+          AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("q47_product_profit", oracle=_Q47)
+def q47_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark, sf_dir, _Q47, "part", "supplier", "lineitem", "orders", "nation",
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — TPC-H Q10 shape (returned items): quarter-windowed revenue lost
+# to returns, per customer, top 20. The l_returnflag = 'R' equality and
+# the o_orderdate quarter both push to their scans; nation broadcasts;
+# the aggregate keys on the customer attributes so the top-k frontier
+# sorts ~O(customers-with-returns) rows, not lineitems.
+# --------------------------------------------------------------------------
+_Q48 = """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("q48_returned_items", oracle=_Q48)
+def q48_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q48, "customer", "orders", "lineitem", "nation")
+
+
+# --------------------------------------------------------------------------
+# q49 — TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+# join with an extra non-key predicate INSIDE the join condition (the
+# priority exclusion must not drop order-less customers — a WHERE would),
+# then a count-of-counts histogram: two keyed aggregates, the second
+# over ≤ max-orders-per-customer distinct keys.
+# --------------------------------------------------------------------------
+_Q49 = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q49_customer_distribution", oracle=_Q49)
+def q49_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q49, "customer", "orders")
+
+
+# --------------------------------------------------------------------------
+# q50 — TPC-H Q16 shape (supplier relationship): count(DISTINCT suppkey)
+# per part attribute triple, minus an excluded supplier list via NOT IN —
+# Spark plans the subquery as a null-aware anti join (s_suppkey is
+# non-null here, so it degenerates to a broadcast anti hash join; the
+# null-aware machinery is the point of the shape). lineitem is the
+# part↔supplier link relation (no partsupp in the fixture — q30's
+# convention); negative account balance stands in for the complaints
+# predicate.
+# --------------------------------------------------------------------------
+_Q50 = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 3, 9, 12, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q50_supplier_relationship", oracle=_Q50)
+def q50_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q50, "lineitem", "part", "supplier")
+
+
+# --------------------------------------------------------------------------
+# q51 — TPC-H Q18 shape (large-volume customers): IN over a grouped
+# HAVING subquery — Catalyst decorrelates to a semi join against the
+# aggregated lineitem (partial map-side sums shrink the exchange), then
+# re-joins lineitem to recover the quantities for the surviving orders.
+# Threshold 250 sits at the ~99th percentile of per-order quantity sums
+# at every SF (uniform line counts), so selectivity is scale-free.
+# l_quantity is integer-valued, so the HAVING comparison is exact.
+# --------------------------------------------------------------------------
+_Q51 = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(l_quantity) > 250)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+@query("q51_large_volume_customers", oracle=_Q51)
+def q51_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q51, "customer", "orders", "lineitem")
+
+
+# --------------------------------------------------------------------------
+# q52 — TPC-H Q22 shape (global sales opportunity): a derived "country
+# code" (substring of c_name — the fixture has no c_phone), an
+# uncorrelated scalar AVG threshold, and a NOT EXISTS anti join against
+# DATE-FILTERED orders (Q22's "no orders in 7 years"; every fixture
+# customer has SOME order, so the unfiltered anti join is empty). The
+# scalar subquery computes once and folds to a literal; the threshold is
+# quantized with floor(x*100 + 0.5)/100 on BOTH engines so
+# summation-order ulp noise in avg() cannot flip the comparison.
+# --------------------------------------------------------------------------
+_Q52_CODES = """('01', '02', '03', '04', '05', '06', '07', '08', '09',
+                 '10', '21', '32', '43', '54', '65', '76', '87', '98',
+                 '19', '28')"""
+
+_Q52 = f"""
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+        SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode,
+               c_acctbal
+        FROM customer
+        WHERE substring(c_name, length(c_name) - 1, 2) IN {_Q52_CODES}
+          AND c_acctbal > (
+                SELECT floor(avg(c_acctbal) * 100 + 0.5) / 100
+                FROM customer
+                WHERE c_acctbal > 0.00
+                  AND substring(c_name, length(c_name) - 1, 2)
+                        IN {_Q52_CODES})
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-07-01')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+@query("q52_sales_opportunity", oracle=_Q52)
+def q52_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q52, "customer", "orders")

@@ -336,8 +336,14 @@ def test_bloom_runtime_filter_on_shuffle_join(spark):
         assert "might_contain" in plan, plan  # probed on the fact side
     finally:
         for k, v in saved.items():
+            # conf.get(k, None) returns None for never-set keys; restoring
+            # those means UNSET (back to the built-in default), not skip —
+            # otherwise -1 autoBroadcastJoinThreshold leaks into every
+            # later broadcast-join plan test.
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_q36_broadcasts_both_nation_roles(spark):
@@ -363,3 +369,42 @@ def test_q37_disjunction_prunes_columns(spark):
     assert "l_shipdate" not in schema_line and "l_orderkey" not in schema_line
     # the part-side single-branch conjuncts (brand IN set) reach the scan
     assert "PushedFilters" in plan
+
+
+def test_q44_pushes_both_date_filters(spark):
+    """Q3 shape: the orders-side and lineitem-side date ranges each reach
+    their own parquet scan (row-group min/max pruning on both fact
+    paths), and the top-10 runs as TakeOrdered over aggregated rows."""
+    plan = plan_of(spark, "q44_shipping_priority")
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q49_left_outer_with_in_join_predicate(spark):
+    """Q13 shape: the priority exclusion lives INSIDE the left-outer join
+    condition, so order-less customers survive; the filtered orders side
+    broadcasts (never shuffles the customer scan)."""
+    head = plan_of(spark, "q49_customer_distribution").split("\n\n", 1)[0]
+    assert "BroadcastHashJoin LeftOuter" in head
+    assert "SortMergeJoin" not in head
+
+
+def test_q50_not_in_plans_as_hash_anti_join(spark):
+    """Q16 shape: NOT IN over non-null keys must plan as a broadcast anti
+    HASH join — the null-aware fallback is a nested-loop join that would
+    be quadratic against a 100 TB fact table."""
+    head = plan_of(spark, "q50_supplier_relationship").split("\n\n", 1)[0]
+    assert "LeftAnti" in head
+    assert "BroadcastNestedLoopJoin" not in head
+
+
+def test_q51_having_aggregate_computed_once(spark):
+    """Q18 shape: the HAVING-gated subquery aggregate is built once and
+    its broadcast REUSED for every semi join that consumes it — the
+    per-order quantity sums never recompute."""
+    head = plan_of(spark, "q51_large_volume_customers").split("\n\n", 1)[0]
+    assert "LeftSemi" in head
+    assert "ReusedExchange" in head
+    # partial aggregation precedes the semi join's exchange
+    assert head.count("HashAggregate") >= 2
