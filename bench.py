@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "q33_gap_fill_locf",
     "q36_volume_shipping",
     "q40_priority_line_counts",
+    "q45_local_supplier_volume",
+    "q49_customer_distribution",
+    "q51_large_volume_customers",
     "grid_ingest_checksum",
     "grid_matmul_tn",
     "dedup_exact",

@@ -1,0 +1,209 @@
+"""Incremental materialized-view maintenance over mergeable aggregate
+state.
+
+A rollup MV stores PARTIAL aggregate state per group — counts, sums,
+min/max, and DataSketches HLL sketches for approximate distincts — not
+finalized values. Because every piece of state is mergeable
+(sum-of-sums, min-of-mins, HLL union), refreshing the view with a new
+batch is a pure merge: partial-aggregate the delta, read ONLY the MV
+partitions the delta touches, re-aggregate the union, and rewrite just
+those partitions (dynamic partition overwrite — the `upsert_parquet`
+data path). Derived values (avg, distinct estimates) are computed at
+read time from the state.
+
+The reference has nothing like this — its analytics recompute per
+timestep window and persist nothing (SURVEY A16: state is freed each
+iteration). For a 100 TB training-data pipeline this is the difference
+between "nightly rollup rescans the archive" and "rollup cost is
+O(today's batch + touched partitions)".
+
+Scale notes:
+- Refresh never reads the fact table, only the delta and the touched MV
+  partitions; cost is independent of total fact size.
+- The delta's partial aggregation is map-side combined (state rows per
+  partition ≤ group cardinality, not delta rows) before its single
+  keyed exchange.
+- Merge order is immaterial: init + any batch order = one-shot build on
+  the concatenated fact (exact for count/sum/min/max; HLL union is the
+  sketch's defined merge). The test asserts this equivalence.
+- ``partition_by`` must be a subset of ``keys`` so each group's state
+  lives in exactly one hive partition and the touched-partition list is
+  derivable from the delta alone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RollupSpec:
+    """What the MV aggregates: group ``keys``, hive ``partition_by``
+    (⊆ keys), numeric ``measures`` (count/sum/min/max kept per column),
+    and ``approx_distinct`` columns (HLL-sketched, lgK=``hll_lgk``)."""
+
+    keys: list[str]
+    partition_by: list[str]
+    measures: list[str] = field(default_factory=list)
+    approx_distinct: list[str] = field(default_factory=list)
+    hll_lgk: int = 12
+
+    def __post_init__(self) -> None:
+        if not set(self.partition_by) <= set(self.keys):
+            raise ValueError(
+                f"partition_by {self.partition_by} must be a subset of "
+                f"keys {self.keys} (group state must be partition-local)"
+            )
+
+
+@dataclass(frozen=True)
+class RefreshReport:
+    n_partitions_rewritten: int
+    n_state_rows: int
+
+
+def partial_state(df: DataFrame, spec: RollupSpec) -> DataFrame:
+    """One partial-aggregation pass: raw rows → mergeable state rows."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in spec.measures:
+        aggs += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    for c in spec.approx_distinct:
+        aggs.append(F.hll_sketch_agg(c, F.lit(spec.hll_lgk)).alias(f"hll_{c}"))
+    return df.groupBy(*spec.keys).agg(*aggs)
+
+
+def merge_state(state: DataFrame, spec: RollupSpec) -> DataFrame:
+    """Re-aggregate a union of state rows: sums add, bounds extremize,
+    sketches union. Idempotent on already-merged state."""
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in spec.measures:
+        aggs += [
+            F.sum(f"sum_{c}").alias(f"sum_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+        ]
+    for c in spec.approx_distinct:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
+    return state.groupBy(*spec.keys).agg(*aggs)
+
+
+def finalize(state: DataFrame, spec: RollupSpec) -> DataFrame:
+    """State → user-facing rollup: adds avg_<c> and distinct estimates."""
+    out = state
+    for c in spec.measures:
+        out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+    for c in spec.approx_distinct:
+        out = out.withColumn(
+            f"approx_distinct_{c}", F.hll_sketch_estimate(f"hll_{c}")
+        ).drop(f"hll_{c}")
+    return out
+
+
+def init_rollup(
+    spark: SparkSession, fact: DataFrame, mv_dir: str, spec: RollupSpec
+) -> RefreshReport:
+    """Build the MV from scratch (the only full-fact pass it ever takes)."""
+    state = partial_state(fact, spec)
+    state.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(mv_dir)
+    spark.catalog.refreshByPath(mv_dir)
+    n = spark.read.parquet(mv_dir).count()
+    n_parts = state.select(*spec.partition_by).distinct().count()
+    return RefreshReport(n_partitions_rewritten=n_parts, n_state_rows=n)
+
+
+def refresh_rollup(
+    spark: SparkSession, delta: DataFrame, mv_dir: str, spec: RollupSpec
+) -> RefreshReport:
+    """Merge a new fact batch into the MV, touching only the hive
+    partitions the batch lands in (untouched partitions keep their
+    exact files — same dynamic-overwrite contract as upsert_parquet)."""
+    delta_state = partial_state(delta, spec)
+
+    parts = [tuple(r) for r in delta_state.select(*spec.partition_by).distinct().collect()]
+    pred = F.lit(False)
+    for vals in parts:
+        clause = F.lit(True)
+        for c, v in zip(spec.partition_by, vals):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+
+    old = spark.read.parquet(mv_dir).filter(pred)
+    # The merged plan reads the partitions the write replaces —
+    # materialize (bounded: touched-partition state + delta state) before
+    # overwriting, or the write's tasks race the deletes.
+    merged = merge_state(
+        old.unionByName(delta_state), spec
+    ).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*spec.partition_by).parquet(mv_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(mv_dir)
+
+    return RefreshReport(
+        n_partitions_rewritten=len(parts), n_state_rows=merged.count()
+    )
+
+
+def read_rollup(spark: SparkSession, mv_dir: str, spec: RollupSpec) -> DataFrame:
+    """The queryable view over the stored state."""
+    return finalize(spark.read.parquet(mv_dir), spec)
+
+
+def stream_rollup(
+    stream: DataFrame, mv_dir: str, spec: RollupSpec, checkpoint_dir: str
+):
+    """Continuously-maintained rollup: each micro-batch merges into the
+    MV via ``refresh_rollup`` (``init_rollup`` on the first).
+
+    Restart contract: foreachBatch is at-least-once, so a batch replayed
+    after a crash must not merge twice. Each applied batch id leaves a
+    marker under ``<mv_dir>/_applied``; a replayed id is skipped. The
+    residual window (crash between the MV write and the marker write)
+    is the non-transactional gap every no-format sink has — a table
+    format closes it by making both one atomic commit; at this layer we
+    document it instead of hiding it.
+
+    Returns the started StreamingQuery; callers own its lifecycle.
+    """
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        apply_batch(batch, batch_id, mv_dir, spec)
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def apply_batch(
+    batch: DataFrame, batch_id: int, mv_dir: str, spec: RollupSpec
+) -> bool:
+    """One at-least-once-safe merge step (the foreachBatch body).
+    Returns False when ``batch_id`` was already applied (replay skip)."""
+    import os
+
+    spark = batch.sparkSession
+    marker = os.path.join(mv_dir, "_applied", str(batch_id))
+    if os.path.exists(marker):  # replayed batch — already merged
+        return False
+    if not os.path.exists(mv_dir):  # local FS; a DFS deployment
+        init_rollup(spark, batch, mv_dir, spec)  # checks via Hadoop FS
+    else:
+        refresh_rollup(spark, batch, mv_dir, spec)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w"):
+        pass
+    return True
