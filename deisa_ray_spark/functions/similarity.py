@@ -219,16 +219,15 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# sim_kmeans_ivf_topk — real IVF: MLlib k-means learns the coarse
+# kmeans_ivf_neighbors — real IVF: MLlib k-means learns the coarse
 # quantizer (k=8 cells, fixed seed), queries search only their nearest
-# cell. Declared WITHOUT a SQL oracle (iterative algorithm — the driver
-# records a rows-only check); recall vs the exact brute-force baseline is
-# pinned in tests/test_similarity_recall.py instead.
+# cell. The declared twin `sim_kmeans_ivf_topk` wraps this in a recall
+# contract (the raw neighbor set depends on the fitted centroids, which
+# no SQL oracle can reproduce).
 # Scale: the fitted centroids are a broadcast table; assignment is a
 # narrow pass; per-query search scans |corpus|/k rows.
 # --------------------------------------------------------------------------
-@query("sim_kmeans_ivf_topk", oracle=None)
-def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -362,9 +361,9 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      Q×M×K rows, broadcast; approximate distance is a join-aggregate
 #      over the CODES ONLY — the full vectors are not touched.
 #   3. re-rank: exact cosine on the PQ_SHORTLIST ADC survivors.
-# Declared WITHOUT a SQL oracle (iterative codebook training — driver
-# records rows-only); recall vs brute force is pinned in
-# tests/test_similarity_recall.py. Scale shape: one narrow encode pass,
+# The declared twin `sim_pq_topk` wraps this in a recall contract
+# (iterative codebook training — no SQL oracle can reproduce the
+# codes). Scale shape: one narrow encode pass,
 # then all scoring reads |corpus|×M code rows (bytes, not vectors) with
 # broadcast joins only — no shuffle until the per-query top-k
 # WindowGroupLimit.
@@ -406,8 +405,7 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-@query("sim_pq_topk", oracle=None)
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     n_dim = len(emb.select("e").first()["e"])
     sub_dim = n_dim // PQ_M
@@ -483,4 +481,61 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Recall contracts for the ANN paths whose raw neighbor sets no SQL
+# oracle can reproduce (learned quantizers). The declared query runs the
+# ANN search AND the exact brute-force baseline, joins them, and emits
+# the quality contract as one hash-checkable row (the q42/q27
+# convention): every query answered, k results each, mean recall@k over
+# a pinned floor. The floors match tests/test_similarity_recall.py
+# (near-uniform embeddings are ANN's hardest case; measured means are
+# 0.36 IVF / 0.76 PQ at the driver's correctness SF — the floors hold
+# with 2-4× margin).
+# --------------------------------------------------------------------------
+_RECALL_ORACLE = f"""
+    SELECT count(*) AS n_queries, TRUE AS all_answered,
+           TRUE AS k_each, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+
+
+def _recall_contract(spark: SparkSession, sf_dir: str, approx: DataFrame,
+                     floor: float) -> DataFrame:
+    exact = sim_bruteforce_topk(spark, sf_dir).select("qid", "neighbor_id")
+    appr = approx.select("qid", "neighbor_id")
+    hits = (
+        exact.join(appr, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = (
+        exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(appr.groupBy("qid").agg(F.count(F.lit(1)).alias("n_appr")),
+              "qid", "left")
+        .join(hits, "qid", "left")
+        .na.fill({"n_appr": 0, "n_hit": 0})
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.sum((F.col("n_appr") > 0).cast("int")) == F.count(F.lit(1)))
+        .alias("all_answered"),
+        (F.min("n_appr") >= TOP_K).alias("k_each"),
+        (F.avg(F.col("n_hit") / F.col("n_exact")) >= floor).alias("recall_ok"),
+    )
+
+
+@query("sim_kmeans_ivf_topk", oracle=_RECALL_ORACLE)
+def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_contract(
+        spark, sf_dir, kmeans_ivf_neighbors(spark, sf_dir), floor=0.1
+    )
+
+
+@query("sim_pq_topk", oracle=_RECALL_ORACLE)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_contract(
+        spark, sf_dir, pq_adc_neighbors(spark, sf_dir), floor=0.2
     )

@@ -786,18 +786,28 @@ def q26_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q27 — approximate aggregates: HyperLogLog++ distinct counts and
 # approximate percentiles. THE scale substitutes for exact
 # distinct/percentile (fixed-size sketch state, map-side combinable, no
-# giant shuffle of distinct keys). Sketch outputs are
-# implementation-defined, so there is no cross-engine oracle
-# (rows-only declared check); accuracy vs the exact answers is pinned
-# behaviorally in tests/test_approx_aggs.py.
+# giant shuffle of distinct keys). Raw sketch outputs are
+# implementation-defined, so the cross-engine oracle checks the
+# ACCURACY CONTRACT instead (the q42 convention): exact per-group
+# counts hash-match, and the sketch claims are emitted as booleans —
+# HLL estimate within 5% of the exact distinct, and each
+# percentile_approx value sitting at the right empirical CDF rank
+# (±0.03 rank bracket — percentile_approx returns real data values, so
+# rank, not relative error, is the correct yardstick). The oracle
+# asserts the booleans are all TRUE.
 # --------------------------------------------------------------------------
-@query("q27_approx_aggs", oracle=None)
+@query(
+    "q27_approx_aggs",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q27_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # One percentile_approx sketch for all three quantiles, projected to
-    # scalar columns: the harness canonicalizes by sorting every output
-    # column, so results must contain only hashable scalar types.
-    return (
+    approx = (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -807,11 +817,35 @@ def q27_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "approx_users",
-            F.element_at("_pcts", 1).alias("value_p50"),
-            F.element_at("_pcts", 2).alias("value_p95"),
-            F.element_at("_pcts", 3).alias("value_p99"),
             "n",
+            F.element_at("_pcts", 1).alias("p50"),
+            F.element_at("_pcts", 2).alias("p95"),
+            F.element_at("_pcts", 3).alias("p99"),
         )
+    )
+    # Join the (group-cardinality-sized) sketch results back to the fact
+    # once to measure the exact distinct and the empirical CDF at each
+    # returned value — one broadcast join + one keyed aggregate.
+    checked = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type", "approx_users", "n", "p50", "p95", "p99")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.avg((F.col("value") <= F.col("p50")).cast("double")).alias("cdf50"),
+            F.avg((F.col("value") <= F.col("p95")).cast("double")).alias("cdf95"),
+            F.avg((F.col("value") <= F.col("p99")).cast("double")).alias("cdf99"),
+        )
+    )
+    return checked.select(
+        "event_type",
+        F.col("n"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_ok"),
+        (F.abs(F.col("cdf50") - 0.5) <= 0.03).alias("p50_ok"),
+        (F.abs(F.col("cdf95") - 0.95) <= 0.03).alias("p95_ok"),
+        (F.abs(F.col("cdf99") - 0.99) <= 0.03).alias("p99_ok"),
     )
 
 

@@ -1,9 +1,14 @@
-"""IVF recall vs the exact brute-force baseline — the standard ANN
-quality measure (the declared kmeans query has no SQL oracle, so quality
-is pinned here)."""
+"""ANN recall vs the exact brute-force baseline — the standard quality
+measure. The declared queries now emit this contract as oracle-checked
+booleans; these tests re-derive the numbers from the raw neighbor sets
+so a bug in the contract wrapper cannot vacuously pass."""
 
 from __future__ import annotations
 
+from deisa_ray_spark.functions.similarity import (
+    kmeans_ivf_neighbors,
+    pq_adc_neighbors,
+)
 from deisa_ray_spark.registry import load_all
 from tests.conftest import SF_DIR
 
@@ -19,7 +24,7 @@ def _topk_sets(df, key="qid", val="neighbor_id"):
 
 def test_kmeans_ivf_recall_vs_bruteforce(spark):
     exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
-    approx = _topk_sets(QUERIES["sim_kmeans_ivf_topk"].fn(spark, SF_DIR))
+    approx = _topk_sets(kmeans_ivf_neighbors(spark, SF_DIR))
     assert set(approx) == set(exact)  # every query answered
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     mean_recall = sum(recalls) / len(recalls)
@@ -27,7 +32,7 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark):
     # for IVF; searching 1 of 8 cells must still beat random (10/499)
     assert mean_recall >= 0.1, f"mean recall {mean_recall:.3f}"
     # and the scan was actually restricted to one cell
-    one = QUERIES["sim_kmeans_ivf_topk"].fn(spark, SF_DIR).select("cell").distinct()
+    one = kmeans_ivf_neighbors(spark, SF_DIR).select("cell").distinct()
     assert one.count() <= 5  # <= one cell per query
 
 
@@ -45,7 +50,7 @@ def test_rp_lsh_recall_vs_bruteforce(spark):
 
 def test_pq_adc_recall_vs_bruteforce(spark):
     exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
-    approx_df = QUERIES["sim_pq_topk"].fn(spark, SF_DIR)
+    approx_df = pq_adc_neighbors(spark, SF_DIR)
     approx = _topk_sets(approx_df)
     assert set(approx) == set(exact)  # every query answered
     # every query returns exactly TOP_K re-ranked survivors
