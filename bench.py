@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q45_local_supplier_volume",
     "q49_customer_distribution",
     "q51_large_volume_customers",
+    "q53_retention_cohorts",
     "grid_ingest_checksum",
     "grid_matmul_tn",
     "dedup_exact",

@@ -207,3 +207,68 @@ def apply_batch(
     with open(marker, "w"):
         pass
     return True
+
+
+# --------------------------------------------------------------------------
+# Declared query: the MV lifecycle end-to-end under the driver's
+# correctness gate — build from one batch, refresh with two more, read
+# the finalized rollup back. Exact state (counts, integer-valued
+# quantity sums, price bounds) hash-matches the oracle's direct
+# aggregate over the whole fact table (the mergeable-state law:
+# batched refresh == one-shot). The HLL distinct is a sketch, so its
+# 5%-accuracy claim is emitted as an oracle-asserted boolean (q27/q42
+# convention).
+# --------------------------------------------------------------------------
+def _register_mv_query() -> None:
+    from pyspark.sql import functions as F
+
+    from deisa_ray_spark.registry import query
+    from deisa_ray_spark.sources.registry import load_table
+
+    @query(
+        "mv_rollup_checksum",
+        oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               sum(l_quantity) AS sum_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               TRUE AS distinct_ok
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+    def mv_rollup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        spec = RollupSpec(
+            keys=["l_returnflag", "l_linestatus"],
+            partition_by=["l_returnflag"],
+            measures=["l_quantity", "l_extendedprice"],
+            approx_distinct=["l_partkey"],
+        )
+        fact = load_table(spark, sf_dir, "lineitem")
+        mv_dir = tempfile.mkdtemp(prefix="mv_rollup_") + "/mv"
+        batches = [fact.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+        init_rollup(spark, batches[0], mv_dir, spec)
+        refresh_rollup(spark, batches[1], mv_dir, spec)
+        refresh_rollup(spark, batches[2], mv_dir, spec)
+
+        exact = fact.groupBy("l_returnflag", "l_linestatus").agg(
+            F.countDistinct("l_partkey").alias("exact_parts")
+        )
+        mv = read_rollup(spark, mv_dir, spec)
+        return mv.join(exact, ["l_returnflag", "l_linestatus"]).select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            F.col("sum_l_quantity").alias("sum_qty"),
+            F.col("min_l_extendedprice").alias("min_price"),
+            F.col("max_l_extendedprice").alias("max_price"),
+            (
+                F.abs(F.col("approx_distinct_l_partkey") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("distinct_ok"),
+        )
+
+
+_register_mv_query()

@@ -543,3 +543,29 @@ def grid_spatial_stencil5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scattered.groupBy(
         "arr", "t", F.col("tx").alias("x"), F.col("ty").alias("y")
     ).agg(F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("five_pt"))
+
+
+# --------------------------------------------------------------------------
+# B-adjacent — fixed-bin value histogram per array: the standard in-situ
+# distribution probe (da.histogram in the Dask surface the reference's
+# callbacks draw on). Bucketing is a pure projection (floor(value/w)),
+# so the whole histogram is ONE keyed partial-aggregate — at 100 TB the
+# exchange carries ≤ n_arrays × n_buckets rows, nothing value-sized.
+# --------------------------------------------------------------------------
+@query(
+    "grid_histogram",
+    oracle=GRID_CTE
+    + """
+    SELECT arr, CAST(floor(value / 4) AS BIGINT) AS bucket,
+           count(*) AS n, round(sum(value), 2) AS mass
+    FROM grid GROUP BY arr, bucket
+    """,
+)
+def grid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark)
+    return g.groupBy(
+        "arr", F.floor(F.col("value") / 4).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("mass"),
+    )

@@ -1211,3 +1211,40 @@ def q43_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at .5 boundaries (round() implementations differ there)
         F.floor(interp * 1e4 + F.lit(0.5)).cast("bigint").alias("interp_avg_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# q53 — retention cohorts: users grouped by first-seen week, activity
+# counted at weekly offsets — the standard product-analytics retention
+# matrix, and a distinct dataflow shape: distinct-projection →
+# per-user min → join-back → two-key distinct aggregate. The week
+# offset uses datediff-in-days div 7 (date-based, so daylight-saving
+# shifts can never produce a fractional week, unlike epoch-second
+# arithmetic). Scale: the user×week distinct is the only fact-sized
+# exchange; everything after runs on ≤ |users| rows.
+# --------------------------------------------------------------------------
+@query(
+    "q53_retention_cohorts",
+    oracle="""
+    WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events),
+         fc AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN fc ON uw.user_id = fc.user_id
+    GROUP BY cohort, week_offset
+    """,
+)
+def q53_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    fc = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        uw.join(fc, "user_id")
+        .groupBy(
+            "cohort",
+            F.expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
