@@ -569,3 +569,49 @@ def grid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("mass"),
     )
+
+
+# --------------------------------------------------------------------------
+# A2/A4/B5 in N dimensions — the reference validates arbitrary rank
+# (validate.py:96-105) and assembles N-d arrays; this pins the engine's
+# general path on a 3-D layout: global (4,4,2) in (2,2,1) chunks → a
+# 2×2×2 chunk grid of 8 bridges, golden value t*(rank+1), rank =
+# ravel_multi_index(pos). mean(axis=0) = group by every other
+# coordinate; coordinates come from element_at over the coord vector,
+# so the same plan serves ANY rank. Decode stays shuffle-free; the only
+# exchange is the final keyed aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "grid_nd_axis_mean",
+    oracle="""
+    WITH gridnd AS (
+      SELECT CAST(ts.t AS BIGINT) AS t, xs.x, ys.y, zs.z,
+             CAST(ts.t * ((xs.x // 2) * 4 + (ys.y // 2) * 2 + zs.z + 1)
+                  AS DOUBLE) AS value
+      FROM range(0, 5) ts(t), range(0, 4) xs(x), range(0, 4) ys(y),
+           range(0, 2) zs(z)
+    )
+    SELECT t, CAST(y AS INT) AS y, CAST(z AS INT) AS z,
+           round(avg(value), 6) AS mean_v, count(*) AS n
+    FROM gridnd GROUP BY t, y, z
+    """,
+)
+def grid_nd_axis_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.model import explode_chunks_nd
+
+    chunks = make_chunk_df(
+        spark,
+        arrays=("volume",),
+        global_shape=(4, 4, 2),
+        chunk_shape=(2, 2, 1),
+        timesteps=tuple(range(5)),
+    )
+    g = explode_chunks_nd(chunks)
+    return g.groupBy(
+        "t",
+        F.element_at("coord", 2).alias("y"),
+        F.element_at("coord", 3).alias("z"),
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -109,3 +109,21 @@ def test_chunk_decode_roundtrip(layout, t):
     cells = {(ox + i, oy + j): a[i, j] for i in range(cshape[0]) for j in range(cshape[1])}
     assert len(cells) == a.size
     assert all(0 <= x < gshape[0] and 0 <= y < gshape[1] for x, y in cells)
+
+
+def test_nd_decode_agrees_with_2d_on_2d_input(spark):
+    """explode_chunks_nd on the standard 2-D fixture must produce the
+    same cells as the 2-D decoder with coord = [x, y] — the general path
+    degrades to the specialized one."""
+    from deisa_ray_spark.model import explode_chunks, explode_chunks_nd
+    from deisa_ray_spark.sources.chunks import make_chunk_df
+
+    chunks = make_chunk_df(spark)
+    flat = {
+        (r.arr, r.t, r.x, r.y, r.value) for r in explode_chunks(chunks).collect()
+    }
+    nd = {
+        (r.arr, r.t, r.coord[0], r.coord[1], r.value)
+        for r in explode_chunks_nd(chunks).collect()
+    }
+    assert nd == flat
