@@ -216,3 +216,34 @@ def test_stream_stream_left_outer_join_emits_after_eviction(spark, tmp_path):
     unmatched = [r for r in rows if r.view_id is None]
     assert {r.user_id for r in unmatched} == {3}
     assert {(r.user_id, r.click_id, r.view_id) for r in rows if r.view_id is not None} >= {(1, 0, 0)}
+
+
+def test_available_now_trigger_drains_backlog_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: the scheduled catch-up mode a production
+    pipeline runs between streaming sessions — processes the whole
+    backlog (in rate-limited micro-batches, honoring source options) and
+    terminates on its own, with the same results as continuous
+    processing."""
+    src = str(tmp_path / "src")
+    _write_batch(src, 0, [("08:05", 1, "view", 1.0), ("08:20", 2, "view", 1.0)])
+    _write_batch(src, 1, [("08:35", 1, "view", 1.0), ("09:05", 3, "view", 1.0)])
+    _write_batch(src, 2, [("09:40", 2, "view", 1.0), ("10:05", 1, "view", 1.0)])
+
+    counts = sw.tumbling_counts(sw.stream_events(spark, src))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("catchup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query must self-terminate"
+    # append mode: only watermark-closed windows emit. Final watermark =
+    # 10:05 − 30 min = 09:35, so exactly the 08:00-09:00 window closes;
+    # later windows stay open — identical to continuous-mode semantics.
+    got = {
+        (r.w_start.strftime("%H:%M"), r.event_type, r.n)
+        for r in spark.sql("select * from catchup").collect()
+    }
+    assert got == {("08:00", "view", 3)}
