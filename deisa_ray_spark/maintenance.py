@@ -257,3 +257,48 @@ def upsert_parquet(
         n_updated=n_before - n_kept,
         n_inserted=n_updates - (n_before - n_kept),
     )
+
+
+@dataclass(frozen=True)
+class TableStats:
+    n_rows: int
+    size_bytes: int
+
+
+def analyze_star_schema(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    prefix: str = "star_",
+) -> dict[str, TableStats]:
+    """Register parquet tables in the catalog and collect CBO statistics
+    (row counts, sizes, per-column NDV/min/max histograms via ``ANALYZE
+    TABLE … FOR ALL COLUMNS``).
+
+    This is what makes Catalyst's cost-based optimizer live: with stats,
+    ``spark.sql.cbo.enabled`` + ``joinReorder.enabled`` re-order
+    multi-way inner joins so filtered/small relations join first and the
+    fact table last — at 100 TB the difference between a fact×fact
+    intermediate and a dimension-pruned probe side. Proven in
+    tests/test_plans.py::test_cbo_reorders_join_by_stats.
+    """
+    out = {}
+    for name in tables:
+        tbl = f"{prefix}{name}"
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+        }
+        stats = desc.get("Statistics", "")
+        size = int(stats.split(" bytes")[0]) if " bytes" in stats else 0
+        rows = (
+            int(stats.split(", ")[1].split(" rows")[0])
+            if " rows" in stats
+            else 0
+        )
+        out[name] = TableStats(n_rows=rows, size_bytes=size)
+    return out

@@ -408,3 +408,62 @@ def test_q51_having_aggregate_computed_once(spark):
     assert "ReusedExchange" in head
     # partial aggregation precedes the semi join's exchange
     assert head.count("HashAggregate") >= 2
+
+
+def test_cbo_reorders_join_by_stats(spark):
+    """Cost-based join reorder: with catalog stats, a lineitem-first
+    join chain is re-planned to join orders with the FILTERED customer
+    side first and the fact table last — the stats-driven plan a 100 TB
+    warehouse depends on. Without stats/CBO the syntax order (fact ×
+    fact first) survives."""
+    import contextlib
+    import io
+
+    from deisa_ray_spark.maintenance import analyze_star_schema
+
+    stats = analyze_star_schema(
+        spark, SF_DIR, ["lineitem", "orders", "customer"], prefix="cbo_"
+    )
+    assert stats["lineitem"].n_rows > stats["customer"].n_rows > 0
+
+    q = """
+    SELECT c_mktsegment, count(*) AS n
+    FROM cbo_lineitem l JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+         JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 4900
+    GROUP BY c_mktsegment
+    """
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # expose join order
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+
+    def head(cbo: bool) -> str:
+        spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", str(cbo).lower())
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spark.sql(q).explain("formatted")
+        return buf.getvalue().split("\n\n", 1)[0]
+
+    try:
+        off, on = head(False), head(True)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+        for t in ("cbo_lineitem", "cbo_orders", "cbo_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # syntax order: lineitem scans before customer
+    assert off.index("cbo_lineitem") < off.index("cbo_customer")
+    # stats order: the fact table moves to the LAST join input
+    assert on.index("cbo_lineitem") > on.index("cbo_customer")
+    assert on.index("cbo_lineitem") > on.index("cbo_orders")
