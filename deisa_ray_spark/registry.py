@@ -72,5 +72,6 @@ def load_all() -> dict[str, QuerySpec]:
     import deisa_ray_spark.functions.multimodal  # noqa: F401
     import deisa_ray_spark.functions.udfs  # noqa: F401
     import deisa_ray_spark.mv  # noqa: F401
+    import deisa_ray_spark.functions.sketches  # noqa: F401
 
     return QUERIES
