@@ -90,6 +90,7 @@ def main() -> None:
     region.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         if name not in specs:
@@ -109,9 +110,17 @@ def main() -> None:
         # Python worker reuse pools) and this host has noisy neighbors
         # (same query observed at 3.5 s and 61 s); the comparison point
         # (duckdb on the same host) is likewise measured warm.
-        dt = min(run_once(), run_once())
-        if dt > 5.0:
-            dt = min(dt, run_once())
+        # A failing query records {"err": ...} and the bench keeps going —
+        # one broken plan must never zero out the whole round's timings.
+        try:
+            dt = min(run_once(), run_once())
+            if dt > 5.0:
+                dt = min(dt, run_once())
+        except Exception as exc:  # noqa: BLE001 — per-query isolation
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"# {name}: ERROR {msg.splitlines()[0][:200]}", file=sys.stderr)
+            continue
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
@@ -123,6 +132,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

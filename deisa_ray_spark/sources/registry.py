@@ -48,9 +48,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer division: float `/ 1000` loses 1 µs on half the rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        # The loader owns the schema contract: whatever physical type the
+        # file stores (TIMESTAMP_NTZ, TIMESTAMP_MICROS, ...), downstream
+        # queries see TimestampType. NTZ->TIMESTAMP is a no-op under the
+        # UTC session timezone pinned in session.py.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -266,6 +266,11 @@ class InSituEngine:
         self.max_simulation_ahead = max_simulation_ahead
         self.spark = spark
         self.chunk_dir = chunk_dir
+        # A18 (startup order independence): analytics may start before
+        # any bridge exists. Creating the drop dir here means the first
+        # poll sees an empty-but-valid source instead of PATH_NOT_FOUND.
+        if chunk_stream is None:
+            os.makedirs(chunk_dir, exist_ok=True)
         #: Alternative chunk transports: a streaming DataFrame of
         #: CHUNK_SCHEMA rows for the control plane (e.g. the sim_grid
         #: source) + a matching (arr, t) -> DataFrame loader for the

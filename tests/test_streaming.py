@@ -361,3 +361,107 @@ def test_max_simulation_ahead_enforced_opt_in(spark, tmp_path):
     send_t(2)
     engine.drain_available(str(tmp_path / "ckpt"), max_files_per_trigger=None)
     assert seen == [0, 1]
+
+
+def test_analytics_first_startup(spark, tmp_path):
+    """Analytics may start BEFORE the simulation sends anything
+    (reference tests/test_startup_order.py:100-134
+    test_analytics_start_first_and_sim_can_start_after_x_secs): the run
+    loop polls an empty drop directory until shares arrive. The sim-first
+    direction is covered by every other test in this file; this pins the
+    other half of A18."""
+    import threading
+
+    chunk_dir = str(tmp_path / "chunks")
+    sums: dict[int, float] = {}
+    errs: list[BaseException] = []
+
+    def analytics():
+        try:
+            engine = InSituEngine(spark, chunk_dir)
+            engine.register_callback(
+                lambda temperature: sums.__setitem__(
+                    temperature[-1].t, float(temperature[-1].to_numpy().sum())
+                ),
+                ArrayWindow("temperature"),
+            )
+            engine.run(
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                max_files_per_trigger=None,
+                timeout_sec=60.0,
+            )
+        except BaseException as e:  # noqa: BLE001 — surfaced in the main thread
+            errs.append(e)
+
+    th = threading.Thread(target=analytics, daemon=True)
+    th.start()
+    # Analytics is live and polling before the first bridge exists.
+    import time
+
+    time.sleep(1.0)
+    _, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    for t in range(3):
+        _send_timestep(bridges, ("temperature",), t)
+    bridges[0].close(2)
+
+    th.join(timeout=90)
+    assert not th.is_alive(), "analytics thread did not terminate"
+    assert not errs, errs
+    assert sums == {t: 40.0 * t for t in range(3)}
+
+
+def test_exchange_data_between_callbacks(spark, tmp_path):
+    """Callbacks share driver-side Python state: cb1 computes and stores
+    the per-t sum, cb2 (registered after, dispatched after — A9 order)
+    reads it back for the SAME timestep (reference
+    tests/test_exchange_data_between_cb.py)."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    for t in range(4):
+        _send_timestep(bridges, ("temperature",), t)
+    bridges[0].close(3)
+
+    shared: dict[str, float] = {}
+    seen_by_cb2: list[tuple[int, float]] = []
+
+    def cb1(temperature):
+        shared["sum"] = float(temperature[-1].to_numpy().sum())
+
+    def cb2(temperature):
+        # Registration order == dispatch order, so cb1 already ran for
+        # this boundary; the shared value must match our own view.
+        assert shared["sum"] == float(temperature[-1].to_numpy().sum())
+        seen_by_cb2.append((temperature[-1].t, shared["sum"]))
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(cb1, ArrayWindow("temperature"))
+    engine.register_callback(cb2, ArrayWindow("temperature"))
+    _run(engine, tmp_path)
+
+    assert seen_by_cb2 == [(t, 40.0 * t) for t in range(4)]
+
+
+def test_dtype_per_timestep(spark, tmp_path):
+    """dtype may vary per (array, timestep) — reference types.py:580-581
+    tracks dtype at timestep granularity. t=0 arrives int32, t=1
+    float64; both decode exactly through the per-row dtype read in
+    ArrayFrame.to_numpy."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("temperature",))
+    for r, b in enumerate(bridges):
+        b.send("temperature", (r + 1) * np.ones(CHUNK, dtype=np.int32), 0)
+    for r, b in enumerate(bridges):
+        b.send("temperature", 0.5 * (r + 1) * np.ones(CHUNK, dtype=np.float64), 1)
+    bridges[0].close(1)
+
+    frames: dict[int, np.ndarray] = {}
+
+    def cb(temperature):
+        frames[temperature[-1].t] = temperature[-1].to_numpy()
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(cb, ArrayWindow("temperature"))
+    _run(engine, tmp_path)
+
+    assert frames[0].dtype == np.int32
+    assert frames[1].dtype == np.float64
+    assert float(frames[0].sum()) == 4.0 * (1 + 2 + 3 + 4)
+    assert float(frames[1].sum()) == 2.0 * (1 + 2 + 3 + 4)
