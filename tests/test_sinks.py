@@ -43,35 +43,115 @@ def test_vds_plan_pure():
     assert (cover == 1).all()
 
 
-def test_hdf5_roundtrip_or_gated(spark, tmp_path):
+EXPECTED_T3 = np.array(
+    [[3, 3, 6, 6], [3, 3, 6, 6], [9, 9, 12, 12], [9, 9, 12, 12]], dtype=np.float64
+)
+
+
+def test_hdf5_vds_roundtrip(spark, tmp_path):
+    """A19 e2e (reference tests/test_saving_dask_arrays.py:141-212):
+    distributed chunk writes + VDS link → re-read → exact array. Runs
+    with h5py when installed and through the pure-Python classic-format
+    path otherwise — the written chunk files are real HDF5 either way."""
     chunks = make_chunk_df(spark, timesteps=(3,)).filter("arr = 'temperature'")
     fname = str(tmp_path / "vds.h5")
-    try:
-        import h5py  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError, match="h5py"):
-            sinks.to_hdf5(chunks, fname, "data")
-        return
-    sinks.to_hdf5(chunks, fname, "data")  # pragma: no cover (env w/ h5py)
-    import h5py
-
-    with h5py.File(fname) as f:
-        a = f["data"][()]
-    expected = np.array([[3, 3, 6, 6], [3, 3, 6, 6], [9, 9, 12, 12], [9, 9, 12, 12]])
-    np.testing.assert_array_equal(a, expected)
+    sinks.to_hdf5(chunks, fname, "data")
+    np.testing.assert_array_equal(sinks.read_vds(fname, "data"), EXPECTED_T3)
 
 
-def test_zarr_netcdf_gated(spark, tmp_path):
-    chunks = make_chunk_df(spark, timesteps=(1,)).filter("arr = 'temperature'")
-    for fn, kwargs, lib in (
-        (sinks.to_zarr, {"url": str(tmp_path / "z.zarr")}, "zarr"),
-        (sinks.to_netcdf, {"fname": str(tmp_path / "a.nc"), "name": "temp"}, "xarray"),
-    ):
-        try:
-            __import__(lib)
-        except ImportError:
-            with pytest.raises(ImportError, match=lib):
-                fn(chunks, **kwargs)
+def test_hdf5_chunk_files_byte_level(spark, tmp_path):
+    """Byte-level verification beyond the link plan (VERDICT r2 gap #1):
+    every hidden chunk file parses as spec-conformant HDF5 classic
+    (superblock v0 → B-tree → SNOD → contiguous dataset) and holds
+    exactly its grid block's values."""
+    import glob
+
+    from deisa_ray_spark.formats import hdf5mini
+
+    chunks = make_chunk_df(spark, timesteps=(3,)).filter("arr = 'temperature'")
+    fname = str(tmp_path / "vds.h5")
+    sinks.to_hdf5(chunks, fname, "data")
+    chunk_files = sorted(glob.glob(str(tmp_path / ".vds.h5.*.chunk-*.h5")))
+    assert len(chunk_files) == 4
+    for cf in chunk_files:
+        with open(cf, "rb") as f:
+            assert f.read(8) == b"\x89HDF\r\n\x1a\n"  # HDF5 magic
+        i, j = (int(x) for x in cf.rsplit("chunk-", 1)[1][:-3].split("-"))
+        block = hdf5mini.read(cf)["data"]
+        np.testing.assert_array_equal(block, EXPECTED_T3[2 * i : 2 * i + 2, 2 * j : 2 * j + 2])
+
+
+def test_hdf5_vds_fillvalue_for_missing_chunk(spark, tmp_path):
+    """Unmapped layout slots read as fillvalue −1 (reference
+    types.py:466: VirtualLayout fillvalue=-1)."""
+    chunks = make_chunk_df(spark, timesteps=(3,)).filter(
+        "arr = 'temperature' AND NOT (pos[0] = 0 AND pos[1] = 0)"
+    )
+    fname = str(tmp_path / "vds_partial.h5")
+    sinks.to_hdf5(chunks, fname, "data")
+    got = sinks.read_vds(fname, "data")
+    expected = EXPECTED_T3.copy()
+    expected[0:2, 0:2] = sinks.HDF5_FILLVALUE
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_hdf5_multi_dataset_one_file(spark, tmp_path, monkeypatch):
+    """Dict form — reference to_hdf5(fname, {dataset: arr})
+    (types.py:318-336): several arrays into ONE file, each its own
+    virtual dataset. Also exercises '~' expansion (reference round-trip
+    tests write to a home-relative path)."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    base = make_chunk_df(spark, timesteps=(2, 3))
+    groups = {
+        "temp3": base.filter("arr = 'temperature' AND t = 3"),
+        "press2": base.filter("arr = 'pressure' AND t = 2"),
+    }
+    fname = "~/multi.h5"
+    sinks.to_hdf5_multi(groups, fname)
+    np.testing.assert_array_equal(sinks.read_vds(fname, "temp3"), EXPECTED_T3)
+    press2 = sinks.read_vds(fname, "press2")
+    assert press2.shape == EXPECTED_T3.shape
+    # pressure chunks follow the same (r+1)*t pattern
+    np.testing.assert_array_equal(press2, EXPECTED_T3 / 3 * 2)
+
+
+def test_zarr_roundtrip(spark, tmp_path):
+    """A20 e2e: executor-side chunk-aligned writes into a zarr v2 store
+    → re-read → exact array. The store layout is the public v2 spec
+    (.zarray + raw chunk keys) whether written by the zarr library or
+    the pure-Python fallback."""
+    import json
+
+    chunks = make_chunk_df(spark, timesteps=(3,)).filter("arr = 'temperature'")
+    url = str(tmp_path / "z.zarr")
+    sinks.to_zarr(chunks, url)
+    np.testing.assert_array_equal(sinks.read_zarr(url), EXPECTED_T3)
+    # store layout is spec-conformant: .zarray metadata + one file per
+    # chunk-grid key
+    with open(tmp_path / "z.zarr" / ".zarray") as f:
+        meta = json.load(f)
+    assert meta["zarr_format"] == 2
+    assert meta["shape"] == [4, 4] and meta["chunks"] == [2, 2]
+    for key in ("0.0", "0.1", "1.0", "1.1"):
+        assert (tmp_path / "z.zarr" / key).exists()
+
+    # component form nests the array under the store root
+    sinks.to_zarr(chunks, url + "_c", component="temperature")
+    np.testing.assert_array_equal(
+        sinks.read_zarr(url + "_c", component="temperature"), EXPECTED_T3
+    )
+
+
+def test_netcdf_roundtrip(spark, tmp_path):
+    """A21 e2e: assemble → NetCDF classic file → re-read → exact array.
+    The file is CDF-2 per the public spec; xarray/netcdf-c read it
+    unchanged."""
+    chunks = make_chunk_df(spark, timesteps=(3,)).filter("arr = 'temperature'")
+    fname = str(tmp_path / "a.nc")
+    sinks.to_netcdf(chunks, fname, "temp", dims=("x", "y"))
+    np.testing.assert_array_equal(sinks.read_netcdf(fname, "temp"), EXPECTED_T3)
+    with open(fname, "rb") as f:
+        assert f.read(3) == b"CDF"  # classic magic
 
 
 def test_sink_single_group_guard(spark, tmp_path):
