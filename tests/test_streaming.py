@@ -465,3 +465,24 @@ def test_dtype_per_timestep(spark, tmp_path):
     assert frames[1].dtype == np.float64
     assert float(frames[0].sum()) == 4.0 * (1 + 2 + 3 + 4)
     assert float(frames[1].sum()) == 2.0 * (1 + 2 + 3 + 4)
+
+
+def test_complex_dtype_chunks(spark, tmp_path):
+    """Complex arrays travel the chunk path natively (reference FFT
+    analytics produce complex arrays, tests/test_analytics.py:99): the
+    payload is opaque bytes + a dtype string, so complex128 decodes
+    exactly — no re/im column-pair workaround needed in situ."""
+    chunk_dir, bridges = _make_bridges(tmp_path, arrays=("spectrum",))
+    for r, b in enumerate(bridges):
+        b.send("spectrum", (r + 1) * (1 + 2j) * np.ones(CHUNK, dtype=np.complex128), 0)
+    bridges[0].close(0)
+
+    got = {}
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(
+        lambda spectrum: got.__setitem__(spectrum[-1].t, spectrum[-1].to_numpy()),
+        ArrayWindow("spectrum"),
+    )
+    _run(engine, tmp_path)
+    assert got[0].dtype == np.complex128
+    assert got[0].sum() == 4 * (1 + 2 + 3 + 4) * (1 + 2j)
