@@ -539,3 +539,49 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(
         spark, sf_dir, pq_adc_neighbors(spark, sf_dir), floor=0.2
     )
+
+
+# --------------------------------------------------------------------------
+# emb_truncate_renorm — Matryoshka-style dimensionality reduction: keep
+# the first K dimensions and L2-renormalize (MRL embeddings are trained
+# so prefixes are usable embeddings; public Kusupati et al. 2022). The
+# standard storage/compute trade in embedding pipelines: K/d of the
+# bytes, one narrow projection, zero shuffle.
+# --------------------------------------------------------------------------
+MRL_KEEP_DIMS = 8
+
+
+@query(
+    "emb_truncate_renorm",
+    oracle=f"""
+    WITH cut AS (
+      SELECT vec_id, label, (embedding::DOUBLE[])[1:{MRL_KEEP_DIMS}] AS p
+      FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, p,
+             sqrt(list_sum(list_transform(p, v -> v * v))) AS nrm
+      FROM cut
+    )
+    SELECT vec_id, label,
+           CAST(len(p) AS INT) AS kept_dims,
+           round(nrm, 6) AS prefix_norm,
+           round(p[1] / nrm, 6) AS u0,
+           round(list_sum(list_transform(p, v -> v / nrm)), 6) AS u_sum
+    FROM normed
+    """,
+)
+def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    p = F.slice("e", 1, MRL_KEEP_DIMS)
+    nrm = F.sqrt(F.aggregate(p, F.lit(0.0), lambda acc, v: acc + v * v))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(p).alias("kept_dims"),
+        F.round(nrm, 6).alias("prefix_norm"),
+        F.round(F.element_at(p, 1) / nrm, 6).alias("u0"),
+        F.round(
+            F.aggregate(p, F.lit(0.0), lambda acc, v: acc + v) / nrm, 6
+        ).alias("u_sum"),
+    )

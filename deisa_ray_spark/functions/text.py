@@ -543,3 +543,160 @@ def txt_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg("ttr"), 6).alias("avg_ttr"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_gopher_rules — Gopher-style (Rae et al. 2021, public) per-document
+# quality rules: word count bounds, mean word length bounds, type-token
+# ratio floor, stopword presence. Pure narrow projection — every rule is
+# a codegen'd array expression; at 100 TB this is a full scan with zero
+# shuffle (the filter fuses into whatever consumes it).
+# --------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 500
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 8.0
+GOPHER_MIN_TTR = 0.25
+GOPHER_MIN_STOPWORDS = 2
+
+
+@query(
+    "txt_gopher_rules",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_words,
+             list_avg(list_transform(string_split(text, ' '), t -> len(t)))
+               AS mean_word_len,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(ttr, 6) AS ttr,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+             AND (ttr >= {GOPHER_MIN_TTR})
+             AND (n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM feat
+    """,
+)
+def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        / n_words
+    )
+    ttr = F.size(F.array_distinct(toks)) / n_words
+    n_stop = _count_in(toks, STOPWORDS)
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (ttr >= GOPHER_MIN_TTR)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(ttr, 6).alias("ttr"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_unigram_logprob — perplexity-proxy quality scoring: a unigram LM
+# estimated from the corpus itself (p(tok) = corpus_count / corpus_total),
+# each document scored by its mean negative log-likelihood. The standard
+# cheap stand-in for a KenLM-style perplexity filter.
+#
+# Scale shape: one explode + one (token) partial-agg shuffle builds the
+# LM (vocabulary-sized — AQE decides broadcast vs shuffle for the score
+# join, same policy as txt_tfidf), one (doc_id) agg scores. No Python.
+# --------------------------------------------------------------------------
+@query(
+    "txt_unigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT sum(c) AS n FROM lm)
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(lm.c * 1.0 / total.n)), 6) AS nll
+    FROM toks JOIN lm USING (tok) CROSS JOIN total
+    GROUP BY toks.doc_id
+    """,
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(lm, "tok")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("nll"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_pack_sequences — GPT-style sequence packing: concatenate documents
+# in doc_id order and cut fixed-length token sequences; report, per doc,
+# which packed sequences it lands in. Packing is PER SOURCE (the shard
+# key), so the running sum is a partitioned window — no global sort, no
+# single-reducer bottleneck; each shard packs independently exactly as a
+# 1000-executor run would.
+# --------------------------------------------------------------------------
+PACK_SEQ_LEN = 128
+
+
+@query(
+    "txt_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+      FROM sized
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_tok // {PACK_SEQ_LEN} AS BIGINT) AS pack_first,
+           CAST((start_tok + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS pack_last
+    FROM cum
+    """,
+)
+def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "source", F.size(_tokens()).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(start / PACK_SEQ_LEN).alias("pack_first"),
+        F.floor((start + F.col("n_tokens") - 1) / PACK_SEQ_LEN).alias("pack_last"),
+    )
