@@ -28,4 +28,25 @@ __version__ = "0.1.0"
 
 from deisa_ray_spark.errors import ContractError, OrderingError
 
-__all__ = ["ContractError", "OrderingError", "__version__"]
+
+def __getattr__(name: str):
+    # Public entry points at package top level (reference
+    # tests/test_public_api.py: `from deisa.ray import Bridge, Deisa`),
+    # lazily so importing the package never drags in pyspark for callers
+    # that only want the errors/model helpers.
+    if name in ("SparkBridge", "InSituEngine", "ArrayWindow", "FeedbackStore"):
+        import deisa_ray_spark.streaming as _s
+
+        return getattr(_s, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "ArrayWindow",
+    "ContractError",
+    "FeedbackStore",
+    "InSituEngine",
+    "OrderingError",
+    "SparkBridge",
+    "__version__",
+]

@@ -290,15 +290,43 @@ class InSituEngine:
     def register_callback(
         self,
         fn: Callable[..., None],
-        *windows: ArrayWindow,
+        *windows: ArrayWindow | str,
         when: str = "AND",
         exception_handler: Callable[[BaseException], None] | None = None,
-    ) -> None:
+    ) -> Callable[..., None]:
+        """Register ``fn`` over the given windows. Specs may be
+        ``ArrayWindow`` objects or bare array names (size-1 windows),
+        freely mixed; returns ``fn`` — both contracts from reference
+        tests/test_callback_registration.py:46-59."""
         if when not in ("AND", "OR"):
             raise ValueError("when must be 'AND' or 'OR'")
         if not windows:
             raise ValueError("at least one ArrayWindow is required")
-        self.callbacks.append(_CallbackConfig(fn, windows, when, exception_handler))
+        normalized = tuple(
+            ArrayWindow(w) if isinstance(w, str) else w for w in windows
+        )
+        self.callbacks.append(_CallbackConfig(fn, normalized, when, exception_handler))
+        return fn
+
+    def register(
+        self,
+        *windows: ArrayWindow | str,
+        when: str = "AND",
+        exception_handler: Callable[[BaseException], None] | None = None,
+    ) -> Callable[[Callable[..., None]], Callable[..., None]]:
+        """Decorator form — reference ``@d.register("arr1",
+        Window("arr2", 5))`` (tests/test_callback_registration.py:5-44):
+
+            @engine.register("temperature", ArrayWindow("pressure", 2))
+            def cb(temperature, pressure): ...
+        """
+
+        def deco(fn: Callable[..., None]) -> Callable[..., None]:
+            return self.register_callback(
+                fn, *windows, when=when, exception_handler=exception_handler
+            )
+
+        return deco
 
     # -- feedback publish (A11) -------------------------------------------
 

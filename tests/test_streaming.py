@@ -486,3 +486,58 @@ def test_complex_dtype_chunks(spark, tmp_path):
     _run(engine, tmp_path)
     assert got[0].dtype == np.complex128
     assert got[0].sum() == 4 * (1 + 2 + 3 + 4) * (1 + 2j)
+
+
+def test_register_arg_combinations(spark, tmp_path):
+    """Registration API parity (reference
+    tests/test_callback_registration.py): decorator form, bare strings,
+    ArrayWindow objects, and mixes all normalize to sized windows in
+    registration order; register_callback returns the callback."""
+    engine = InSituEngine(spark, str(tmp_path / "chunks"))
+
+    @engine.register("arr1")
+    def cb_string_default(arr1):
+        pass
+
+    @engine.register("arr1", "arr2")
+    def cb_two_strings(arr1, arr2):
+        pass
+
+    @engine.register(ArrayWindow("arr1"))
+    def cb_window_default(arr1):
+        pass
+
+    @engine.register(ArrayWindow("arr1", 2), ArrayWindow("arr2", 5), "arr3")
+    def cb_mixed(arr1, arr2, arr3):
+        pass
+
+    def plain(arr1, arr2):
+        pass
+
+    windows = [ArrayWindow("arr1", 2), ArrayWindow("arr2", 5)]
+    assert engine.register_callback(plain, *windows) is plain
+
+    registered = [
+        [(w.name, w.size) for w in cfg.windows] for cfg in engine.callbacks
+    ]
+    assert registered == [
+        [("arr1", 1)],
+        [("arr1", 1), ("arr2", 1)],
+        [("arr1", 1)],
+        [("arr1", 2), ("arr2", 5), ("arr3", 1)],
+        [("arr1", 2), ("arr2", 5)],
+    ]
+
+
+def test_public_api_exports():
+    """Top-level exports (reference tests/test_public_api.py:
+    `from deisa.ray import Bridge, Deisa` is the supported surface)."""
+    from deisa_ray_spark import ArrayWindow as AW
+    from deisa_ray_spark import InSituEngine as E
+    from deisa_ray_spark import SparkBridge as B
+    from deisa_ray_spark.streaming import InSituEngine, SparkBridge
+    from deisa_ray_spark.streaming.engine import InSituEngine as EngineFromModule
+
+    assert E is InSituEngine is EngineFromModule
+    assert B is SparkBridge
+    assert AW is ArrayWindow
