@@ -61,6 +61,29 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: Explicit schema for JSONL document corpora (the standard LLM-corpus
+#: interchange format: one JSON object per line). Matches the parquet
+#: ``documents`` table column-for-column.
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def load_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read a JSONL document corpus with the declared schema.
+
+    The schema is explicit, never inferred: at 100 TB schema inference is
+    itself a full scan of the corpus before the first real job runs.
+    Corrupt lines land in no row rather than poisoning the schema
+    (mode=PERMISSIVE with all-null rows dropped via doc_id presence)."""
+    return (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+        .filter("doc_id IS NOT NULL")
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:

@@ -190,3 +190,29 @@ def test_csv_interchange_roundtrip(spark, tmp_path):
     b = back.agg({"event_id": "sum", "value": "sum"}).collect()[0]
     assert back.count() == ev.count()
     assert a[0] == b[0] and a[1] == b[1]
+
+
+def test_jsonl_documents_roundtrip(spark, tmp_path):
+    """JSONL corpus interchange (the standard LLM-corpus format): write
+    the documents table as JSONL, read it back through the
+    explicit-schema loader, get identical rows — and corrupt lines drop
+    instead of poisoning the batch."""
+    from deisa_ray_spark.sources.registry import load_documents_jsonl, load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+
+    back = load_documents_jsonl(spark, path)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    a = docs.agg({"doc_id": "sum", "n_chars": "sum"}).collect()[0]
+    b = back.agg({"doc_id": "sum", "n_chars": "sum"}).collect()[0]
+    assert (a[0], a[1]) == (b[0], b[1])
+
+    # corrupt line: dropped, not schema-poisoning
+    with open(tmp_path / "docs_jsonl" / "zz_corrupt.json", "w") as f:
+        f.write('{"this is not valid json\n{"also_missing": "doc_id"}\n')
+    again = load_documents_jsonl(spark, path)
+    assert again.count() == docs.count()
