@@ -56,5 +56,20 @@ def assert_matches_oracle(spark_df, duck_con, sql: str) -> None:
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
+    # The driver's gate hashes VALUES, so a numeric-class mismatch
+    # (Spark int64 vs oracle float64 — e.g. DuckDB widening sum(int) to
+    # HUGEINT and pandas converting that to float) fails there even when
+    # the numbers are equal. Mirror that strictness here: same numeric
+    # kind (int vs float) per column. (r2 lesson: q40 was only caught by
+    # the driver because this check was missing.)
+    for c in got.columns:
+        gk = got[c].dtype.kind
+        wk = want[c].dtype.kind
+        gk = "i" if gk == "u" else gk
+        wk = "i" if wk == "u" else wk
+        assert gk == wk or {gk, wk} <= {"O", "b"}, (
+            f"dtype-kind mismatch on {c!r}: spark={got[c].dtype} oracle={want[c].dtype} "
+            "(driver hash would differ even on equal values)"
+        )
     assert len(got) == len(want), f"row count mismatch: spark={len(got)} oracle={len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
