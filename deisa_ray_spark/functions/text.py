@@ -700,3 +700,41 @@ def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / PACK_SEQ_LEN).alias("pack_first"),
         F.floor((start + F.col("n_tokens") - 1) / PACK_SEQ_LEN).alias("pack_last"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_curate_batch — the batch twin of the streaming curation pipeline
+# (streaming/curation.py): Gopher quality gate → content-fingerprint
+# exact dedup keeping the lowest doc_id. Declared here so the driver's
+# oracle gate covers the same semantics the streaming==batch test pins.
+# --------------------------------------------------------------------------
+@query(
+    "txt_curate_batch",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source, lang, md5(text) AS fp,
+             len(string_split(text, ' ')) AS n_words,
+             list_avg(list_transform(string_split(text, ' '), t -> len(t)))
+               AS mean_word_len,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, source, lang, fp, CAST(n_words AS BIGINT) AS n_words
+      FROM feat
+      WHERE (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+        AND (ttr >= {GOPHER_MIN_TTR})
+        AND (n_stop >= {GOPHER_MIN_STOPWORDS})
+    )
+    SELECT doc_id, source, lang, fp, n_words FROM gated
+    WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY fp)
+    """,
+)
+def txt_curate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.streaming.curation import curate_batch
+
+    return curate_batch(load_table(spark, sf_dir, "documents"))
