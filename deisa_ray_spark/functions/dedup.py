@@ -573,3 +573,141 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_decontaminate_fuzzy — NEAR-duplicate benchmark decontamination:
+# where dedup_decontaminate drops docs sharing any exact 3-gram with the
+# benchmark, this catches PARAPHRASED leakage via MinHash-LSH — corpus
+# docs landing in any benchmark band bucket are candidates, candidates
+# are verified by exact Jaccard ≥ threshold. (Benchmark slice here:
+# doc_id % 7 == 0, chosen so the synthetic corpus's near-dup pairs cross
+# the slice at every SF — a vacuous always-zero contract checks nothing.)
+#
+# Scale notes (100 TB): the benchmark's band keys are eval-suite-sized →
+# BROADCAST; candidate marking is one narrow pass over corpus band keys
+# (4 rows/doc); only candidates pay the exact-Jaccard verify, joined
+# against the (tiny, broadcast) benchmark shingle sets. Zero corpus
+# self-join, zero corpus shuffle beyond the signature partial-agg.
+# --------------------------------------------------------------------------
+FUZZY_BENCH_MOD = 7
+
+
+def _fuzzy_decon_oracle() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    rows = N_MINHASH // N_BANDS
+    bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    mh AS (SELECT doc_id, shingles, {mh} FROM sh),
+    sig AS (SELECT *, {bands} FROM mh),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+      FROM bands c JOIN bands b
+        ON c.band_id = b.band_id AND c.band_key = b.band_key
+      WHERE c.doc_id % {FUZZY_BENCH_MOD} <> 0 AND b.doc_id % {FUZZY_BENCH_MOD} = 0
+    ),
+    cont AS (
+      SELECT DISTINCT c.corpus_id AS doc_id
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.corpus_id
+      JOIN sh sb ON sb.doc_id = c.bench_id
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+            (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)))
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+                AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+                AS BIGINT) AS n_kept
+    FROM documents
+    WHERE doc_id % {FUZZY_BENCH_MOD} <> 0
+    GROUP BY source
+    """
+
+
+@query("dedup_decontaminate_fuzzy", oracle=_fuzzy_decon_oracle())
+def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_sets(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows = N_MINHASH // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    bands = bands.persist()
+    bands.count()  # one signature pass feeds both sides of the bucket join
+    is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
+    bench_bands = bands.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_key"
+    )
+    cand = (
+        bands.filter(~is_bench)
+        .join(F.broadcast(bench_bands), ["band_id", "band_key"])
+        .select(F.col("doc_id").alias("corpus_id"), "bench_id")
+        .distinct()
+    )
+    sets = sh.select("doc_id", "shingles", "n_shingles")
+    sa = sets.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = sets.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.col("na") + F.col("nb") - n_common)
+    cont = (
+        cand.join(sa, "corpus_id")
+        .join(F.broadcast(sb), "bench_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        docs.filter(~is_bench)
+        .join(cont, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("is_cont") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("is_cont").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
