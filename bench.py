@@ -46,9 +46,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_decontaminate",
+    "dedup_decontaminate_fuzzy",
     "sim_bruteforce_topk",
     "txt_token_stats",
     "txt_tfidf",
+    "txt_unigram_logprob",
+    "txt_curate_batch",
     "emb_scalar_quantize",
     "mm_image_features",
 ]

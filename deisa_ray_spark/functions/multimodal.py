@@ -408,3 +408,65 @@ def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
         F.col("length").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# mm_scene_cuts — video scene-cut detection: mean absolute pixel
+# difference between consecutive frames; a boundary where the diff
+# exceeds the threshold. The standard first pass of video curation
+# (segment, then sample/caption per scene). Same opaque-binary +
+# Arrow-batch shape as the other mm ops — a real decoder drops into the
+# same mapInPandas slot; frame pairs never leave the Python batch, only
+# (media_id, frame_idx, mean_diff, is_cut) rows shuffle.
+# --------------------------------------------------------------------------
+SCENE_CUT_THRESHOLD = 83.0  #: ~FAKE_MOD/3 — splits the fake diffs
+
+
+@query(
+    "mm_scene_cuts",
+    oracle="WITH " + _SQL_MEDIA + f"""
+    SELECT m.media_id, CAST(f.f AS INT) AS frame_idx,
+           round(avg(abs(
+             (m.media_id * 31 + f.f * m.width * m.height + p.p) % {FAKE_MOD}
+             - (m.media_id * 31 + (f.f - 1) * m.width * m.height + p.p) % {FAKE_MOD}
+           )), 6) AS mean_diff,
+           avg(abs(
+             (m.media_id * 31 + f.f * m.width * m.height + p.p) % {FAKE_MOD}
+             - (m.media_id * 31 + (f.f - 1) * m.width * m.height + p.p) % {FAKE_MOD}
+           )) > {SCENE_CUT_THRESHOLD} AS is_cut
+    FROM media m
+    JOIN range(1, 8) f(f) ON f.f < m.n_frames
+    JOIN range(0, 4096) p(p) ON p.p < m.width * m.height
+    WHERE m.kind = 'video'
+    GROUP BY m.media_id, f.f
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_df(spark).filter(F.col("kind") == "video")
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, nf = r.meta["width"], r.meta["height"], r.meta["n_frames"]
+                vid = (
+                    np.frombuffer(r.payload, dtype=np.uint8)
+                    .reshape(nf, h, w)
+                    .astype(np.int32)  # uint8 subtraction would wrap
+                )
+                for fi in range(1, nf):
+                    d = float(np.abs(vid[fi] - vid[fi - 1]).mean())
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": fi,
+                            "mean_diff": d,
+                            "is_cut": d > SCENE_CUT_THRESHOLD,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    raw = media.mapInPandas(
+        cuts, schema="media_id bigint, frame_idx int, mean_diff double, is_cut boolean"
+    )
+    return raw.withColumn("mean_diff", F.round("mean_diff", 6))
