@@ -467,3 +467,52 @@ def test_cbo_reorders_join_by_stats(spark):
     # stats order: the fact table moves to the LAST join input
     assert on.index("cbo_lineitem") > on.index("cbo_customer")
     assert on.index("cbo_lineitem") > on.index("cbo_orders")
+
+
+def test_pack_sequences_no_global_window(spark):
+    """Sequence packing windows PER SOURCE shard — a global (empty
+    partitionBy) running sum would serialize the whole corpus through
+    one reducer. The plan must hash-partition on source, never
+    SinglePartition, ahead of the window."""
+    plan = plan_of(spark, "txt_pack_sequences")
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_benchmark(spark):
+    """Fuzzy decontamination: the benchmark side (band keys + shingle
+    sets) broadcasts — the corpus is never self-joined and never
+    shuffled for the candidate marking."""
+    plan = plan_of(spark, "dedup_decontaminate_fuzzy")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_shuffle_budget(spark):
+    """Unigram LM scoring: tokenize once, LM partial-agg, score join,
+    per-doc agg — the plan stays within a small fixed exchange budget
+    (no accidental resplit/re-explode of the corpus)."""
+    import re
+
+    plan = plan_of(spark, "txt_unigram_logprob")
+    # count real shuffle nodes in the numbered details ("(8) Exchange"),
+    # not substrings — Broadcast/ReusedExchange contain "Exchange" and
+    # the formatted output prints every node twice
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    assert len(shuffles) <= 4, f"unigram plan grew to {len(shuffles)} shuffles: {shuffles}"
+    # the corpus token stream joins the (broadcast) LM without shuffling
+    assert re.search(r"^\(\d+\) BroadcastExchange", plan, flags=re.M)
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    """The quality-rule query is a pure narrow projection: scan →
+    project. Any Exchange means someone added an accidental wide op."""
+    plan = plan_of(spark, "txt_gopher_rules")
+    assert "Exchange" not in plan
+
+
+def test_truncate_renorm_zero_shuffle(spark):
+    """Matryoshka truncation is a narrow per-row projection."""
+    plan = plan_of(spark, "emb_truncate_renorm")
+    assert "Exchange" not in plan
