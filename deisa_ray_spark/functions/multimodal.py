@@ -470,3 +470,63 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts, schema="media_id bigint, frame_idx int, mean_diff double, is_cut boolean"
     )
     return raw.withColumn("mean_diff", F.round("mean_diff", 6))
+
+
+# --------------------------------------------------------------------------
+# mm_audio_vad_segments — voice-activity-style segmentation: frames with
+# RMS above the threshold group into maximal consecutive runs
+# (gaps-and-islands over frame_id), the front end of audio curation
+# (keep speech, drop silence/noise spans). Decode happens once in the
+# Arrow batch (the mm_audio_window_rms front end); the segmentation
+# itself is RELATIONAL — window functions over the tiny per-frame
+# feature rows, fully JVM-side.
+# --------------------------------------------------------------------------
+VAD_RMS_THRESHOLD = 1.1
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH audio AS (
+      SELECT CAST(r.range AS BIGINT) AS media_id,
+             CAST(256 + (r.range % 4) * {FRAME_LEN} AS INT) AS n_samples
+      FROM range(0, {N_AUDIO}) r
+    ),
+    rms AS (
+      SELECT a.media_id, i.i // {FRAME_LEN} AS frame_id,
+             sqrt(avg(CAST(({_SQL_BYTE.replace('m.', 'a.')}) AS DOUBLE)
+                      * (({_SQL_BYTE.replace('m.', 'a.')})))) / 125.0 AS rms
+      FROM audio a JOIN range(0, 512) i(i) ON i.i < a.n_samples
+      GROUP BY a.media_id, i.i // {FRAME_LEN}
+    ),
+    active AS (
+      SELECT media_id, frame_id,
+             frame_id - row_number() OVER (PARTITION BY media_id
+                                           ORDER BY frame_id) AS grp
+      FROM rms WHERE rms > {VAD_RMS_THRESHOLD}
+    ),
+    segs AS (
+      SELECT media_id, count(*) AS seg_len FROM active
+      GROUP BY media_id, grp
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(seg_len) AS BIGINT) AS active_frames,
+           CAST(max(seg_len) AS BIGINT) AS longest_run
+    FROM segs GROUP BY media_id
+    """,
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    rms = mm_audio_window_rms(spark, sf_dir)
+    w = Window.partitionBy("media_id").orderBy("frame_id")
+    active = rms.filter(F.col("rms") > VAD_RMS_THRESHOLD).withColumn(
+        "grp", F.col("frame_id") - F.row_number().over(w)
+    )
+    segs = active.groupBy("media_id", "grp").agg(F.count(F.lit(1)).alias("seg_len"))
+    return segs.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("seg_len").cast("bigint").alias("active_frames"),
+        F.max("seg_len").cast("bigint").alias("longest_run"),
+    )
