@@ -42,7 +42,9 @@ _CODE_TO_DTYPE = {code: dt for code, dt in _NC_TYPES.values()}
 
 
 def _nc_type(dt: np.dtype) -> tuple[int, np.dtype]:
-    name = np.dtype(dt).name
+    dt = np.dtype(dt)
+    # numpy names 'S1' as 'bytes8'; normalize so NC_CHAR is reachable
+    name = "S1" if dt.kind == "S" and dt.itemsize == 1 else dt.name
     if name not in _NC_TYPES:
         raise TypeError(
             f"dtype {name} has no NetCDF classic type; cast first "

@@ -665,8 +665,12 @@ def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_id", "b.band_key"
     )
+    # LAZY persist: the cache still deduplicates the signature pass
+    # across the bucket join's two sides on first execution, but
+    # CONSTRUCTING this DataFrame stays free — plan-analysis callers
+    # (bench smoke, gen_plans) and the bench's per-run rebuilds must not
+    # pay a corpus-wide signature job per call.
     bands = bands.persist()
-    bands.count()  # one signature pass feeds both sides of the bucket join
     is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
     bench_bands = bands.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "band_id", "band_key"

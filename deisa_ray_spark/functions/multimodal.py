@@ -319,9 +319,7 @@ def make_audio_df(spark: SparkSession, n: int = N_AUDIO) -> DataFrame:
     return spark.range(0, n, numPartitions=2).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-@query(
-    "mm_audio_window_rms",
-    oracle=f"""
+_AUDIO_RMS_ORACLE = f"""
     WITH audio AS (
       SELECT CAST(r.range AS BIGINT) AS media_id,
              CAST(256 + (r.range % 4) * {FRAME_LEN} AS INT) AS n_samples
@@ -333,13 +331,16 @@ def make_audio_df(spark: SparkSession, n: int = N_AUDIO) -> DataFrame:
            round(avg(({_SQL_BYTE.replace('m.', 'a.')})) / 125.0, 6) AS mean_amp
     FROM audio a JOIN range(0, 512) i(i) ON i.i < a.n_samples
     GROUP BY a.media_id, i.i // {FRAME_LEN}
-    """,
-)
-def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Framed audio features: mapInPandas decode (np.frombuffer →
-    reshape n_frames×64) → per-frame RMS/mean. The per-frame explode
-    happens INSIDE the Arrow batch — the shuffle-facing output is
-    features, never samples."""
+    """
+
+
+def audio_frame_features(spark: SparkSession) -> DataFrame:
+    """UNROUNDED framed audio features (rms, mean_amp per 64-sample
+    frame) — the shared front end of mm_audio_window_rms (which rounds
+    for its declared output) and mm_audio_vad_segments (which must
+    threshold the raw value: thresholding a rounded rms while the
+    oracle thresholds the unrounded one would flip frames within 5e-7
+    of the boundary)."""
     audio = make_audio_df(spark)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -361,9 +362,18 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    raw = audio.mapInPandas(
+    return audio.mapInPandas(
         feats, schema="media_id bigint, frame_id bigint, rms double, mean_amp double"
     )
+
+
+@query("mm_audio_window_rms", oracle=_AUDIO_RMS_ORACLE)
+def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio features: mapInPandas decode (np.frombuffer →
+    reshape n_frames×64) → per-frame RMS/mean. The per-frame explode
+    happens INSIDE the Arrow batch — the shuffle-facing output is
+    features, never samples."""
+    raw = audio_frame_features(spark)
     return raw.withColumn("rms", F.round("rms", 6)).withColumn(
         "mean_amp", F.round("mean_amp", 6)
     )
@@ -519,7 +529,9 @@ VAD_RMS_THRESHOLD = 1.1
 def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    rms = mm_audio_window_rms(spark, sf_dir)
+    # UNROUNDED front end: the threshold must see the same quantity the
+    # oracle thresholds, or frames within 5e-7 of the boundary flip
+    rms = audio_frame_features(spark)
     w = Window.partitionBy("media_id").orderBy("frame_id")
     active = rms.filter(F.col("rms") > VAD_RMS_THRESHOLD).withColumn(
         "grp", F.col("frame_id") - F.row_number().over(w)

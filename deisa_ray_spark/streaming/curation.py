@@ -87,14 +87,17 @@ def curate_documents(docs: DataFrame) -> DataFrame:
 
 
 def curate_documents_within(docs: DataFrame, horizon: str = "1 hour") -> DataFrame:
-    """Watermark-bounded variant: dedups only within ``horizon`` of
-    event time (requires an ``ingest_ts`` column), so state is bounded by
-    horizon × arrival rate instead of corpus cardinality."""
+    """Watermark-bounded variant: dedups on the fingerprint only within
+    ``horizon`` of event time (requires an ``ingest_ts`` column), so
+    state is bounded by horizon × arrival rate instead of corpus
+    cardinality. ``dropDuplicatesWithinWatermark`` is the operator with
+    exactly these semantics — plain ``dropDuplicates`` on (fp, ts) would
+    only drop rows whose fingerprint AND timestamp both match."""
     return (
         quality_gate(docs)
         .withColumn("fp", F.md5("text"))
         .withWatermark("ingest_ts", horizon)
-        .dropDuplicates(["fp", "ingest_ts"])
+        .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_id", "source", "lang", "fp", "n_words", "ingest_ts")
     )
 

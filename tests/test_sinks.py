@@ -216,3 +216,16 @@ def test_jsonl_documents_roundtrip(spark, tmp_path):
         f.write('{"this is not valid json\n{"also_missing": "doc_id"}\n')
     again = load_documents_jsonl(spark, path)
     assert again.count() == docs.count()
+
+
+def test_netcdf3_char_variable_roundtrip(tmp_path):
+    """NC_CHAR (S1) variables write and read back — the classic format's
+    string representation."""
+    from deisa_ray_spark.formats import netcdf3
+
+    labels = np.array([[b"a", b"b"], [b"c", b"d"]], dtype="S1")
+    p = str(tmp_path / "chars.nc")
+    netcdf3.write(p, {"labels": (labels, ("row", "col"))})
+    back, dims = netcdf3.read(p)["labels"]
+    np.testing.assert_array_equal(back, labels)
+    assert dims == ("row", "col")
