@@ -30,12 +30,27 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+#: DataFrame cache keyed by (applicationId, sf_dir, table). Constructing
+#: a parquet DataFrame costs ~80 ms (file listing + footer schema read);
+#: the bench builds each query 3× and most queries load 2-5 tables, so
+#: uncached construction alone is seconds of pure overhead. DataFrames
+#: are immutable plans over read-only table files — reuse is safe; keying
+#: by applicationId drops entries of stopped sessions naturally.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
