@@ -615,3 +615,61 @@ def grid_nd_axis_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("mean_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# grid_block_pool — block-mean/max pooling (downsampling): 2×2 blocks of
+# the field collapse to their mean and max, the standard resolution
+# reduction before storing/visualizing/feeding a model. Long form makes
+# it ONE keyed partial aggregation — the block id is a pure projection
+# (x//2, y//2), so map-side combine reduces each block locally and the
+# shuffle carries one row per (t, block). At a 10^5² grid the same plan
+# shape holds: cells never move except combiner outputs.
+# --------------------------------------------------------------------------
+@query(
+    "grid_block_pool",
+    oracle=GRID_CTE
+    + """
+    SELECT t, CAST(x // 2 AS INT) AS bx, CAST(y // 2 AS INT) AS by,
+           round(avg(value), 6) AS pool_mean,
+           max(value) AS pool_max,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM grid WHERE arr = 'temperature'
+    GROUP BY t, x // 2, y // 2
+    """,
+)
+def grid_block_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter(F.col("arr") == "temperature")
+    return (
+        g.groupBy(
+            "t",
+            (F.col("x") / 2).cast("int").alias("bx"),
+            (F.col("y") / 2).cast("int").alias("by"),
+        )
+        .agg(
+            F.round(F.avg("value"), 6).alias("pool_mean"),
+            F.max("value").alias("pool_max"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# grid_roll_axis1 — circular shift (np.roll) along y: the halo-exchange
+# primitive of periodic-boundary simulations. A pure projection on the
+# coordinate ((y + shift) mod size) — zero shuffle; the "data movement"
+# of a roll is just a coordinate relabeling in long form.
+# --------------------------------------------------------------------------
+@query(
+    "grid_roll_axis1",
+    oracle=GRID_CTE
+    + """
+    SELECT t, x, CAST((y + 1) % 4 AS INT) AS y_rolled, value
+    FROM grid WHERE arr = 'temperature' AND t = 3
+    """,
+)
+def grid_roll_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = grid(spark).filter((F.col("arr") == "temperature") & (F.col("t") == 3))
+    return g.select(
+        "t", "x", ((F.col("y") + 1) % 4).cast("int").alias("y_rolled"), "value"
+    )
