@@ -1,0 +1,152 @@
+"""Migration shim: the reference's public class and method names over
+this engine, so existing analytics/simulation scripts port with minimal
+edits.
+
+Reference surface (deisa-ray v0.1.5): analytics constructs ``Deisa()``,
+registers callbacks via ``@d.register(...)`` / ``d.register_callback``,
+then blocks in ``execute_callbacks()`` (window_handler.py:75-295);
+simulation ranks construct ``Bridge(arrays_metadata=..., comm=...)`` and
+call ``send`` / ``close`` / ``get`` (bridge.py:201-545).
+
+Differences a migrating user must supply, both inherent to the engine
+swap: a ``SparkSession`` (instead of a Ray cluster address) and a shared
+``transport_dir`` (the chunk drop directory that replaces Ray's object
+store as the simulation→analytics channel). ``comm`` is accepted and
+ignored — rank exchange happens through the chunk metadata, so no
+collective communicator is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from deisa_ray_spark.streaming import ArrayWindow, InSituEngine, SparkBridge
+
+#: The reference's Window spec type under its own name
+#: (deisa.ray.types.Window(name, size)).
+Window = ArrayWindow
+
+
+class Deisa:
+    """Reference-named analytics front end (window_handler.Deisa).
+
+    Cheap constructor, no cluster side effects — connection happens on
+    ``execute_callbacks`` (mirrors window_handler.py:83-120's
+    "cheap constructor" contract)."""
+
+    def __init__(
+        self,
+        feedback_queue_size: int = 1024,
+        *,
+        spark: SparkSession | None = None,
+        transport_dir: str = "/tmp/deisa_ray_spark_transport",
+        checkpoint_dir: str | None = None,
+        max_simulation_ahead: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.transport_dir = transport_dir
+        self.checkpoint_dir = checkpoint_dir or transport_dir + "/.ckpt"
+        self.max_simulation_ahead = max_simulation_ahead
+        self.feedback_queue_size = feedback_queue_size
+        self._engine: InSituEngine | None = None
+        self._pending: list[tuple[tuple, dict]] = []
+
+    # -- registration (reference window_handler.py:173-293) ---------------
+
+    def register(self, *specs: ArrayWindow | str, when: str = "AND"):
+        """Decorator form: ``@d.register("array")`` /
+        ``@d.register(Window("a", 2), "b")``."""
+
+        def deco(fn: Callable[..., None]) -> Callable[..., None]:
+            self.register_callback(fn, *specs, when=when)
+            return fn
+
+        return deco
+
+    def register_callback(
+        self, fn: Callable[..., None], *specs: ArrayWindow | str, when: str = "AND"
+    ) -> Callable[..., None]:
+        self._pending.append(((fn, *specs), {"when": when}))
+        return fn
+
+    # -- execution (reference window_handler.py:295-400) ------------------
+
+    def execute_callbacks(self) -> None:
+        """Run the callback loop until the simulation closes the stream
+        (the reference blocks here the same way)."""
+        if not self._pending:
+            raise RuntimeError(
+                "Please register at least one callback before calling execute_callbacks()"
+            )
+        spark = self.spark or SparkSession.builder.getOrCreate()
+        self._engine = InSituEngine(
+            spark,
+            self.transport_dir + "/chunks",
+            feedback_dir=self.transport_dir + "/fb",
+            feedback_queue_size=self.feedback_queue_size,
+            max_simulation_ahead=self.max_simulation_ahead,
+        )
+        for args, kwargs in self._pending:
+            self._engine.register_callback(*args, **kwargs)
+        self._engine.run(checkpoint_dir=self.checkpoint_dir)
+
+    # -- feedback publish (reference window_handler set/feedback path) ----
+
+    def set(self, key: str, value: Any, timestep: int) -> None:
+        if self._engine is None:
+            raise RuntimeError("set() is only valid inside execute_callbacks()")
+        self._engine.set(key, value, timestep)
+
+
+class Bridge:
+    """Reference-named simulation client (bridge.Bridge).
+
+    ``comm`` is accepted for signature compatibility and ignored (no
+    collective needed: per-rank chunk metadata carries the grid
+    position). ``rank`` defaults to ``chunk_position``'s row-major index
+    when the metadata carries one unambiguous position."""
+
+    def __init__(
+        self,
+        arrays_metadata: dict[str, dict],
+        comm: Any = None,  # noqa: ARG002 - reference signature
+        *,
+        rank: int | None = None,
+        transport_dir: str = "/tmp/deisa_ray_spark_transport",
+        max_simulation_ahead: int | None = None,
+    ) -> None:
+        if rank is None:
+            # derive a stable rank from the declared chunk position
+            md = next(iter(arrays_metadata.values()))
+            pos = tuple(md["chunk_position"])
+            grid = tuple(
+                int(g) // int(c)
+                for g, c in zip(md["global_shape"], md["chunk_shape"])
+            )
+            rank = 0
+            for p, extent in zip(pos, grid):
+                rank = rank * extent + int(p)
+        kwargs: dict[str, Any] = {}
+        if max_simulation_ahead is not None:
+            kwargs["max_simulation_ahead"] = max_simulation_ahead
+        self._bridge = SparkBridge(
+            rank,
+            arrays_metadata,
+            transport_dir + "/chunks",
+            feedback_dir=transport_dir + "/fb",
+            **kwargs,
+        )
+        self.node_id = f"spark-bridge-{rank}"
+
+    def send(self, array_name: str, chunk: np.ndarray, timestep: int) -> None:
+        self._bridge.send(array_name, chunk, timestep)
+
+    def close(self, timestep: int) -> None:
+        self._bridge.close(timestep)
+
+    def get(self, key: str, timestep: int | None = None, default: Any = None) -> Any:
+        return self._bridge.get(key, timestep, default)

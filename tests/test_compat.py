@@ -1,0 +1,105 @@
+"""Migration-shim contract: a script written against the reference's
+public names (Deisa / Bridge / Window, register / execute_callbacks /
+send / close / get) runs unchanged on this engine, modulo supplying a
+SparkSession and a transport dir.
+
+Mirrors reference tests/test_full_workflow.py +
+test_feedback_loop.py through the compat surface only.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from deisa_ray_spark.compat import Bridge, Deisa, Window
+
+
+def test_reference_style_workflow(spark, tmp_path):
+    transport = str(tmp_path / "transport")
+
+    # --- simulation side: 4 ranks, reference Bridge API ---
+    def make_bridge(r):
+        return Bridge(
+            arrays_metadata={
+                "array": {
+                    "global_shape": (4, 4),
+                    "chunk_shape": (2, 2),
+                    "chunk_position": (r // 2, r % 2),
+                }
+            },
+            comm=None,  # accepted & ignored (no collective needed)
+            transport_dir=transport,
+        )
+
+    bridges = [make_bridge(r) for r in range(4)]
+    assert bridges[3].node_id == "spark-bridge-3"  # rank derived from position
+    for t in range(4):
+        for r, b in enumerate(bridges):
+            b.send("array", t * (r + 1) * np.ones((2, 2), dtype=np.int64), t)
+    bridges[0].close(3)
+
+    # --- analytics side: reference Deisa API ---
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+    sums: dict[int, float] = {}
+
+    @d.register(Window("array"))
+    def simulation_callback(array):
+        af = array[-1]
+        sums[af.t] = float(af.to_numpy().sum())
+        d.set("target", sums[af.t] / 16.0, af.t)
+
+    d.execute_callbacks()
+    assert sums == {t: 40.0 * t for t in range(4)}
+
+    # feedback readable through the reference Bridge.get contract
+    assert bridges[0].get("target", 2) == 5.0
+    assert bridges[0].get("target", 99, default="miss") == "miss"
+    # full queue is [(t, value), ...] — reference
+    # tests/test_feedback_loop.py:124 pins exactly this shape
+    assert bridges[0].get("target") == [(0, 0.0), (1, 2.5), (2, 5.0), (3, 7.5)]
+
+
+def test_execute_without_callbacks_raises(spark, tmp_path):
+    d = Deisa(spark=spark, transport_dir=str(tmp_path / "t"))
+    try:
+        d.execute_callbacks()
+    except RuntimeError as e:
+        assert "register at least one callback" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected RuntimeError")
+
+
+def test_analytics_first_through_compat(spark, tmp_path):
+    """Either side may start first through the shim too (A18)."""
+    transport = str(tmp_path / "transport")
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+    seen: list[int] = []
+
+    @d.register("array")
+    def cb(array):
+        seen.append(array[-1].t)
+
+    th = threading.Thread(target=d.execute_callbacks, daemon=True)
+    th.start()
+
+    import time
+
+    time.sleep(1.0)
+    b = Bridge(
+        arrays_metadata={
+            "array": {
+                "global_shape": (2, 2),
+                "chunk_shape": (2, 2),
+                "chunk_position": (0, 0),
+            }
+        },
+        transport_dir=transport,
+    )
+    for t in range(3):
+        b.send("array", t * np.ones((2, 2), dtype=np.int64), t)
+    b.close(2)
+    th.join(timeout=90)
+    assert not th.is_alive()
+    assert seen == [0, 1, 2]
