@@ -542,3 +542,79 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("seg_len").cast("bigint").alias("active_frames"),
         F.max("seg_len").cast("bigint").alias("longest_run"),
     )
+
+
+# --------------------------------------------------------------------------
+# mm_image_ahash_dedup — perceptual near-duplicate detection by
+# average-hash: sample a fixed 8×8 grid of pixels, set bit (i, j) when
+# the sample exceeds the sample mean, bucket images by the 64-bit hash
+# (emitted as two 32-bit halves — portable across engines without
+# unsigned-64 headaches). aHash is shift-invariant in brightness
+# (a constant offset moves every sample AND the mean), which is exactly
+# why re-encoded/re-exposed copies of an image collide — the standard
+# cheap image-dedup pass before embedding-based near-dup.
+#
+# Scale shape: one narrow Arrow-batched pass computes hashes; the
+# bucket join is an equi-shuffle on the (hi, lo) pair — identical to
+# exact text dedup's fingerprint shuffle. No pairwise comparison.
+# --------------------------------------------------------------------------
+def _ahash_oracle() -> str:
+    return "WITH " + _SQL_MEDIA + f"""
+    , samples AS (
+      SELECT m.media_id, i.i AS si, j.j AS sj,
+             (m.media_id * 31
+              + ((i.i * m.height) // 8) * m.width
+              + ((j.j * m.width) // 8)) % {FAKE_MOD} AS v
+      FROM media m, range(0, 8) i(i), range(0, 8) j(j)
+      WHERE m.kind = 'image'
+    ),
+    mu AS (SELECT media_id, avg(v) AS mu FROM samples GROUP BY media_id),
+    bits AS (
+      SELECT s.media_id,
+             CAST(s.si * 8 + s.sj AS INT) AS bit,
+             CASE WHEN s.v > mu.mu THEN 1 ELSE 0 END AS b
+      FROM samples s JOIN mu USING (media_id)
+    ),
+    hashes AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN bit < 32 THEN b * power(2, bit) ELSE 0 END)
+                  AS BIGINT) AS ahash_lo,
+             CAST(sum(CASE WHEN bit >= 32 THEN b * power(2, bit - 32) ELSE 0 END)
+                  AS BIGINT) AS ahash_hi
+      FROM bits GROUP BY media_id
+    )
+    SELECT media_id, ahash_hi, ahash_lo,
+           CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
+             AS bucket_size
+    FROM hashes
+    """
+
+
+@query("mm_image_ahash_dedup", oracle=_ahash_oracle())
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    media = make_media_df(spark).filter(F.col("kind") == "image")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = r.meta["width"], r.meta["height"]
+                img = np.frombuffer(r.payload, dtype=np.uint8).reshape(h, w)
+                ri = (np.arange(8) * h) // 8
+                ci = (np.arange(8) * w) // 8
+                samples = img[np.ix_(ri, ci)].astype(np.float64)
+                bits = (samples > samples.mean()).astype(np.int64).ravel()
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                rows.append({"media_id": r.media_id, "ahash_hi": hi, "ahash_lo": lo})
+            yield pd.DataFrame(rows)
+
+    raw = media.mapInPandas(
+        hashes, schema="media_id bigint, ahash_hi bigint, ahash_lo bigint"
+    )
+    return raw.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(W.partitionBy("ahash_hi", "ahash_lo")).cast("bigint"),
+    )
