@@ -972,7 +972,8 @@ def q32_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     "q33_gap_fill_locf",
     oracle="""
     WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
-    hourly AS (SELECT event_type, h, count(*) AS n, avg(value) AS avg_v
+    hourly AS (SELECT event_type, h, count(*) AS n,
+               round(sum(value), 2) / count(*) AS avg_v
                FROM ev GROUP BY 1, 2),
     bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
     spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
@@ -981,9 +982,9 @@ def q32_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     fg AS (SELECT g.event_type, g.h, hourly.n, hourly.avg_v
            FROM grid g LEFT JOIN hourly USING (event_type, h))
     SELECT event_type, h, coalesce(n, 0) AS n,
-           round(coalesce(last_value(avg_v IGNORE NULLS) OVER (
+           coalesce(last_value(avg_v IGNORE NULLS) OVER (
                      PARTITION BY event_type ORDER BY h
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 4)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
                AS locf_avg
     FROM fg
     """,
@@ -992,8 +993,18 @@ def q33_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
     )
+    # Exact cross-engine arithmetic instead of rounding at the end:
+    # values are exact 2-decimal, so round(sum, 2) recovers the same
+    # double in both engines regardless of summation order, and the
+    # division by the same bigint is the identical IEEE op — the avg is
+    # bit-equal with no tie-rounding anywhere. (avg(value) + a final
+    # round hits half-point ties — averages over n∈{8,16,160,...}
+    # 2-decimal values land EXACTLY on round boundaries, where Spark's
+    # shortest-decimal HALF_UP and DuckDB's binary expansion disagree;
+    # observed at sf0.1.)
     hourly = ev.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v")
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_v"),
     )
     spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
@@ -1009,9 +1020,9 @@ def q33_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "h",
         F.coalesce("n", F.lit(0)).alias("n"),
-        F.round(
-            F.coalesce(F.last("avg_v", ignorenulls=True).over(w), F.lit(0.0)), 4
-        ).alias("locf_avg"),
+        F.coalesce(F.last("avg_v", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "locf_avg"
+        ),
     )
 
 
@@ -1129,7 +1140,7 @@ def q42_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
     hourly AS (SELECT event_type, h, count(*) AS n,
-                      floor(avg(value) * 1e6 + 0.5) / 1e6 AS avg_v
+                      round(sum(value), 2) / count(*) AS avg_v
                FROM ev GROUP BY 1, 2),
     bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
     spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
@@ -1165,10 +1176,14 @@ def q43_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).alias("n"),
-        # floor(x*1e6+0.5)/1e6 (NOT round): quantizes the 1-ulp
-        # summation-order noise of avg() identically on both engines —
-        # 2-decimal values make every true avg >= 5e-7 from a boundary.
-        (F.floor(F.avg("value") * 1e6 + 0.5) / 1e6).alias("avg_v"),
+        # Exact cross-engine arithmetic (same reasoning as q33): values
+        # are exact 2-decimal, so round(sum, 2) is the identical double
+        # in both engines regardless of summation order, and dividing by
+        # the same count is the identical IEEE op — avg_v is bit-equal
+        # with no tie quantization needed. (The previous
+        # floor(avg*1e6+0.5) trick still tied when c·10^4/n landed on
+        # exact halves, e.g. odd cent-sums with n∈{32,160}.)
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_v"),
     )
     spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
