@@ -43,7 +43,7 @@ class Deisa:
         feedback_queue_size: int = 1024,
         *,
         spark: SparkSession | None = None,
-        transport_dir: str = "/tmp/deisa_ray_spark_transport",
+        transport_dir: str,
         checkpoint_dir: str | None = None,
         max_simulation_ahead: int = 1,
     ) -> None:
@@ -116,20 +116,33 @@ class Bridge:
         comm: Any = None,  # noqa: ARG002 - reference signature
         *,
         rank: int | None = None,
-        transport_dir: str = "/tmp/deisa_ray_spark_transport",
+        transport_dir: str,
         max_simulation_ahead: int | None = None,
     ) -> None:
+        if not arrays_metadata:
+            raise ValueError("arrays_metadata must declare at least one array")
         if rank is None:
-            # derive a stable rank from the declared chunk position
-            md = next(iter(arrays_metadata.values()))
-            pos = tuple(md["chunk_position"])
-            grid = tuple(
-                int(g) // int(c)
-                for g, c in zip(md["global_shape"], md["chunk_shape"])
-            )
-            rank = 0
-            for p, extent in zip(pos, grid):
-                rank = rank * extent + int(p)
+            # derive a stable rank from the declared chunk positions;
+            # every array must agree, else the caller has to say which
+            # rank this process is (ambiguous layouts would otherwise
+            # silently collide bridge ids)
+            candidates = set()
+            for md in arrays_metadata.values():
+                pos = tuple(md["chunk_position"])
+                grid = tuple(
+                    int(g) // int(c)
+                    for g, c in zip(md["global_shape"], md["chunk_shape"])
+                )
+                r = 0
+                for p, extent in zip(pos, grid):
+                    r = r * extent + int(p)
+                candidates.add(r)
+            if len(candidates) != 1:
+                raise ValueError(
+                    f"ambiguous rank from chunk positions {sorted(candidates)}; "
+                    "pass rank= explicitly when arrays have different layouts"
+                )
+            rank = candidates.pop()
         kwargs: dict[str, Any] = {}
         if max_simulation_ahead is not None:
             kwargs["max_simulation_ahead"] = max_simulation_ahead

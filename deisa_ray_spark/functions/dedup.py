@@ -665,11 +665,14 @@ def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_id", "b.band_key"
     )
-    # LAZY persist: the cache still deduplicates the signature pass
-    # across the bucket join's two sides on first execution, but
-    # CONSTRUCTING this DataFrame stays free — plan-analysis callers
-    # (bench smoke, gen_plans) and the bench's per-run rebuilds must not
-    # pay a corpus-wide signature job per call.
+    # LAZY persist: constructing this DataFrame stays free, which
+    # plan-analysis callers (bench smoke, gen_plans) and the bench's
+    # per-run rebuilds depend on. Accepted trade vs an eager count():
+    # on FIRST execution the bucket join's two sides may race the empty
+    # cache and compute the signature pass twice; every later stage and
+    # action reads the cache. A pipeline wanting the guaranteed single
+    # pass stages the band table to storage first (the 100 TB shape
+    # anyway — see _shingle_sets docstring).
     bands = bands.persist()
     is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
     bench_bands = bands.filter(is_bench).select(

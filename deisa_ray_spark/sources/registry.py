@@ -33,16 +33,25 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 #: DataFrame cache keyed by (applicationId, sf_dir, table). Constructing
 #: a parquet DataFrame costs ~80 ms (file listing + footer schema read);
 #: the bench builds each query 3× and most queries load 2-5 tables, so
-#: uncached construction alone is seconds of pure overhead. DataFrames
-#: are immutable plans over read-only table files — reuse is safe; keying
-#: by applicationId drops entries of stopped sessions naturally.
+#: uncached construction alone is seconds of pure overhead.
+#:
+#: Contract: the registry tables are READ-ONLY fixtures — a cached
+#: DataFrame pins its file listing, so rewriting a table in-place within
+#: one application would serve a stale snapshot (use spark.read directly
+#: for mutable paths). Entries from other applicationIds are evicted on
+#: access, so a process cycling many sessions holds at most one
+#: session's worth of plans.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
+    key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         if name == "events":

@@ -484,8 +484,13 @@ def test_fuzzy_decontaminate_broadcasts_benchmark(spark):
     """Fuzzy decontamination: the benchmark side (band keys + shingle
     sets) broadcasts — the corpus is never self-joined and never
     shuffled for the candidate marking."""
+    import re
+
     plan = plan_of(spark, "dedup_decontaminate_fuzzy")
-    assert plan.count("BroadcastExchange") >= 2
+    # count distinct numbered nodes — explain("formatted") prints every
+    # node twice (tree + details), so substring counts don't discriminate
+    broadcasts = re.findall(r"^\(\d+\) BroadcastExchange", plan, flags=re.M)
+    assert len(broadcasts) >= 2, f"expected ≥2 broadcast nodes, got {len(broadcasts)}"
     assert "CartesianProduct" not in plan
 
 
