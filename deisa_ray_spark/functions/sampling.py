@@ -157,3 +157,51 @@ def samp_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("frac") < F.col("keep_rate"), 1)).alias("n_kept"),
         F.round(F.min("keep_rate"), 6).alias("keep_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# samp_source_mixture — uniform-mixture downsampling: every source is
+# capped to the smallest source's size via a deterministic md5 gate, the
+# way corpus mixtures are rebalanced before training. Rates are a tiny
+# broadcast table; the gate is a narrow filter — the corpus is scanned
+# once, never shuffled.
+# --------------------------------------------------------------------------
+@query(
+    "samp_source_mixture",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    rates AS (SELECT source, n,
+                     (SELECT min(n) FROM counts) * 1.0 / n AS keep_rate
+              FROM counts),
+    gated AS (
+      SELECT d.source, r.keep_rate,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS frac
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE frac < keep_rate) AS BIGINT) AS n_kept,
+           round(min(keep_rate), 6) AS keep_rate
+    FROM gated GROUP BY source
+    """,
+)
+def samp_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.withColumn(
+        "keep_rate", F.min("n").over(W.partitionBy()) * F.lit(1.0) / F.col("n")
+    ).select("source", "keep_rate")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    gated = docs.join(F.broadcast(rates), "source").withColumn("frac", frac)
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count(F.when(F.col("frac") < F.col("keep_rate"), 1))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(F.min("keep_rate"), 6).alias("keep_rate"),
+    )

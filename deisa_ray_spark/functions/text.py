@@ -738,3 +738,45 @@ def txt_curate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.streaming.curation import curate_batch
 
     return curate_batch(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# txt_pack_efficiency — packing yield report: per source shard, how many
+# fixed-length sequences the concat-and-chunk packing produces and what
+# fraction of their token capacity is real data (the tail sequence's
+# padding is the only waste in concat-packing). The metric every packing
+# strategy is judged by.
+# --------------------------------------------------------------------------
+@query(
+    "txt_pack_efficiency",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    per_source AS (
+      SELECT source, sum(n_tokens) AS total_tokens,
+             CAST(ceil(sum(n_tokens) * 1.0 / {PACK_SEQ_LEN}) AS BIGINT) AS n_seqs
+      FROM sized GROUP BY source
+    )
+    SELECT source, CAST(total_tokens AS BIGINT) AS total_tokens, n_seqs,
+           CAST(n_seqs * {PACK_SEQ_LEN} AS BIGINT) AS capacity,
+           round(total_tokens * 1.0 / (n_seqs * {PACK_SEQ_LEN}), 6) AS fill_ratio
+    FROM per_source
+    """,
+)
+def txt_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("source", F.size(_tokens()).alias("n_tokens"))
+    per = sized.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / PACK_SEQ_LEN).cast("bigint").alias("n_seqs"),
+    )
+    return per.select(
+        "source",
+        "total_tokens",
+        "n_seqs",
+        (F.col("n_seqs") * PACK_SEQ_LEN).cast("bigint").alias("capacity"),
+        F.round(F.col("total_tokens") / (F.col("n_seqs") * PACK_SEQ_LEN), 6).alias(
+            "fill_ratio"
+        ),
+    )
