@@ -718,3 +718,70 @@ def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_shared_spans — cross-document VERBATIM span detection: rolling
+# word-8-gram fingerprints, reported where the same span occurs in more
+# than one document. The span-level third axis of dedup (whole-doc
+# similarity = minhash; within-doc repetition = txt_rep_dup3gram):
+# verbatim boilerplate/quotation spans shared across documents are what
+# span-level training-data dedup removes (public: Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better").
+#
+# Scale shape: one explode to span fingerprints (narrow), one
+# partial-agg shuffle on the 32-hex span hash (uniform), a HAVING on
+# the aggregated row — never a pairwise join; output is one row per
+# duplicated span, not per occurrence pair.
+# --------------------------------------------------------------------------
+SPAN_K = 8  #: words per span
+
+
+def _span_hashes(text_col: str = "text") -> Column:
+    """Rolling k-word span md5s as a JVM array expression (same
+    constant-evaluation shape as shingles_col — see its docstring)."""
+    toks = F.split(F.col(text_col), " ")
+    ln = F.greatest(F.size(toks) - (SPAN_K - 1), F.lit(0))
+    gram = F.slice(toks, 1, ln)
+    for k in range(1, SPAN_K):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, 1 + k, ln),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.transform(gram, F.md5)
+
+
+@query(
+    "dedup_shared_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - {SPAN_K - 2}),
+                    i -> md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')))) AS h
+      FROM toks
+    )
+    SELECT h AS span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM spans
+    GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", F.explode(_span_hashes()).alias("span_hash"))
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
