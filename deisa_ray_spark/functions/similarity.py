@@ -585,3 +585,39 @@ def emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(p, F.lit(0.0), lambda acc, v: acc + v) / nrm, 6
         ).alias("u_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# emb_dim_stats — per-dimension statistics of the embedding matrix
+# (mean, population std, min/max): the diagnostics behind whitening /
+# normalization decisions and collapsed-dimension detection in embedding
+# QA. posexplode + one partial-agg shuffle keyed by dimension — d keys,
+# uniform, independent of corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT u.i - 1 AS dim, (embedding::DOUBLE[])[u.i] AS v
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) u(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(v), 6) AS mean_v,
+           round(stddev_pop(v), 6) AS std_v,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v
+    FROM dims GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(F.posexplode("e").alias("dim", "v"))
+    return dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_pop("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
