@@ -621,3 +621,74 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# sim_mrl_rerank_topk — the production Matryoshka retrieval pattern:
+# shortlist candidates by cosine on the cheap MRL_KEEP_DIMS-dim PREFIX
+# (K/d of the arithmetic and, with the prefix stored as its own column,
+# K/d of the bytes scanned), then re-rank only the shortlist with the
+# full-dimension cosine. Fully deterministic, so unlike the learned
+# IVF/PQ paths it gets an EXACT SQL oracle — both stages are
+# WindowGroupLimit top-N shapes (no global sort, per-query partitions).
+# --------------------------------------------------------------------------
+MRL_SHORTLIST = 20
+
+
+@query(
+    "sim_mrl_rerank_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             (embedding::DOUBLE[])[1:{MRL_KEEP_DIMS}] AS p
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, p AS qp FROM base
+          WHERE vec_id < {N_QUERIES}),
+    coarse AS (
+      SELECT q.qid, q.qe, b.vec_id AS neighbor_id, b.e,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qp, b.p), 6) DESC,
+                        b.vec_id ASC) AS crank
+      FROM q JOIN base b ON b.vec_id <> q.qid
+    ),
+    rerank AS (
+      SELECT qid, neighbor_id,
+             round(list_cosine_similarity(qe, e), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY round(list_cosine_similarity(qe, e), 6) DESC,
+                        neighbor_id ASC) AS rank
+      FROM coarse WHERE crank <= {MRL_SHORTLIST}
+    )
+    SELECT qid, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM rerank WHERE rank <= {TOP_K}
+    """,
+)
+def sim_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("p", F.slice("e", 1, MRL_KEEP_DIMS))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("p").alias("qp")
+    )
+    coarse_w = W.partitionBy("qid").orderBy(
+        F.desc(F.round(cosine_sim(F.col("qp"), F.col("p")), 6)), F.asc("vec_id")
+    )
+    shortlist = (
+        F.broadcast(q)
+        .join(emb, emb.vec_id != F.col("qid"))
+        .withColumn("crank", F.row_number().over(coarse_w))
+        .filter(F.col("crank") <= MRL_SHORTLIST)
+        .select("qid", "qe", F.col("vec_id").alias("neighbor_id"), "e")
+    )
+    rank_w = W.partitionBy("qid").orderBy(
+        F.desc(F.round(cosine_sim(F.col("qe"), F.col("e")), 6)), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.withColumn(
+            "cosine", F.round(cosine_sim(F.col("qe"), F.col("e")), 6)
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cosine", "rank")
+    )
