@@ -124,3 +124,34 @@ def curate_batch(docs: DataFrame) -> DataFrame:
     return gated.join(firsts, ["fp", "doc_id"], "left_semi").select(
         "doc_id", "source", "lang", "fp", "n_words"
     )
+
+
+def trending_terms_stream(
+    docs: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    min_count: int = 2,
+) -> DataFrame:
+    """Windowed term counts over a document stream (requires
+    ``ingest_ts``): the corpus-drift monitor — which terms surge in each
+    event-time window as new crawl shards land. Tokenize → explode →
+    windowed partial-agg; state is bounded by watermark horizon ×
+    vocabulary-in-horizon, and the min_count floor keeps the emitted
+    rows to the interesting tail. Consumers take per-window top-k
+    downstream (rank-over-append-output is a batch concern — streaming
+    emits the counts as windows close)."""
+    toks = docs.select(
+        "ingest_ts", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        toks.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "term",
+            "n",
+        )
+    )

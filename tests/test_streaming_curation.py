@@ -149,3 +149,60 @@ def test_dedup_within_watermark_drops_near_duplicates(spark, tmp_path):
     # per fingerprint within the horizon, not which one); the distinct
     # doc 3 always survives
     assert len(kept) == 2 and kept[1] == 3 and kept[0] in (1, 2), kept
+
+
+def test_trending_terms_converge_to_batch(spark, tmp_path):
+    """Windowed term counts over the stream equal the batch groupBy over
+    the same data once all windows close (AvailableNow drains then the
+    watermark finalizes every window)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "doc_id": i,
+                "text": f"alpha beta{' gamma' if i % 2 == 0 else ''} alpha",
+                "lang": "en",
+                "source": "s0",
+                "n_chars": 20,
+                "ingest_ts": pd.Timestamp("2026-01-01 10:00:00")
+                + pd.Timedelta(minutes=3 * i),
+            }
+        )
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+    stream = spark.readStream.schema(
+        curation.DOC_SCHEMA + ", ingest_ts timestamp"
+    ).parquet(src)
+    out = curation.trending_terms_stream(stream, window="1 hour", min_count=2)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trending")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["w_start"], r["term"]): r["n"] for r in spark.table("trending").collect()
+    }
+
+    batch = (
+        spark.read.schema(curation.DOC_SCHEMA + ", ingest_ts timestamp")
+        .parquet(src)
+        .select("ingest_ts", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy(F.window("ingest_ts", "1 hour").alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    want = {(r["w"]["start"], r["term"]): r["n"] for r in batch.collect()}
+    # append mode only emits CLOSED windows; the final (unclosed-by-
+    # watermark) window may be withheld — every emitted row must match
+    # the batch truth, and at least the first window must have emitted
+    assert got, "no windows emitted"
+    assert all(want.get(k) == v for k, v in got.items()), (got, want)
+    first_window = min(k[0] for k in want)
+    assert any(k[0] == first_window for k in got)
