@@ -29,6 +29,115 @@ TABLES = (
 # 5 rows and nation 25 at every TPC-H SF; broadcasting them never shuffles.
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+#: The normalized schema CONTRACT every downstream query sees, regardless
+#: of the physical types the parquet files happen to store. The testdata
+#: regenerates between rounds and physical-type drift has already happened
+#: once (TIMESTAMP(NANOS)->TIMESTAMP_NTZ on events.ts); the loader is the
+#: single normalization point, so any future drift is absorbed here by a
+#: cast (temporal/numeric widening) instead of surfacing as a deep
+#: hash-mismatch in some query. tests/test_schema_canary.py asserts this
+#: exact mapping after load for every table.
+SCHEMA_CONTRACT: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp_ntz",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+class SchemaContractError(RuntimeError):
+    """A loaded table is missing a column the contract requires — casting
+    cannot absorb that; fail loudly at the loader, not deep in a query."""
+
+
+def _apply_contract(name: str, df: DataFrame) -> DataFrame:
+    """Normalize ``df`` to ``SCHEMA_CONTRACT[name]``.
+
+    Fast path: schema already matches -> return df unchanged (zero plan
+    overhead; the common case every round the data does NOT drift). Drift
+    path: select contract columns in contract order, casting any column
+    whose loaded type differs. Extra physical columns are dropped — the
+    contract IS the query-visible surface. A missing column raises
+    :class:`SchemaContractError` immediately.
+    """
+    from pyspark.sql import functions as F
+
+    contract = SCHEMA_CONTRACT[name]
+    loaded = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if loaded == contract:
+        return df
+    missing = [c for c in contract if c not in loaded]
+    if missing:
+        raise SchemaContractError(
+            f"table {name!r} is missing contract column(s) {missing}; "
+            f"loaded schema: {loaded}"
+        )
+    cols = [
+        F.col(c).cast(t).alias(c) if loaded[c] != t else F.col(c)
+        for c, t in contract.items()
+    ]
+    return df.select(*cols)
+
 
 #: DataFrame cache keyed by (applicationId, sf_dir, table). Constructing
 #: a parquet DataFrame costs ~80 ms (file listing + footer schema read);
@@ -58,6 +167,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = _load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _apply_contract(name, df)
         _TABLE_CACHE[key] = df
     return df
 
