@@ -284,6 +284,7 @@ class InSituEngine:
         self._windows: dict[str, deque[ArrayFrame]] = {}
         self._new_at_boundary: set[str] = set()
         self.done = False
+        self._boundary_count = 0  # progress signal for run()'s stall gate
 
     # -- registration (A9) -------------------------------------------------
 
@@ -352,6 +353,7 @@ class InSituEngine:
         return all_seen and any(n in new_arrays for n in names)
 
     def _dispatch_boundary(self, t: int, new_arrays: set[str]) -> None:
+        self._boundary_count += 1
         for arr in sorted(new_arrays):
             dq = self._windows.setdefault(arr, deque(maxlen=self._max_window(arr)))
             dq.append(
@@ -493,23 +495,101 @@ class InSituEngine:
         finally:
             q.stop()
 
+    def _drop_file_count(self) -> int:
+        """Total visible chunk files in the drop dir (cheap driver-side
+        walk) — the second progress signal for run()'s stall gate."""
+        n = 0
+        for _root, _dirs, files in os.walk(self.chunk_dir):
+            n += sum(
+                1 for f in files if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return n
+
+    def _incomplete_assemblies(self) -> list[tuple[str, int, int, int]]:
+        """Scan the drop dir for partially-assembled (array, timestep)
+        groups: ``[(arr, t, have, expected), ...]``. Expected chunk count
+        comes from any one chunk file's declared grid (global // chunk).
+        Only meaningful in drop-dir mode; with an injected chunk_stream
+        the stall diagnosis falls back to the plain timeout."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        bad: list[tuple[str, int, int, int]] = []
+        for arr_dir in sorted(_glob.glob(os.path.join(self.chunk_dir, "arr_*"))):
+            arr = os.path.basename(arr_dir)[len("arr_"):]
+            for t_dir in sorted(_glob.glob(os.path.join(arr_dir, "t_*"))):
+                files = [
+                    f
+                    for f in os.listdir(t_dir)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                ]
+                if not files:
+                    continue
+                tbl = _pq.read_table(
+                    os.path.join(t_dir, files[0]),
+                    columns=["global_shape", "chunk_shape"],
+                )
+                row = tbl.to_pylist()[0]
+                expected = 1
+                for g, c in zip(row["global_shape"], row["chunk_shape"]):
+                    expected *= g // c
+                if len(files) < expected:
+                    bad.append(
+                        (arr, int(os.path.basename(t_dir)[len("t_"):]),
+                         len(files), expected)
+                    )
+        return bad
+
     def run(
         self,
         checkpoint_dir: str,
         max_files_per_trigger: int | None = 1,
         timeout_sec: float = 300.0,
+        stall_timeout: float = 30.0,
     ) -> None:
         """Consume the drop directory until the sentinel arrives (one
         AvailableNow pass at a time, so a simulation that is still ahead
         of analytics keeps being polled — either side may start first,
         A18). Raises OrderingError/ContractError exactly where the
-        reference fails the run."""
+        reference fails the run.
+
+        **Under-subscribed world fails fast** (reference
+        tests/test_startup_order.py negative case: fewer bridges than the
+        declared grid must be an error, not a silent hang): if no
+        progress — no new drop files AND no dispatched boundary — for
+        ``stall_timeout`` seconds while some (array, timestep) is only
+        partially assembled, raise :class:`ContractError` naming each
+        incomplete group and its missing-chunk count. A stalled-but-fully-
+        assembled world (simulation alive between timesteps, sentinel
+        pending) keeps polling until ``timeout_sec``."""
         import time as _time
 
         deadline = _time.monotonic() + timeout_sec
+        last_sig: tuple[int, int] | None = None
+        last_progress = _time.monotonic()
         while not self.done:
             self.drain_available(checkpoint_dir, max_files_per_trigger)
-            if _time.monotonic() > deadline:
+            if self.done:
+                return
+            now = _time.monotonic()
+            sig = (self._boundary_count, self._drop_file_count())
+            if sig != last_sig:
+                last_sig = sig
+                last_progress = now
+            elif now - last_progress > stall_timeout and self._chunk_stream is None:
+                incomplete = self._incomplete_assemblies()
+                if incomplete:
+                    detail = ", ".join(
+                        f"({arr!r}, t={t}): {have}/{exp} chunks"
+                        for arr, t, have, exp in incomplete
+                    )
+                    raise ContractError(
+                        f"world under-subscribed: no progress for "
+                        f"{stall_timeout:.0f}s with partially-assembled "
+                        f"timesteps — fewer bridges are sending than the "
+                        f"declared chunk grid expects [{detail}]"
+                    )
+            if now > deadline:
                 raise TimeoutError(f"sentinel not seen within {timeout_sec}s")
-            if not self.done:
-                _time.sleep(0.2)
+            _time.sleep(0.2)
