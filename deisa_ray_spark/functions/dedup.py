@@ -639,8 +639,23 @@ def _fuzzy_decon_oracle() -> str:
     """
 
 
+#: Last persisted band table (in-memory mode): each new invocation
+#: unpersists its predecessor, so a long-lived session (the bench builds
+#: every query 3x per run) holds at most ONE cached band plan instead of
+#: leaking an entry per build. Unpersisting a consumed plan is always
+#: safe — worst case a still-pending old DataFrame recomputes.
+_LAST_BANDS: list = []
+
+
 @query("dedup_decontaminate_fuzzy", oracle=_fuzzy_decon_oracle())
-def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_decontaminate_fuzzy(
+    spark: SparkSession, sf_dir: str, staging_dir: str | None = None
+) -> DataFrame:
+    """``staging_dir`` (opt-in) stages the band table to parquet and joins
+    against the files — the guaranteed-single-signature-pass 100 TB shape
+    (no cache race possible, band table survives for reuse/audit). Default
+    ``None`` keeps the lazy in-memory persist (free construction for
+    plan-analysis callers)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_sets(spark, sf_dir)
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
@@ -665,15 +680,24 @@ def dedup_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_id", "b.band_key"
     )
-    # LAZY persist: constructing this DataFrame stays free, which
-    # plan-analysis callers (bench smoke, gen_plans) and the bench's
-    # per-run rebuilds depend on. Accepted trade vs an eager count():
-    # on FIRST execution the bucket join's two sides may race the empty
-    # cache and compute the signature pass twice; every later stage and
-    # action reads the cache. A pipeline wanting the guaranteed single
-    # pass stages the band table to storage first (the 100 TB shape
-    # anyway — see _shingle_sets docstring).
-    bands = bands.persist()
+    if staging_dir is not None:
+        import os as _os
+
+        path = _os.path.join(staging_dir, "fuzzy_decon_bands")
+        bands.write.mode("overwrite").parquet(path)
+        bands = spark.read.parquet(path)
+    else:
+        # LAZY persist: constructing this DataFrame stays free, which
+        # plan-analysis callers (bench smoke, gen_plans) and the bench's
+        # per-run rebuilds depend on. Accepted trade vs an eager count():
+        # on FIRST execution the bucket join's two sides may race the
+        # empty cache and compute the signature pass twice; every later
+        # stage and action reads the cache. For the guaranteed single
+        # pass, pass ``staging_dir`` (above).
+        while _LAST_BANDS:
+            _LAST_BANDS.pop().unpersist()
+        bands = bands.persist()
+        _LAST_BANDS.append(bands)
     is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
     bench_bands = bands.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "band_id", "band_key"

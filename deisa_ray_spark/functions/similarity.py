@@ -626,13 +626,43 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # sim_mrl_rerank_topk — the production Matryoshka retrieval pattern:
 # shortlist candidates by cosine on the cheap MRL_KEEP_DIMS-dim PREFIX
-# (K/d of the arithmetic and, with the prefix stored as its own column,
-# K/d of the bytes scanned), then re-rank only the shortlist with the
-# full-dimension cosine. Fully deterministic, so unlike the learned
-# IVF/PQ paths it gets an EXACT SQL oracle — both stages are
-# WindowGroupLimit top-N shapes (no global sort, per-query partitions).
+# (K/d of the arithmetic AND K/d of the bytes scanned: the prefix is a
+# real stored column in a narrow companion table, materialized once at
+# "ingest" — mrl_prefix_table below — so the coarse scan never touches
+# the full embedding column; plan-pinned in test_plans.py), then re-rank
+# only the shortlist with the full-dimension cosine. Fully deterministic,
+# so unlike the learned IVF/PQ paths it gets an EXACT SQL oracle — both
+# stages are WindowGroupLimit top-N shapes (no global sort, per-query
+# partitions).
 # --------------------------------------------------------------------------
 MRL_SHORTLIST = 20
+
+
+def mrl_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-prefix companion table ``(vec_id, prefix)``.
+
+    At 100 TB this column is written at ingest time next to the full
+    embedding (the whole point of MRL training is that the prefix is a
+    usable embedding, so you persist it once and scan K/d of the bytes on
+    every coarse pass). The testdata has no such column, so materialize
+    it once per (sf_dir, K) into a temp-dir parquet cache and scan THAT —
+    a genuinely narrow scan, not a slice over the wide column."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{MRL_KEEP_DIMS}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), "deisa_mrl_prefix", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            _emb(spark, sf_dir)
+            .select("vec_id", F.slice("e", 1, MRL_KEEP_DIMS).alias("prefix"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
 
 
 @query(
@@ -667,27 +697,37 @@ MRL_SHORTLIST = 20
     """,
 )
 def sim_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).withColumn("p", F.slice("e", 1, MRL_KEEP_DIMS))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("p").alias("qp")
+    # Coarse stage scans ONLY the narrow stored-prefix table (K/d bytes);
+    # the full embedding column is touched twice, both times cheaply: once
+    # for the N_QUERIES broadcast side, once in the rerank lookup join,
+    # where AQE broadcasts the tiny shortlist so the corpus never shuffles.
+    prefixes = mrl_prefix_table(spark, sf_dir)
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.slice("e", 1, MRL_KEEP_DIMS).alias("qp"),
     )
     coarse_w = W.partitionBy("qid").orderBy(
-        F.desc(F.round(cosine_sim(F.col("qp"), F.col("p")), 6)), F.asc("vec_id")
+        F.desc(F.round(cosine_sim(F.col("qp"), F.col("prefix")), 6)),
+        F.asc("vec_id"),
     )
     shortlist = (
         F.broadcast(q)
-        .join(emb, emb.vec_id != F.col("qid"))
+        .join(prefixes, prefixes.vec_id != F.col("qid"))
         .withColumn("crank", F.row_number().over(coarse_w))
         .filter(F.col("crank") <= MRL_SHORTLIST)
-        .select("qid", "qe", F.col("vec_id").alias("neighbor_id"), "e")
+        .select("qid", "qe", F.col("vec_id").alias("neighbor_id"))
+    )
+    neighbors = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne")
     )
     rank_w = W.partitionBy("qid").orderBy(
-        F.desc(F.round(cosine_sim(F.col("qe"), F.col("e")), 6)), F.asc("neighbor_id")
+        F.desc(F.round(cosine_sim(F.col("qe"), F.col("ne")), 6)),
+        F.asc("neighbor_id"),
     )
     return (
-        shortlist.withColumn(
-            "cosine", F.round(cosine_sim(F.col("qe"), F.col("e")), 6)
-        )
+        shortlist.join(neighbors, "neighbor_id")
+        .withColumn("cosine", F.round(cosine_sim(F.col("qe"), F.col("ne")), 6))
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cosine", "rank")

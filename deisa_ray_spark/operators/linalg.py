@@ -238,20 +238,29 @@ def dense_matmul_tn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries pin the paths on the fixture tensor; same closed-form oracles as
 # the dense versions, proving both paths agree.
 # --------------------------------------------------------------------------
-def rowmatrix_svd_values(cells: DataFrame, k: int) -> list[float]:
+def rowmatrix_svd_values(cells: DataFrame, k: int, ncols: int) -> list[float]:
     """Distributed SVD of one long-form matrix via RowMatrix.computeSVD
-    (the MLlib path; rows = x-index, columns = y-index)."""
+    (the MLlib path; rows = x-index, columns = y-index).
+
+    ``ncols`` comes from the caller's declared grid metadata (the array's
+    global_shape is a contract, model.py), so there is no driver
+    round-trip to discover the width. The row build is one DataFrame
+    aggregation — ``collect_list(struct(y, value))`` partial-aggregates
+    map-side and shuffles each matrix row once as a packed array — then a
+    single narrow ``.rdd.map`` to MLlib's Vector type (the unavoidable
+    DataFrame->mllib seam). Row order is irrelevant: singular values are
+    invariant under row permutation and U is not computed, so no sort and
+    no ``groupByKey`` of Python tuples anywhere."""
     from pyspark.mllib.linalg import Vectors
     from pyspark.mllib.linalg.distributed import RowMatrix
 
-    ncols = cells.groupBy().max("y").collect()[0][0] + 1
-    rows = (
-        cells.rdd.map(lambda r: (r["x"], (r["y"], r["value"])))
-        .groupByKey()
-        .sortByKey()
-        .map(lambda kv: Vectors.dense([v for _, v in sorted(kv[1])][:ncols]))
+    packed = cells.groupBy("x").agg(
+        F.sort_array(F.collect_list(F.struct("y", "value"))).alias("yv")
     )
-    svd = RowMatrix(rows).computeSVD(k, computeU=False)
+    rows = packed.select("yv").rdd.map(
+        lambda r: Vectors.dense([float(v) for _, v in r["yv"]][:ncols])
+    )
+    svd = RowMatrix(rows, numCols=ncols).computeSVD(k, computeU=False)
     return list(svd.s.toArray())
 
 
@@ -270,11 +279,13 @@ def mllib_svd_singular_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B18 scale path: temperature@t=3 singular values via the MLlib
     RowMatrix (matches the dense np.linalg.svd path and the closed form)."""
     from deisa_ray_spark.model import explode_chunks
+    from deisa_ray_spark.sources.chunks import DEFAULT_GLOBAL_SHAPE
 
     cells = explode_chunks(make_chunk_df(spark)).filter(
         "arr = 'temperature' AND t = 3"
     )
-    sv = rowmatrix_svd_values(cells, k=4)
+    # width from the DECLARED grid metadata, not a data scan
+    sv = rowmatrix_svd_values(cells, k=4, ncols=DEFAULT_GLOBAL_SHAPE[1])
     sv = sv + [0.0] * (4 - len(sv))
     return spark.createDataFrame(
         [(i, float(round(abs(v), 6))) for i, v in enumerate(sv)], "k int, sv double"

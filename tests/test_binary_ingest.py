@@ -48,3 +48,30 @@ def test_decontaminate_partitions_training_set(spark):
     n_train = docs.filter(F.col("doc_id") % 97 != 0).count()
     assert sum(r.n_removed + r.n_kept for r in res) == n_train
     assert all(r.n_removed >= 0 and r.n_kept >= 0 for r in res)
+
+
+def test_fuzzy_decontaminate_staged_band_table(spark, tmp_path, duck):
+    """The opt-in staging_dir path writes the band table to parquet and
+    joins against the files (guaranteed single signature pass, no cache
+    race) — results identical to the oracle, band files actually on
+    disk, and nothing newly persisted in memory by this path."""
+    import os
+
+    from deisa_ray_spark.functions.dedup import dedup_decontaminate_fuzzy
+    from tests.conftest import assert_matches_oracle
+
+    df = dedup_decontaminate_fuzzy(spark, SF_DIR, staging_dir=str(tmp_path))
+    band_dir = os.path.join(str(tmp_path), "fuzzy_decon_bands")
+    assert any(f.endswith(".parquet") for f in os.listdir(band_dir))
+    assert_matches_oracle(df, duck, QUERIES["dedup_decontaminate_fuzzy"].oracle)
+
+
+def test_fuzzy_decontaminate_persist_bounded(spark):
+    """Repeated default-mode builds keep at most ONE persisted band plan
+    (the bench builds each query 3x per run — this was an unbounded
+    cache-entry leak)."""
+    from deisa_ray_spark.functions import dedup as D
+
+    for _ in range(3):
+        D.dedup_decontaminate_fuzzy(spark, SF_DIR)
+    assert len(D._LAST_BANDS) == 1

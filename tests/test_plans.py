@@ -521,3 +521,24 @@ def test_truncate_renorm_zero_shuffle(spark):
     """Matryoshka truncation is a narrow per-row projection."""
     plan = plan_of(spark, "emb_truncate_renorm")
     assert "Exchange" not in plan
+
+
+def test_mrl_coarse_scan_reads_only_stored_prefix(spark):
+    """The MRL coarse stage scans the narrow stored-prefix table: exactly
+    one scan in the plan may read the wide `embedding` column per role —
+    queries (N_QUERIES rows) and rerank lookup — while the corpus-sized
+    coarse scan reads (vec_id, prefix) ONLY. If the coarse stage ever
+    regresses to slicing the wide column at query time, a third
+    embedding-reading scan appears and this fails."""
+    plan = plan_of(spark, "sim_mrl_rerank_topk")
+    details = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    read_schemas = [
+        line for line in details.splitlines() if "ReadSchema" in line
+    ]
+    prefix_scans = [l for l in read_schemas if "prefix" in l]
+    assert prefix_scans, f"no stored-prefix scan found:\n{plan}"
+    for l in prefix_scans:
+        assert "embedding" not in l, f"coarse scan reads the wide column: {l}"
+    # the wide column is read by at most the two cheap roles
+    emb_scans = [l for l in read_schemas if "embedding" in l]
+    assert 1 <= len(emb_scans) <= 2, read_schemas
