@@ -70,14 +70,18 @@ def main() -> None:
     from deisa_ray_spark.session import get_session
 
     specs = load_all()
-    # Shuffle partitions = local core count (measured ~9% faster than 8
-    # on the join-heavy queries at sf0.1; AQE still coalesces the tiny
-    # stages). At cluster scale this is 2-3× total cores instead — see
-    # session.get_session docstring. Broadcast threshold covers every
-    # dimension table at this SF so star joins never shuffle the big side.
+    # Shuffle partitions = this host's core count (matching cores
+    # measured ~9% faster than 8 on the join-heavy queries at sf0.1;
+    # AQE still coalesces the tiny stages) — derived, not hardcoded, so
+    # the rationale holds on any machine. At cluster scale this is 2-3×
+    # total cores instead — see session.get_session docstring. Broadcast
+    # threshold covers every dimension table at this SF so star joins
+    # never shuffle the big side.
+    import os as _os
+
     spark = get_session(
         app_name="deisa_ray_spark_bench",
-        shuffle_partitions=32,
+        shuffle_partitions=max(8, _os.cpu_count() or 8),
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": "64MB"},
     )
 

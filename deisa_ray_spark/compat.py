@@ -105,22 +105,43 @@ class Deisa:
 class Bridge:
     """Reference-named simulation client (bridge.Bridge).
 
-    ``comm`` is accepted for signature compatibility and ignored (no
-    collective needed: per-rank chunk metadata carries the grid
-    position). ``rank`` defaults to ``chunk_position``'s row-major index
-    when the metadata carries one unambiguous position."""
+    Positional order matches the reference — ``Bridge(comm,
+    arrays_metadata, ...)`` (bridge.py:201-207) — so a migrating script
+    calling it positionally binds correctly. ``comm`` needs no
+    collective here (per-rank chunk metadata carries the grid position),
+    but when it quacks like a communicator its ``Get_rank()`` supplies
+    the bridge id, exactly as the reference derives it; otherwise
+    ``rank`` defaults to ``chunk_position``'s row-major index when the
+    metadata carries one unambiguous position."""
 
     def __init__(
         self,
-        arrays_metadata: dict[str, dict],
-        comm: Any = None,  # noqa: ARG002 - reference signature
+        comm: Any = None,
+        arrays_metadata: dict[str, dict] | None = None,
         *,
         rank: int | None = None,
         transport_dir: str,
         max_simulation_ahead: int | None = None,
     ) -> None:
+        from collections.abc import Mapping
+
+        if arrays_metadata is None and isinstance(comm, Mapping):
+            # tolerate the metadata-first call style of earlier shim
+            # versions — unambiguous, since a communicator is never a dict
+            comm, arrays_metadata = None, comm
+        if not isinstance(arrays_metadata, Mapping):
+            raise TypeError(
+                "Bridge(comm, arrays_metadata, ...): the reference signature "
+                "puts comm FIRST (bridge.py:201); arrays_metadata must be a "
+                "mapping of array name -> {global_shape, chunk_shape, "
+                "chunk_position}, got " + type(arrays_metadata).__name__
+            )
         if not arrays_metadata:
             raise ValueError("arrays_metadata must declare at least one array")
+        if rank is None and comm is not None and hasattr(comm, "Get_rank"):
+            # reference: "The unique bridge identifier is derived from
+            # comm.Get_rank()" (bridge.py:213-215)
+            rank = int(comm.Get_rank())
         if rank is None:
             # derive a stable rank from the declared chunk positions;
             # every array must agree, else the caller has to say which

@@ -17,9 +17,13 @@ classic layout only — no checksummed v2 structures:
 The reader walks the same structures from the spec (superblock → root
 symbol-table entry → B-tree → SNOD → per-dataset messages) rather than
 reversing the writer's offsets, so writer and reader verify each other.
-h5py reads these files and the writer's output matches what h5py itself
-produces structurally; the library is simply not installed here
-(VERDICT r2 gap #1), which is why this module exists.
+The files are designed to be h5py-readable (spec-conformant classic
+layout, the same structures h5py itself emits for this shape), but h5py
+is not installable in this environment (pip has no network here —
+attempted and blocked again 2026-08-14), so that interoperability claim
+is pinned only by the independent in-repo reader; run
+``pytest tests/test_sinks.py`` in an environment WITH h5py to get the
+dual-mode assertions for free (the sink tests branch on the import).
 
 Scope (deliberate): fixed-point and IEEE-float types, contiguous layout,
 root-group datasets only, no attributes, no compression. Per-chunk sink

@@ -204,6 +204,27 @@ def _link_vds(
     with open(os.path.expanduser(fname) + ".vds.json", "w") as f:
         json.dump(manifest, f, indent=2)
 
+    if h5py is None:
+        # Without h5py the virtual-layout message cannot be written, but
+        # the promised `fname` must still exist for external HDF5
+        # consumers: assemble each dataset from its chunk files and write
+        # a REAL (non-virtual) classic-format file. Driver-sized by this
+        # sink family's contract (same bound as read_vds / to_netcdf);
+        # the hidden chunk files + manifest remain the scale path.
+        from deisa_ray_spark.formats import hdf5mini
+
+        datasets = {}
+        for dataset, gshape, cshape, dtype_s, receipts in dataset_layouts:
+            out = np.full(gshape, HDF5_FILLVALUE, dtype=np.dtype(dtype_s))
+            for r in receipts:
+                block = hdf5mini.read(os.path.join(out_dir, r["chunk_file"]))[dataset]
+                sl = tuple(
+                    slice(p * c, (p + 1) * c) for p, c in zip(r["pos"], cshape)
+                )
+                out[sl] = block.reshape(cshape)
+            datasets[dataset] = out
+        hdf5mini.write(os.path.expanduser(fname), datasets)
+
 
 def read_vds(fname: str, dataset: str) -> np.ndarray:
     """Assemble a virtual dataset written by :func:`to_hdf5` — from the
@@ -222,6 +243,18 @@ def read_vds(fname: str, dataset: str) -> np.ndarray:
     import json
 
     from deisa_ray_spark.formats import hdf5mini
+
+    if os.path.exists(os.path.expanduser(fname)):
+        # a real assembled fallback file was written at fname (no-h5py
+        # writer path); prefer it. A true VDS file written elsewhere with
+        # h5py is not parseable by the minimal reader — fall through to
+        # the manifest in that case.
+        try:
+            parsed = hdf5mini.read(os.path.expanduser(fname))
+            if dataset in parsed:
+                return parsed[dataset]
+        except Exception:
+            pass
 
     with open(os.path.expanduser(fname) + ".vds.json") as f:
         manifest = json.load(f)
@@ -285,9 +318,23 @@ def to_hdf5_multi(chunk_groups: dict[str, DataFrame], fname: str) -> None:
 # -- Zarr ------------------------------------------------------------------
 
 
-def to_zarr(chunks: DataFrame, url: str, component: str | None = None) -> None:
+def to_zarr(
+    chunks: DataFrame, url: str, component: str | None = None, mode: str = "w"
+) -> None:
     """A20: chunk-position-keyed zarr writes (reference types.py:271-316
     resolves the path, persists, then writes per chunk).
+
+    ``mode`` mirrors the reference's dask.array.to_zarr pass-through
+    (types.py:271-316, default there is append):
+
+    - ``"w"`` — create/overwrite the target array (existing chunk keys
+      at the target path are removed first, so a re-write with a
+      different grid can never leave stale chunks behind).
+    - ``"a"`` — append into an existing store: other components are left
+      untouched; if the target array already exists its metadata must
+      match (shape/chunks/dtype), and the incoming chunks overwrite only
+      their own grid slots. The idiom for one-store-per-run with one
+      component (or timestep) per array write.
 
     Driver creates the store/dataset (tiny metadata: shape, chunks,
     dtype — taken from a metadata-only job that also validates the
@@ -306,6 +353,8 @@ def to_zarr(chunks: DataFrame, url: str, component: str | None = None) -> None:
     library-less executor writes raw v2 chunk bytes yields a store that
     parses nowhere. One writer, one format, any environment; pipe
     through the library explicitly if compression is needed."""
+    if mode not in ("w", "a"):
+        raise ValueError(f"mode must be 'w' or 'a', got {mode!r}")
     arr_name, t, gshape, cshape, dtype_s = _single_group_meta(chunks)
     from deisa_ray_spark.formats import zarr2
 
@@ -319,7 +368,29 @@ def to_zarr(chunks: DataFrame, url: str, component: str | None = None) -> None:
         with open(os.path.join(root, ".zgroup"), "w") as f:
             f.write('{\n  "zarr_format": 2\n}')
         path = os.path.join(root, component)
-    zarr2.create_array(path, gshape, cshape, dtype)
+
+    import json as _json
+
+    zarray = os.path.join(path, ".zarray")
+    if mode == "a" and os.path.exists(zarray):
+        with open(zarray) as f:
+            existing = _json.load(f)
+        want = (list(gshape), list(cshape), zarr2._dtype_str(dtype))
+        have = (existing["shape"], existing["chunks"], existing["dtype"])
+        if want != have:
+            raise ValueError(
+                f"append into {path}: existing array metadata {have} is "
+                f"incompatible with incoming {want}; use mode='w' to replace"
+            )
+        # keep existing chunks; incoming writes overwrite their own slots
+    else:
+        if os.path.isdir(path):
+            # 'w' semantics: never leave stale chunk keys from a previous
+            # array behind (a smaller new grid would otherwise read them)
+            for fn in os.listdir(path):
+                if fn == ".zarray" or all(p.isdigit() for p in fn.split(".")):
+                    os.remove(os.path.join(path, fn))
+        zarr2.create_array(path, gshape, cshape, dtype)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deisa_ray_spark.formats import zarr2

@@ -103,3 +103,36 @@ def test_analytics_first_through_compat(spark, tmp_path):
     th.join(timeout=90)
     assert not th.is_alive()
     assert seen == [0, 1, 2]
+
+
+def test_bridge_positional_order_matches_reference(tmp_path):
+    """Reference signature is Bridge(comm, arrays_metadata, ...)
+    (bridge.py:201-207): positional comm-first must bind correctly, a
+    communicator's Get_rank() supplies the bridge id, the older
+    metadata-first style still works, and a wrong type raises a clear
+    TypeError naming the signature difference."""
+    md = {
+        "array": {
+            "global_shape": (4, 4),
+            "chunk_shape": (2, 2),
+            "chunk_position": (1, 0),
+        }
+    }
+
+    class FakeComm:
+        def Get_rank(self):
+            return 3
+
+    b = Bridge(FakeComm(), md, transport_dir=str(tmp_path / "t1"))
+    assert b.node_id == "spark-bridge-3"  # from comm.Get_rank()
+
+    b2 = Bridge(None, md, transport_dir=str(tmp_path / "t2"))
+    assert b2.node_id == "spark-bridge-2"  # row-major of (1, 0) in 2x2
+
+    b3 = Bridge(md, transport_dir=str(tmp_path / "t3"))  # metadata-first
+    assert b3.node_id == "spark-bridge-2"
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="comm FIRST"):
+        Bridge(object(), None, transport_dir=str(tmp_path / "t4"))
