@@ -52,7 +52,11 @@ BENCH_QUERIES = [
     "txt_tfidf",
     "txt_unigram_logprob",
     "txt_curate_batch",
+    "txt_pii_scrub",
+    "txt_ngram_novelty",
+    "dedup_semantic_buckets",
     "emb_scalar_quantize",
+    "emb_whiten",
     "mm_image_features",
 ]
 

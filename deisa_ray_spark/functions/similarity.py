@@ -732,3 +732,61 @@ def sim_mrl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# emb_whiten — per-dimension standardization (z = (v - mean_d) / std_d):
+# the normalization step before whitening/PCA and the collapsed-dimension
+# fix in embedding QA (companion to emb_dim_stats, which is the
+# diagnostic half). Two-phase plan with NO per-row shuffle: phase 1 is
+# the d-key stats agg (d keys total, scale-free); phase 2 broadcasts the
+# d-row stats as ONE packed array row and applies zip_with per vector —
+# the corpus is touched map-side only. Sums are rounded to 4 decimals:
+# 64-term float sums are associativity-sensitive at the 6th decimal
+# across engines.
+# --------------------------------------------------------------------------
+@query(
+    "emb_whiten",
+    oracle="""
+    WITH vals AS (
+      SELECT vec_id, label, u.i - 1 AS dim, (embedding::DOUBLE[])[u.i] AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+    ),
+    stats AS (
+      SELECT dim, avg(v) AS mu, stddev_pop(v) AS sd FROM vals GROUP BY dim
+    )
+    SELECT vec_id, label,
+           round(max(CASE WHEN vals.dim = 0 THEN (v - mu) / sd END), 6) AS z0,
+           round(sum((v - mu) / sd), 4) AS z_sum,
+           round(sum((v - mu) * (v - mu) / (sd * sd)), 4) AS z_sq_sum
+    FROM vals JOIN stats ON vals.dim = stats.dim
+    GROUP BY vec_id, label
+    """,
+)
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    stats = (
+        emb.select(F.posexplode("e").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd"))
+    )
+    # pack the d stats rows into ONE broadcastable array row, dim-ordered
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mu", "sd"))).alias("s")
+    )
+    z = F.zip_with("e", "s", lambda v, st: (v - st.mu) / st.sd)
+    return (
+        emb.join(F.broadcast(packed))
+        .withColumn("z", z)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.element_at("z", 1), 6).alias("z0"),
+            F.round(
+                F.aggregate("z", F.lit(0.0), lambda acc, v: acc + v), 4
+            ).alias("z_sum"),
+            F.round(
+                F.aggregate("z", F.lit(0.0), lambda acc, v: acc + v * v), 4
+            ).alias("z_sq_sum"),
+        )
+    )

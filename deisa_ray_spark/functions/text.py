@@ -780,3 +780,152 @@ def txt_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_pii_scrub — PII detection/redaction report: regex hit counts for
+# emails, phone numbers, IPv4 addresses, plus the character volume a
+# redaction pass removes. The standard pre-training scrub (public: C4 /
+# RefinedWeb / Dolma all regex-scrub PII classes before training). All
+# JVM-side regexp_count/regexp_replace — the corpus never leaves the
+# scan until the one per-source agg shuffle; patterns are RE2/Java
+# compatible so the DuckDB oracle runs the identical expressions.
+# The synthetic corpus contains no PII, so every count is exactly 0 —
+# the declared query pins the plumbing on real data and the planted-PII
+# behavioral test (tests/test_text_behavior.py) pins detection itself.
+# --------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE = r"\b\d\d\d[-.]\d\d\d[-.]\d\d\d\d\b"
+PII_IPV4 = r"\b\d+\.\d+\.\d+\.\d+\b"
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document PII hit counts and the redacted text."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("[PII]")),
+            F.lit(PII_PHONE),
+            F.lit("[PII]"),
+        ),
+        F.lit(PII_IPV4),
+        F.lit("[PII]"),
+    )
+    return df.withColumns(
+        {
+            "n_email": F.regexp_count(t, F.lit(PII_EMAIL)),
+            "n_phone": F.regexp_count(t, F.lit(PII_PHONE)),
+            "n_ipv4": F.regexp_count(t, F.lit(PII_IPV4)),
+            "redacted": redacted,
+        }
+    )
+
+
+@query(
+    "txt_pii_scrub",
+    oracle=f"""
+    WITH hits AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4,
+             len(text) - len(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{PII_EMAIL}', '[PII]', 'g'),
+                 '{PII_PHONE}', '[PII]', 'g'),
+                 '{PII_IPV4}', '[PII]', 'g')) AS chars_delta
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS email_hits,
+           CAST(sum(n_phone) AS BIGINT) AS phone_hits,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4_hits,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(sum(chars_delta) AS BIGINT) AS chars_redacted
+    FROM hits GROUP BY source
+    """,
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_pii_counts(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn(
+            "chars_delta", F.length("text") - F.length("redacted")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("email_hits"),
+            F.sum("n_phone").cast("bigint").alias("phone_hits"),
+            F.sum("n_ipv4").cast("bigint").alias("ipv4_hits"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("chars_delta").cast("bigint").alias("chars_redacted"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_ngram_novelty — per-document contribution scoring: the fraction of
+# a document's distinct word-3-grams whose FIRST corpus occurrence (by
+# doc_id order) is this document. Curation pipelines use novelty to rank
+# documents for inclusion (late near-copies of earlier content score ~0;
+# fresh content scores ~1) — the document-level complement of the
+# span-level dedup_shared_spans view.
+#
+# Scale shape: one explode to (gram, doc) pairs, one partial-agg shuffle
+# on the gram key for first-occurrence, then the join back is
+# co-partitioned on the SAME gram key (exchange reuse — no extra
+# shuffle), and one final doc-key agg. Head grams are skewed; AQE's
+# skew-join split handles the join side (proven in test_aqe_skew.py).
+# --------------------------------------------------------------------------
+@query(
+    "txt_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS g
+      FROM documents
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = grams.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first_doc = grams.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY grams.doc_id
+    """,
+)
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(shingles_col()).alias("g"))
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

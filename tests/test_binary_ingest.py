@@ -69,9 +69,10 @@ def test_fuzzy_decontaminate_staged_band_table(spark, tmp_path, duck):
 def test_fuzzy_decontaminate_persist_bounded(spark):
     """Repeated default-mode builds keep at most ONE persisted band plan
     (the bench builds each query 3x per run — this was an unbounded
-    cache-entry leak)."""
+    cache-entry leak), and they REUSE it (same persisted object), so the
+    leak fix costs no rebuild."""
     from deisa_ray_spark.functions import dedup as D
 
     for _ in range(3):
         D.dedup_decontaminate_fuzzy(spark, SF_DIR)
-    assert len(D._LAST_BANDS) == 1
+    assert len(D._BANDS_CACHE) == 1

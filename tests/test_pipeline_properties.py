@@ -73,3 +73,67 @@ def test_passage_chunks_cover_and_tile(spark):
     assert bad_cover.count() == 0
     one_chunk = per_doc.filter(F.col("n") <= CHUNK_W).filter(F.col("k") != 1)
     assert one_chunk.count() == 0
+
+
+def test_pii_scrub_detects_planted_pii(spark):
+    """The declared txt_pii_scrub query runs over a PII-free synthetic
+    corpus (all-zero counts); this pins DETECTION itself on planted PII
+    of each class, plus redaction correctness."""
+    from deisa_ray_spark.functions.text import with_pii_counts
+
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk for details"),
+        (2, "call 555-867-5309 or 555.867.5309 today"),
+        (3, "server at 192.168.1.100 and 10.0.0.1 responded"),
+        (4, "no pii here at all"),
+        (5, "mixed: bob@test.io from 172.16.0.3 dialed 123-456-7890"),
+    ]
+    df = with_pii_counts(spark.createDataFrame(rows, "doc_id int, text string"))
+    got = {r.doc_id: r for r in df.collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 0, 0)
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 2, 0)
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (0, 0, 2)
+    assert (got[4].n_email, got[4].n_phone, got[4].n_ipv4) == (0, 0, 0)
+    assert (got[5].n_email, got[5].n_phone, got[5].n_ipv4) == (1, 1, 1)
+    # redaction replaces every hit and nothing else
+    assert got[5].redacted == "mixed: [PII] from [PII] dialed [PII]"
+    assert got[4].redacted == got[4].text
+
+
+def test_ngram_novelty_first_doc_wins(spark, duck):
+    """Novelty is an ordering-dependent first-occurrence metric: the
+    lowest doc_id containing a gram gets the credit. Verified on the real
+    corpus: novelty in [0,1], doc 0 scores 1.0 (nothing precedes it),
+    and totals are conserved (sum of novel grams == distinct grams in
+    the corpus)."""
+    df = QUERIES["txt_ngram_novelty"].fn(spark, SF_DIR).collect()
+    by_doc = {r.doc_id: r for r in df}
+    assert by_doc[0].novelty == 1.0
+    assert all(0.0 <= r.novelty <= 1.0 for r in df)
+    total_novel = sum(r.n_novel for r in df)
+    distinct_grams = duck.execute(
+        """
+        SELECT count(DISTINCT g) FROM (
+          SELECT unnest(list_distinct(list_transform(
+            range(1, len(string_split(text,' ')) - 1),
+            i -> string_split(text,' ')[i] || ' ' ||
+                 string_split(text,' ')[i+1] || ' ' ||
+                 string_split(text,' ')[i+2]))) AS g
+          FROM documents)
+        """
+    ).fetchone()[0]
+    assert total_novel == distinct_grams
+
+
+def test_emb_whiten_is_standardizing(spark):
+    """After whitening, each dimension has ~zero mean and ~unit variance:
+    the per-vector z_sq_sum averages to the dimensionality and z_sum
+    averages to ~0 across the corpus."""
+    import numpy as np
+
+    rows = QUERIES["emb_whiten"].fn(spark, SF_DIR).collect()
+    d = 64
+    z_sq = np.array([r.z_sq_sum for r in rows])
+    z_sum = np.array([r.z_sum for r in rows])
+    assert abs(z_sq.mean() - d) < 1e-6 * d + 1.0
+    assert abs(z_sum.mean()) < 1e-6 * d + 0.5
