@@ -319,7 +319,11 @@ def to_hdf5_multi(chunk_groups: dict[str, DataFrame], fname: str) -> None:
 
 
 def to_zarr(
-    chunks: DataFrame, url: str, component: str | None = None, mode: str = "w"
+    chunks: DataFrame,
+    url: str,
+    component: str | None = None,
+    mode: str = "w",
+    region: tuple[slice, ...] | None = None,
 ) -> None:
     """A20: chunk-position-keyed zarr writes (reference types.py:271-316
     resolves the path, persists, then writes per chunk).
@@ -335,6 +339,16 @@ def to_zarr(
       match (shape/chunks/dtype), and the incoming chunks overwrite only
       their own grid slots. The idiom for one-store-per-run with one
       component (or timestep) per array write.
+
+    ``region`` mirrors dask.array.to_zarr's region write (the reference
+    passes it straight through): a tuple of slices selecting WHERE in an
+    EXISTING larger target array this (arr, t) group lands — e.g. a
+    (1, X, Y) slab into slot t of a preallocated (T, X, Y) array, the
+    append-timesteps-along-an-axis idiom. The region must be
+    chunk-aligned with the target's chunk grid, its extents must equal
+    the incoming global_shape, and the incoming chunk_shape must equal
+    the target's chunks — so every executor write remains a whole-chunk
+    store key (offset by the region start) and stays lock-free.
 
     Driver creates the store/dataset (tiny metadata: shape, chunks,
     dtype — taken from a metadata-only job that also validates the
@@ -372,7 +386,52 @@ def to_zarr(
     import json as _json
 
     zarray = os.path.join(path, ".zarray")
-    if mode == "a" and os.path.exists(zarray):
+    key_offset: tuple[int, ...] = tuple(0 for _ in gshape)
+    if region is not None:
+        if not os.path.exists(zarray):
+            raise ValueError(
+                f"region write requires an existing target array at {path} "
+                "(preallocate it with formats.zarr2.create_array or a prior "
+                "to_zarr call)"
+            )
+        with open(zarray) as f:
+            target = _json.load(f)
+        tshape, tchunks = target["shape"], target["chunks"]
+        if target["dtype"] != zarr2._dtype_str(dtype):
+            raise ValueError(
+                f"region write dtype {zarr2._dtype_str(dtype)} != target {target['dtype']}"
+            )
+        if len(region) != len(tshape) or len(gshape) != len(tshape):
+            raise ValueError(
+                f"region rank {len(region)} / incoming rank {len(gshape)} "
+                f"must equal target rank {len(tshape)}"
+            )
+        starts, extents = [], []
+        for sl, ts in zip(region, tshape):
+            start = 0 if sl.start is None else int(sl.start)
+            stop = ts if sl.stop is None else int(sl.stop)
+            if sl.step not in (None, 1):
+                raise ValueError("region slices must be contiguous (step 1)")
+            starts.append(start)
+            extents.append(stop - start)
+        if tuple(extents) != gshape:
+            raise ValueError(
+                f"region extents {tuple(extents)} != incoming global_shape {gshape}"
+            )
+        if tuple(cshape) != tuple(tchunks):
+            raise ValueError(
+                f"incoming chunk_shape {cshape} != target chunks {tuple(tchunks)}"
+            )
+        misaligned = [
+            (s, tc) for s, tc in zip(starts, tchunks) if s % tc != 0
+        ]
+        if misaligned:
+            raise ValueError(
+                f"region start must be chunk-aligned with the target grid; "
+                f"offending (start, chunk) pairs: {misaligned}"
+            )
+        key_offset = tuple(s // tc for s, tc in zip(starts, tchunks))
+    elif mode == "a" and os.path.exists(zarray):
         with open(zarray) as f:
             existing = _json.load(f)
         want = (list(gshape), list(cshape), zarr2._dtype_str(dtype))
@@ -400,8 +459,10 @@ def to_zarr(
             for row in pdf.itertuples(index=False):
                 a = np.frombuffer(row.data, dtype=dtype).reshape(cshape)
                 # chunk-aligned grid: each position is its own store
-                # key, so executors write disjoint files lock-free
-                zarr2.write_chunk(path, tuple(row.pos), a)
+                # key (shifted by the region's chunk offset when region
+                # writing), so executors write disjoint files lock-free
+                pos = tuple(p + o for p, o in zip(row.pos, key_offset))
+                zarr2.write_chunk(path, pos, a)
                 receipts.append({"pos": list(row.pos)})
         yield pd.DataFrame(receipts, columns=["pos"])
 

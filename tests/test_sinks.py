@@ -318,3 +318,51 @@ def test_hdf5_fallback_writes_real_named_file(spark, tmp_path):
         # fallback path: fname is a real classic-format file
         np.testing.assert_array_equal(hdf5mini.read(fname)["data"], EXPECTED_T3)
     np.testing.assert_array_equal(sinks.read_vds(fname, "data"), EXPECTED_T3)
+
+
+def test_zarr_region_write_timestep_slabs(spark, tmp_path):
+    """Reference to_zarr(region=...) pass-through: preallocate a
+    (T, 4, 4) array, region-write each timestep's (1, 4, 4) slab into
+    its slot — the append-timesteps-along-an-axis idiom. Every slab
+    lands at the right offset and untouched slots read as fill."""
+    from deisa_ray_spark.formats import zarr2
+
+    url = str(tmp_path / "slabs.zarr")
+    zarr2.create_array(url, (3, 4, 4), (1, 2, 2), np.dtype("int64"))
+    base = make_chunk_df(
+        spark, global_shape=(1, 4, 4), chunk_shape=(1, 2, 2), timesteps=(0, 1, 2)
+    ).filter("arr = 'temperature'")
+    for t in (0, 1, 2):
+        sinks.to_zarr(
+            base.filter(f"t = {t}"),
+            url,
+            mode="a",
+            region=(slice(t, t + 1), slice(0, 4), slice(0, 4)),
+        )
+    out = sinks.read_zarr(url)
+    assert out.shape == (3, 4, 4)
+    # F1 generator: chunk at grid pos p (row-major id b) holds t*(b+1)
+    for t in (0, 1, 2):
+        expect = np.zeros((4, 4), dtype=np.int64)
+        for b, (py, px) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            expect[py * 2 : py * 2 + 2, px * 2 : px * 2 + 2] = t * (b + 1)
+        np.testing.assert_array_equal(out[t], expect)
+
+
+def test_zarr_region_write_validation(spark, tmp_path):
+    from deisa_ray_spark.formats import zarr2
+
+    url = str(tmp_path / "v.zarr")
+    zarr2.create_array(url, (3, 4, 4), (1, 2, 2), np.dtype("int64"))
+    slab = make_chunk_df(
+        spark, global_shape=(1, 4, 4), chunk_shape=(1, 2, 2), timesteps=(0,)
+    ).filter("arr = 'temperature'")
+    with pytest.raises(ValueError, match="chunk-aligned"):
+        sinks.to_zarr(slab, url, mode="a",
+                      region=(slice(0, 1), slice(1, 5), slice(0, 4)))
+    with pytest.raises(ValueError, match="extents"):
+        sinks.to_zarr(slab, url, mode="a",
+                      region=(slice(0, 2), slice(0, 4), slice(0, 4)))
+    with pytest.raises(ValueError, match="existing target"):
+        sinks.to_zarr(slab, str(tmp_path / "absent.zarr"), mode="a",
+                      region=(slice(0, 1), slice(0, 4), slice(0, 4)))
