@@ -30,6 +30,25 @@ from deisa_ray_spark.streaming import ArrayWindow, InSituEngine, SparkBridge
 #: (deisa.ray.types.Window(name, size)).
 Window = ArrayWindow
 
+#: Reference type alias (deisa/ray/__init__.py:5): a timestep is any
+#: Hashable, in practice an int.
+from typing import Hashable  # noqa: E402
+
+Timestep = Hashable
+
+#: Reference error surface under the names a migrating script imports
+#: (deisa/ray/errors.py). ContractError is this engine's own (same
+#: semantics); ConfigError mirrors the reference's
+#: mutated-after-lock config error for scripts that catch it.
+from deisa_ray_spark.errors import ContractError  # noqa: E402, F401
+
+
+class ConfigError(RuntimeError):
+    """Raised when configuration is mutated after it has been locked
+    (reference errors.py:20-23). This engine has no lockable global
+    config — the name exists so reference scripts' except clauses
+    continue to resolve."""
+
 
 class Deisa:
     """Reference-named analytics front end (window_handler.Deisa).

@@ -149,6 +149,29 @@ class ArrayFrame:
             out[sl] = block
         return out
 
+    # -- sinks (reference DeisaArray.to_zarr / .to_hdf5 methods,
+    #    types.py:271-336: the array handle carries its own save verbs) --
+
+    def to_zarr(
+        self,
+        url: str,
+        component: str | None = None,
+        mode: str = "a",
+        region: tuple[slice, ...] | None = None,
+    ) -> None:
+        """Save this (array, timestep) to a zarr store — method form of
+        ``sinks.to_zarr`` with the reference's defaults (mode='a')."""
+        from deisa_ray_spark import sinks
+
+        sinks.to_zarr(self.chunks(), url, component=component, mode=mode, region=region)
+
+    def to_hdf5(self, fname: str, dataset: str) -> None:
+        """Save this (array, timestep) as an HDF5 virtual dataset —
+        method form of ``sinks.to_hdf5``."""
+        from deisa_ray_spark import sinks
+
+        sinks.to_hdf5(self.chunks(), fname, dataset)
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"ArrayFrame({self.name!r}, t={self.t})"
 

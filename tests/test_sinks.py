@@ -366,3 +366,45 @@ def test_zarr_region_write_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="existing target"):
         sinks.to_zarr(slab, str(tmp_path / "absent.zarr"), mode="a",
                       region=(slice(0, 1), slice(0, 4), slice(0, 4)))
+
+
+def test_arrayframe_sink_methods_inside_callback(spark, tmp_path):
+    """The reference saves from inside analytics callbacks via methods on
+    the array handle (DeisaArray.to_zarr/.to_hdf5, types.py:271-336);
+    ArrayFrame carries the same verbs. Exercised through a real engine
+    run: the callback saves each timestep into one zarr store and the
+    final timestep to HDF5."""
+    from deisa_ray_spark.streaming import ArrayWindow, InSituEngine, SparkBridge
+    from deisa_ray_spark.streaming.bridge import metadata_for_grid
+
+    chunk_dir = str(tmp_path / "chunks")
+    for r in range(4):
+        b = SparkBridge(
+            r, metadata_for_grid(("temperature",), (4, 4), (2, 2), (r // 2, r % 2)),
+            chunk_dir,
+        )
+        for t in range(3):
+            b.send("temperature", t * (r + 1) * np.ones((2, 2), dtype=np.int64), t)
+    SparkBridge(0, metadata_for_grid(("temperature",), (4, 4), (2, 2), (0, 0)),
+                chunk_dir).close(2)
+
+    store = str(tmp_path / "cb.zarr")
+    h5 = str(tmp_path / "cb.h5")
+
+    def cb(temperature):
+        af = temperature[-1]
+        af.to_zarr(store, component=f"t{af.t}")
+        if af.t == 2:
+            af.to_hdf5(h5, "data")
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(cb, ArrayWindow("temperature"))
+    engine.run(checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=None)
+
+    for t in range(3):
+        got = sinks.read_zarr(store, component=f"t{t}")
+        expect = np.zeros((4, 4), dtype=np.int64)
+        for b_, (py, px) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            expect[py * 2 : py * 2 + 2, px * 2 : px * 2 + 2] = t * (b_ + 1)
+        np.testing.assert_array_equal(got, expect)
+    np.testing.assert_array_equal(sinks.read_vds(h5, "data"), EXPECTED_T3 / 3 * 2)

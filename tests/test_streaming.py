@@ -541,3 +541,14 @@ def test_public_api_exports():
     assert E is InSituEngine is EngineFromModule
     assert B is SparkBridge
     assert AW is ArrayWindow
+    # migration-shim surface mirrors `from deisa.ray import ...` exactly
+    # (reference __init__.py exports Bridge, Deisa, Timestep; errors.py
+    # exports ContractError, ConfigError)
+    from deisa_ray_spark.compat import (  # noqa: F401
+        Bridge,
+        ConfigError,
+        ContractError,
+        Deisa,
+        Timestep,
+        Window,
+    )
