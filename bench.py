@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_semantic_buckets",
     "emb_scalar_quantize",
     "emb_whiten",
+    "emb_cluster_stats",
     "mm_image_features",
 ]
 

@@ -790,3 +790,64 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_sq_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# emb_cluster_stats — cluster-cohesion QA: for each label (= cluster
+# assignment), the centroid-relative cosine statistics of its members.
+# The diagnostic behind "is this clustering usable for SemDeDup /
+# IVF routing?" — low mean cohesion or a long min-tail marks clusters
+# that should be split before bucketed dedup trusts them.
+#
+# Scale shape: centroids via one (label, dim)-key partial agg (k*d keys,
+# corpus reduced map-side), packed per label and broadcast back; the
+# member pass is then map-side only + one final k-key agg. The corpus is
+# never joined to itself.
+# --------------------------------------------------------------------------
+@query(
+    "emb_cluster_stats",
+    oracle="""
+    WITH vals AS (
+      SELECT vec_id, label, u.i - 1 AS dim, (embedding::DOUBLE[])[u.i] AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+    ),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, avg(v) AS c FROM vals GROUP BY label, dim)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label,
+             list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec) AS cos
+      FROM embeddings e JOIN cent ON e.label = cent.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(cos), 4) AS mean_cohesion,
+           round(min(cos), 4) AS min_cohesion,
+           round(stddev_pop(cos), 4) AS std_cohesion
+    FROM scored GROUP BY label
+    """,
+)
+def emb_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label", cosine_sim(F.col("e"), F.col("cvec")).alias("cos")
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.avg("cos"), 4).alias("mean_cohesion"),
+        F.round(F.min("cos"), 4).alias("min_cohesion"),
+        F.round(F.stddev_pop("cos"), 4).alias("std_cohesion"),
+    )

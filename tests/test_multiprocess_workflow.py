@@ -148,3 +148,41 @@ def test_fully_assembled_stall_keeps_polling_until_timeout(spark, tmp_path):
     # when a newer assembly (or the sentinel) arrives (A5) — the point is
     # that the stall gate did NOT misdiagnose this as under-subscription.
     assert engine.callbacks[0].calls == 0
+
+
+def test_stray_partial_tmp_files_are_ignored(spark, tmp_path):
+    """A bridge process killed mid-write leaves a hidden `.*.tmp` file in
+    a chunk subdirectory (the atomic-rename protocol's only possible
+    debris). The engine must ignore it everywhere: the streaming control
+    plane, the data-plane read, and the under-subscription scan."""
+    chunk_dir = str(tmp_path / "chunks")
+    bridges = [
+        SparkBridge(r, metadata_for_grid(("temperature",), GLOBAL, CHUNK,
+                                         (r // 2, r % 2)), chunk_dir)
+        for r in range(4)
+    ]
+    for t in range(3):
+        for r, b in enumerate(bridges):
+            b.send("temperature", t * (r + 1) * np.ones(CHUNK, dtype=np.int64), t)
+    # simulate a crashed writer: garbage half-written tmp + a stray
+    # hidden file at the drop root
+    sub = os.path.join(chunk_dir, "arr_temperature", "t_1")
+    with open(os.path.join(sub, ".chunk-9999-deadbeef.parquet.tmp"), "wb") as f:
+        f.write(b"\x00\x01 not parquet at all")
+    with open(os.path.join(chunk_dir, ".partial-upload"), "wb") as f:
+        f.write(b"junk")
+    bridges[0].close(2)
+
+    sums = {}
+
+    def cb(temperature):
+        af = temperature[-1]
+        sums[af.t] = float(af.to_numpy().sum())
+
+    engine = InSituEngine(spark, chunk_dir)
+    engine.register_callback(cb, ArrayWindow("temperature"))
+    engine.run(checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=None)
+    assert sums == {t: 40.0 * t for t in range(3)}
+    # the under-subscription scan also skips hidden files: all groups
+    # read as complete
+    assert engine._incomplete_assemblies() == []
