@@ -798,7 +798,13 @@ def dedup_decontaminate_fuzzy(
         cached = _BANDS_CACHE.get(key)
         if cached is None:
             for old_key in list(_BANDS_CACHE):
-                _BANDS_CACHE.pop(old_key).unpersist()
+                old = _BANDS_CACHE.pop(old_key)
+                try:
+                    old.unpersist()
+                except Exception:
+                    # an entry from a prior, already-stopped SparkSession
+                    # (its JVM context is gone — nothing left to release)
+                    pass
             cached = bands.persist()
             _BANDS_CACHE[key] = cached
         bands = cached

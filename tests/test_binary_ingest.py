@@ -76,3 +76,23 @@ def test_fuzzy_decontaminate_persist_bounded(spark):
     for _ in range(3):
         D.dedup_decontaminate_fuzzy(spark, SF_DIR)
     assert len(D._BANDS_CACHE) == 1
+
+
+def test_fuzzy_decontaminate_cache_survives_dead_session_entry(spark, duck):
+    """Evicting a band-cache entry from an already-stopped SparkSession
+    must not raise (its JVM context is gone): regression for the
+    cross-session eviction failure found by the determinism sweep."""
+    from deisa_ray_spark.functions import dedup as D
+
+    class DeadEntry:
+        def unpersist(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    D._BANDS_CACHE.clear()
+    D._BANDS_CACHE[("dead-app-id", "somewhere")] = DeadEntry()
+    df = D.dedup_decontaminate_fuzzy(spark, SF_DIR)
+    assert ("dead-app-id", "somewhere") not in D._BANDS_CACHE
+    assert len(D._BANDS_CACHE) == 1
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(df, duck, QUERIES["dedup_decontaminate_fuzzy"].oracle)
