@@ -1,0 +1,184 @@
+"""Incremental MinHash-LSH near-duplicate gating over a document stream:
+the scale-path fuzzy dedup (functions.dedup.dedup_minhash_lsh) run the
+way crawl corpora actually arrive — shard by shard, with state carried
+between micro-batches.
+
+Decision rule (the candidate-level LSH gate): a document is flagged
+``is_dup`` iff any of its band buckets is already OWNED by an
+earlier-arrived document. Owners are first-arrival (min doc_id within
+the claiming micro-batch), exactly the rule the batch twin
+:func:`neardup_flags_batch` computes globally — so for shards arriving
+in doc_id order the streaming flags are IDENTICAL to the batch job's,
+which is the module's declared contract (pinned in
+tests/test_streaming_neardup.py, same streaming==batch strategy as
+streaming/curation.py).
+
+State shape (100 TB/day): the owners table holds one row per DISTINCT
+band bucket — O(corpus novelty), not O(corpus) — and each micro-batch
+touches it with one equi-join on (band_id, band_key) plus one append of
+its newly-claimed buckets. It lives in storage (parquet here; Delta/an
+indexed store in production), not on the heap, so engine restarts keep
+dedup state for free. Compact it periodically with
+``maintenance.compact_parquet`` — appends are per-batch small files.
+
+This is the candidate gate only: at the LSH operating point used here
+(12 hashes, 4 bands → ~50% Jaccard threshold) bucket collision is the
+standard streaming accept criterion. A verify stage (exact Jaccard
+against the owner's shingles, as dedup_minhash_lsh does in batch) slots
+in as one more join against a (owner -> shingles) side table; the
+false-positive rate the gate trades away is measured in the test suite
+on the planted-pair fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.dedup import N_BANDS, N_MINHASH, shingles_col
+
+#: Owners-table schema: one row per claimed band bucket.
+OWNERS_SCHEMA = "band_id int, band_key string, owner bigint"
+
+
+def band_rows_for(docs: DataFrame) -> DataFrame:
+    """LSH band rows ``(doc_id, band_id, band_key)`` for a document
+    frame — the identical signature pipeline as dedup_minhash_lsh (same
+    md5 permutation family, same banding, same constants), shared by the
+    batch twin and the incremental processor so the two CANNOT drift
+    apart. Documents with fewer than 3 tokens have no shingles and
+    produce no band rows (they are never near-dup candidates, matching
+    the batch query's behavior)."""
+    e = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    sig = e.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows = N_MINHASH // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+
+
+def neardup_flags_batch(docs: DataFrame) -> DataFrame:
+    """Batch twin: ``(doc_id, is_dup)`` with owner = global min doc_id
+    per band bucket. Equals the incremental result for in-doc_id-order
+    arrival."""
+    bands = band_rows_for(docs)
+    owners = bands.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("owner")
+    )
+    flags = (
+        bands.join(owners, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.max((F.col("owner") < F.col("doc_id")).cast("int")).alias("_d"))
+    )
+    return docs.select("doc_id").join(flags, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_d") == 1, F.lit(False)).alias("is_dup")
+    )
+
+
+class IncrementalNearDup:
+    """foreachBatch processor: per micro-batch, flag near-dups against
+    the persistent owners table and claim this batch's new buckets.
+
+    The two writes per batch (flags append, owners append) execute in
+    that order; a mid-batch crash therefore re-processes the batch with
+    the owners table missing at most THIS batch's claims — re-emitting
+    identical flags (flag computation never reads this batch's own
+    appends). Production sinks wanting exactly-once wrap both writes in
+    one transactional table keyed by batchId."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, out_dir: str) -> None:
+        self.spark = spark
+        self.owners_dir = os.path.join(state_dir, "band_owners")
+        self.out_dir = out_dir
+
+    def _owners(self) -> DataFrame:
+        if os.path.isdir(self.owners_dir) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(self.owners_dir)
+            for f in fs
+        ):
+            return self.spark.read.schema(OWNERS_SCHEMA).parquet(self.owners_dir)
+        return self.spark.createDataFrame([], OWNERS_SCHEMA)
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        bands = band_rows_for(docs)
+        # tiny per-batch table referenced from three branches — persist
+        # (released before return; state across batches lives on disk)
+        bands = bands.persist()
+        bands.count()
+        try:
+            owners = self._owners()
+            batch_min = bands.groupBy("band_id", "band_key").agg(
+                F.min("doc_id").alias("batch_owner")
+            )
+            eff = batch_min.join(owners, ["band_id", "band_key"], "left").select(
+                "band_id",
+                "band_key",
+                F.coalesce("owner", "batch_owner").alias("owner"),
+                F.col("owner").isNull().alias("is_new"),
+            )
+            flags = (
+                bands.join(eff, ["band_id", "band_key"])
+                .groupBy("doc_id")
+                .agg(
+                    F.max((F.col("owner") < F.col("doc_id")).cast("int")).alias("_d")
+                )
+            )
+            out = (
+                docs.select("doc_id", "source", "lang")
+                .join(flags, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "source",
+                    "lang",
+                    F.coalesce(F.col("_d") == 1, F.lit(False)).alias("is_dup"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
+            out.write.mode("append").parquet(self.out_dir)
+            os.makedirs(self.owners_dir, exist_ok=True)
+            eff.filter("is_new").select("band_id", "band_key", "owner").write.mode(
+                "append"
+            ).parquet(self.owners_dir)
+        finally:
+            bands.unpersist()
+
+    def run_available(
+        self,
+        src_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = 1,
+    ) -> None:
+        """One AvailableNow pass over a shard drop directory (per-file
+        micro-batches by default — the shard-at-a-time arrival shape)."""
+        from deisa_ray_spark.streaming.curation import stream_documents
+
+        docs = stream_documents(self.spark, src_dir, max_files_per_trigger)
+        q = (
+            docs.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def flags(self) -> DataFrame:
+        return self.spark.read.parquet(self.out_dir)
