@@ -21,13 +21,19 @@ indexed store in production), not on the heap, so engine restarts keep
 dedup state for free. Compact it periodically with
 ``maintenance.compact_parquet`` — appends are per-batch small files.
 
-This is the candidate gate only: at the LSH operating point used here
-(12 hashes, 4 bands → ~50% Jaccard threshold) bucket collision is the
-standard streaming accept criterion. A verify stage (exact Jaccard
-against the owner's shingles, as dedup_minhash_lsh does in batch) slots
-in as one more join against a (owner -> shingles) side table; the
-false-positive rate the gate trades away is measured in the test suite
-on the planted-pair fixtures.
+Two operating modes:
+
+- **Gate only** (``verify=False``, default): bucket collision = dup.
+  At the operating point here (12 hashes, 4 bands → ~50% Jaccard
+  threshold) this is the standard streaming accept criterion; it trades
+  a band-collision false-positive rate for zero shingle storage.
+- **Gate + verify** (``verify=True``): exactly what dedup_minhash_lsh
+  does in batch — collisions are CANDIDATES, confirmed by exact Jaccard
+  against the colliding owner's shingle set, which requires keeping a
+  (owner -> shingles) side table for every novel document. O(novel
+  corpus) storage, the honest cost of exact verification (the batch job
+  pays the same by re-scanning the corpus); random band collisions no
+  longer flag.
 """
 
 from __future__ import annotations
@@ -41,6 +47,9 @@ from deisa_ray_spark.functions.dedup import N_BANDS, N_MINHASH, shingles_col
 
 #: Owners-table schema: one row per claimed band bucket.
 OWNERS_SCHEMA = "band_id int, band_key string, owner bigint"
+
+#: Verify-mode side table: shingle sets of every bucket-owning document.
+SHINGLES_SCHEMA = "doc_id bigint, shingles array<string>, n_sh int"
 
 
 def band_rows_for(docs: DataFrame) -> DataFrame:
@@ -75,19 +84,39 @@ def band_rows_for(docs: DataFrame) -> DataFrame:
     )
 
 
-def neardup_flags_batch(docs: DataFrame) -> DataFrame:
+def neardup_flags_batch(docs: DataFrame, verify: bool = False) -> DataFrame:
     """Batch twin: ``(doc_id, is_dup)`` with owner = global min doc_id
-    per band bucket. Equals the incremental result for in-doc_id-order
-    arrival."""
+    per band bucket; with ``verify`` a collision only flags when the
+    exact Jaccard against the colliding owner clears JACCARD_THRESHOLD.
+    Equals the incremental result for in-doc_id-order arrival."""
+    from deisa_ray_spark.functions.dedup import JACCARD_THRESHOLD
+
     bands = band_rows_for(docs)
     owners = bands.groupBy("band_id", "band_key").agg(
         F.min("doc_id").alias("owner")
     )
-    flags = (
+    cand = (
         bands.join(owners, ["band_id", "band_key"])
-        .groupBy("doc_id")
-        .agg(F.max((F.col("owner") < F.col("doc_id")).cast("int")).alias("_d"))
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select("doc_id", "owner")
+        .distinct()
     )
+    if verify:
+        sh = docs.select(
+            "doc_id", shingles_col().alias("shingles")
+        ).withColumn("n_sh", F.size("shingles"))
+        a = sh.select("doc_id", F.col("shingles").alias("sa"), F.col("n_sh").alias("na"))
+        b = sh.select(
+            F.col("doc_id").alias("owner"),
+            F.col("shingles").alias("sb"),
+            F.col("n_sh").alias("nb"),
+        )
+        n_common = F.size(F.array_intersect("sa", "sb"))
+        jac = n_common / (F.col("na") + F.col("nb") - n_common)
+        cand = cand.join(a, "doc_id").join(b, "owner").filter(
+            jac >= JACCARD_THRESHOLD
+        )
+    flags = cand.groupBy("doc_id").agg(F.lit(1).alias("_d"))
     return docs.select("doc_id").join(flags, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("_d") == 1, F.lit(False)).alias("is_dup")
     )
@@ -104,19 +133,32 @@ class IncrementalNearDup:
     appends). Production sinks wanting exactly-once wrap both writes in
     one transactional table keyed by batchId."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, out_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        out_dir: str,
+        verify: bool = False,
+    ) -> None:
         self.spark = spark
         self.owners_dir = os.path.join(state_dir, "band_owners")
+        self.shingles_dir = os.path.join(state_dir, "owner_shingles")
         self.out_dir = out_dir
+        self.verify = verify
+
+    @staticmethod
+    def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+        ):
+            return spark.read.schema(schema).parquet(path)
+        return spark.createDataFrame([], schema)
 
     def _owners(self) -> DataFrame:
-        if os.path.isdir(self.owners_dir) and any(
-            f.endswith(".parquet")
-            for _r, _d, fs in os.walk(self.owners_dir)
-            for f in fs
-        ):
-            return self.spark.read.schema(OWNERS_SCHEMA).parquet(self.owners_dir)
-        return self.spark.createDataFrame([], OWNERS_SCHEMA)
+        return self._read_state(self.spark, self.owners_dir, OWNERS_SCHEMA)
+
+    def _owner_shingles(self) -> DataFrame:
+        return self._read_state(self.spark, self.shingles_dir, SHINGLES_SCHEMA)
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         bands = band_rows_for(docs)
@@ -135,13 +177,40 @@ class IncrementalNearDup:
                 F.coalesce("owner", "batch_owner").alias("owner"),
                 F.col("owner").isNull().alias("is_new"),
             )
-            flags = (
+            cand = (
                 bands.join(eff, ["band_id", "band_key"])
-                .groupBy("doc_id")
-                .agg(
-                    F.max((F.col("owner") < F.col("doc_id")).cast("int")).alias("_d")
-                )
+                .filter(F.col("owner") < F.col("doc_id"))
+                .select("doc_id", "owner")
+                .distinct()
             )
+            if self.verify:
+                from deisa_ray_spark.functions.dedup import JACCARD_THRESHOLD
+
+                batch_sh = docs.select(
+                    "doc_id", shingles_col().alias("shingles")
+                ).withColumn("n_sh", F.size("shingles"))
+                # a colliding owner is either in the persistent store or
+                # earlier in THIS batch — union covers both
+                owner_sh = self._owner_shingles().unionByName(batch_sh)
+                a = batch_sh.select(
+                    "doc_id",
+                    F.col("shingles").alias("sa"),
+                    F.col("n_sh").alias("na"),
+                )
+                b = owner_sh.select(
+                    F.col("doc_id").alias("owner"),
+                    F.col("shingles").alias("sb"),
+                    F.col("n_sh").alias("nb"),
+                )
+                n_common = F.size(F.array_intersect("sa", "sb"))
+                jac = n_common / (F.col("na") + F.col("nb") - n_common)
+                cand = (
+                    cand.join(a, "doc_id")
+                    .join(b, "owner")
+                    .filter(jac >= JACCARD_THRESHOLD)
+                    .select("doc_id", "owner")
+                )
+            flags = cand.groupBy("doc_id").agg(F.lit(1).alias("_d"))
             out = (
                 docs.select("doc_id", "source", "lang")
                 .join(flags, "doc_id", "left")
@@ -155,9 +224,20 @@ class IncrementalNearDup:
             )
             out.write.mode("append").parquet(self.out_dir)
             os.makedirs(self.owners_dir, exist_ok=True)
-            eff.filter("is_new").select("band_id", "band_key", "owner").write.mode(
+            new_buckets = eff.filter("is_new")
+            new_buckets.select("band_id", "band_key", "owner").write.mode(
                 "append"
             ).parquet(self.owners_dir)
+            if self.verify:
+                # only docs that own >=1 bucket can ever be verify
+                # targets — store exactly those shingle sets
+                os.makedirs(self.shingles_dir, exist_ok=True)
+                new_owner_ids = new_buckets.select(
+                    F.col("owner").alias("doc_id")
+                ).distinct()
+                batch_sh.join(new_owner_ids, "doc_id", "left_semi").write.mode(
+                    "append"
+                ).parquet(self.shingles_dir)
         finally:
             bands.unpersist()
 

@@ -133,3 +133,41 @@ def test_owner_state_is_one_row_per_distinct_bucket(spark, tmp_path, nd_shard_di
     )
     assert owners.count() == distinct_buckets
     assert owners.select("band_id", "band_key").distinct().count() == owners.count()
+
+
+def test_verified_mode_equals_batch_twin_and_catches_planted(
+    spark, tmp_path, nd_shard_dir
+):
+    """verify=True: collisions are confirmed by exact Jaccard against
+    the owner's stored shingles. Streaming still equals the batch twin,
+    planted one-word edits (Jaccard >> threshold) remain caught, and
+    verified flags are a subset of gate-only flags."""
+    src, planted = nd_shard_dir
+    nd = IncrementalNearDup(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        verify=True,
+    )
+    nd.run_available(src, checkpoint_dir=str(tmp_path / "ckpt"))
+    got = {r.doc_id: r.is_dup for r in nd.flags().collect()}
+    all_docs = _all_docs(spark, src)
+    want = {
+        r.doc_id: r.is_dup
+        for r in neardup_flags_batch(all_docs, verify=True).collect()
+    }
+    assert got == want
+    caught = sum(1 for d in planted if got[d])
+    assert caught / len(planted) >= 0.8
+    gate = {
+        r.doc_id: r.is_dup for r in neardup_flags_batch(all_docs).collect()
+    }
+    assert all(gate[d] for d, v in got.items() if v)  # verified ⊆ gate
+    import os as _os
+
+    sh_store = spark.read.parquet(
+        _os.path.join(str(tmp_path / "state"), "owner_shingles")
+    )
+    # only bucket-owning docs are stored, at most once each
+    assert sh_store.select("doc_id").distinct().count() == sh_store.count()
+    assert sh_store.count() <= all_docs.count()
