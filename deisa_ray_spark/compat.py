@@ -126,7 +126,13 @@ class Bridge:
 
     Positional order matches the reference — ``Bridge(comm,
     arrays_metadata, ...)`` (bridge.py:201-207) — so a migrating script
-    calling it positionally binds correctly. ``comm`` needs no
+    calling it positionally binds correctly.
+
+    One DELIBERATE relaxation: the reference rejects ``comm=None``
+    (tests/test_bridge_init.py: "comm is required", because its bridge
+    id comes from ``comm.Get_rank()``); here a communicator is optional
+    since the declared chunk position already determines the rank — a
+    script without MPI installed can drive the bridge directly. ``comm`` needs no
     collective here (per-rank chunk metadata carries the grid position),
     but when it quacks like a communicator its ``Get_rank()`` supplies
     the bridge id, exactly as the reference derives it; otherwise
