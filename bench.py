@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "txt_curate_batch",
     "txt_pii_scrub",
     "txt_ngram_novelty",
+    "txt_length_buckets",
     "dedup_semantic_buckets",
     "emb_scalar_quantize",
     "emb_whiten",

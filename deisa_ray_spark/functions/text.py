@@ -929,3 +929,62 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# txt_length_buckets — percentile-based length bucketing: assign every
+# document to an ntile bucket of its token length and report per-bucket
+# shape stats. The batch-shaping primitive for training pipelines
+# (padding waste is minimized by batching similar-length sequences
+# together — public: dynamic batching / length-grouped samplers).
+# One global-window ntile is a single-partition sort at heart, so the
+# declared plan ranks WITHIN source shards (partitioned window) and
+# aggregates per (source, bucket) — no global sort at any scale.
+# --------------------------------------------------------------------------
+N_LEN_BUCKETS = 4
+
+
+@query(
+    "txt_length_buckets",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT source, n_tokens,
+             ntile({N_LEN_BUCKETS}) OVER (
+               PARTITION BY source ORDER BY n_tokens, doc_id) AS bucket
+      FROM sized
+    )
+    SELECT source, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+             AS pad_waste_tokens
+    FROM bucketed GROUP BY source, bucket
+    """,
+)
+def txt_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(_tokens()).alias("n_tokens")
+    )
+    # doc_id tie-break: ntile is positional, so equal lengths at a
+    # bucket boundary need a deterministic total order or the two
+    # engines (and two runs) could bucket them differently
+    w = W.partitionBy("source").orderBy("n_tokens", "doc_id")
+    bucketed = sized.withColumn("bucket", F.ntile(N_LEN_BUCKETS).over(w))
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("pad_waste_tokens"),
+    )
