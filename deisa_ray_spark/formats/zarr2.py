@@ -61,11 +61,15 @@ def chunk_key(pos: tuple[int, ...]) -> str:
     return ".".join(str(int(p)) for p in pos)
 
 
-def write_chunk(path: str, pos: tuple[int, ...], block: np.ndarray) -> None:
+def write_chunk(
+    path: str, pos: tuple[int, ...], block: np.ndarray, suffix: str = ""
+) -> None:
     """Raw C-order chunk bytes at the grid key — executor-side, no locks
-    needed: distinct positions are distinct files."""
+    needed: distinct positions are distinct files. ``suffix`` writes a
+    staged (non-final) key for commit-after-validation protocols; a
+    suffixed key is invisible to readers until renamed."""
     data = np.ascontiguousarray(block).tobytes()
-    with open(os.path.join(path, chunk_key(pos)), "wb") as f:
+    with open(os.path.join(path, chunk_key(pos) + suffix), "wb") as f:
         f.write(data)
 
 

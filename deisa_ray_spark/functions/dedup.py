@@ -72,6 +72,42 @@ def shingles_col(text_col: str = "text") -> Column:
     return F.array_distinct(gram)
 
 
+def minhash_signature_df(exploded: DataFrame) -> DataFrame:
+    """Signature matrix from exploded shingle rows ``(doc_id, s)`` →
+    ``(doc_id, mh0..mh{N-1})`` in ONE partial-agg pass — the canonical
+    scale shape (see dedup_minhash_lsh's inline note on why the
+    array-expression form loses). Shared by the batch LSH query, fuzzy
+    decontamination, and the streaming near-dup gate so the three
+    cannot drift."""
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+
+
+def lsh_band_rows(sig: DataFrame) -> DataFrame:
+    """Band rows ``(doc_id, band_id, band_key)`` from a signature frame:
+    N_BANDS keys of N_MINHASH // N_BANDS hashes each. Shared for the
+    same anti-drift reason as :func:`minhash_signature_df`."""
+    rows = N_MINHASH // N_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+
+
 def minhash_signature(shingles: Column, n: int = N_MINHASH) -> list[Column]:
     """MinHash permutation i ≔ lexicographic min of ``md5(i || '|' || s)``
     over the shingle set — portable to any engine with md5.
@@ -233,27 +269,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split+shingle+distinct pipeline 12× per row — measured 60 s vs 4 s
     # on 500 docs. The explode shape is also the standard scale form:
     # map-side combine bounds the shuffle at one row per (doc, i).)
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = e.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
-    rows = N_MINHASH // N_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
-                    "band_key"
-                ),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_key"
+    bands = lsh_band_rows(
+        minhash_signature_df(sh.select("doc_id", F.explode("shingles").alias("s")))
     )
     # The candidate SELF-join would otherwise recompute the full
     # signature pipeline (12 md5 per shingle instance) once per side —
@@ -758,27 +775,8 @@ def dedup_decontaminate_fuzzy(
     plan-analysis callers)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingle_sets(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = e.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
-    rows = N_MINHASH // N_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_key"
+    bands = lsh_band_rows(
+        minhash_signature_df(sh.select("doc_id", F.explode("shingles").alias("s")))
     )
     if staging_dir is not None:
         import os as _os

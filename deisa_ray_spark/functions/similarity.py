@@ -645,23 +645,49 @@ def mrl_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding (the whole point of MRL training is that the prefix is a
     usable embedding, so you persist it once and scan K/d of the bytes on
     every coarse pass). The testdata has no such column, so materialize
-    it once per (sf_dir, K) into a temp-dir parquet cache and scan THAT —
-    a genuinely narrow scan, not a slice over the wide column."""
+    it once per (sf_dir, K, DATA VERSION) into a temp-dir parquet cache
+    and scan THAT — a genuinely narrow scan, not a slice over the wide
+    column.
+
+    The cache key includes a fingerprint of the source parquet's file
+    sizes+mtimes: the testdata REGENERATES in place between rounds, and
+    a path-only key would silently serve stale prefixes against fresh
+    embeddings (wrong shortlists, no loud failure). Publication is
+    write-to-unique-dir + atomic rename, so two concurrent processes
+    cannot corrupt a half-written cache for each other."""
     import hashlib
     import os
     import tempfile
+    import uuid
 
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stats.append(f"{st.st_size}:{st.st_mtime_ns}")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{MRL_KEEP_DIMS}".encode()
-    ).hexdigest()[:12]
+        f"{src}|{MRL_KEEP_DIMS}|{'|'.join(stats)}".encode()
+    ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "deisa_mrl_prefix", key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
         (
             _emb(spark, sf_dir)
             .select("vec_id", F.slice("e", 1, MRL_KEEP_DIMS).alias("prefix"))
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, path)  # atomic publish; loser keeps its build
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # someone else won
     return spark.read.parquet(path)
 
 

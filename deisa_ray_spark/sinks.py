@@ -412,6 +412,14 @@ def to_zarr(
             stop = ts if sl.stop is None else int(sl.stop)
             if sl.step not in (None, 1):
                 raise ValueError("region slices must be contiguous (step 1)")
+            if start < 0 or stop > ts:
+                # out-of-bounds keys would be silently invisible to every
+                # reader (spec: absent/extra keys are ignored) — the
+                # write would "succeed" and the data vanish
+                raise ValueError(
+                    f"region [{start}:{stop}] is outside the target axis "
+                    f"extent {ts}"
+                )
             starts.append(start)
             extents.append(stop - start)
         if tuple(extents) != gshape:
@@ -443,13 +451,21 @@ def to_zarr(
             )
         # keep existing chunks; incoming writes overwrite their own slots
     else:
-        if os.path.isdir(path):
-            # 'w' semantics: never leave stale chunk keys from a previous
-            # array behind (a smaller new grid would otherwise read them)
-            for fn in os.listdir(path):
-                if fn == ".zarray" or all(p.isdigit() for p in fn.split(".")):
-                    os.remove(os.path.join(path, fn))
-        zarr2.create_array(path, gshape, cshape, dtype)
+        if os.path.isdir(path) and os.path.exists(zarray):
+            # 'w' over an EXISTING array: stage the new chunks under
+            # suffixed keys (invisible to readers), validate
+            # completeness, and only then commit — a failed or partial
+            # 'w' write must never destroy the previous data (upfront
+            # deletion would)
+            import uuid as _uuid
+
+            commit_suffix = f".wtmp-{_uuid.uuid4().hex[:8]}"
+        else:
+            commit_suffix = ""
+            zarr2.create_array(path, gshape, cshape, dtype)
+
+    if region is not None or mode == "a":
+        commit_suffix = ""  # slot-level overwrite IS the append contract
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deisa_ray_spark.formats import zarr2
@@ -462,7 +478,7 @@ def to_zarr(
                 # key (shifted by the region's chunk offset when region
                 # writing), so executors write disjoint files lock-free
                 pos = tuple(p + o for p, o in zip(row.pos, key_offset))
-                zarr2.write_chunk(path, pos, a)
+                zarr2.write_chunk(path, pos, a, suffix=commit_suffix)
                 receipts.append({"pos": list(row.pos)})
         yield pd.DataFrame(receipts, columns=["pos"])
 
@@ -471,10 +487,28 @@ def to_zarr(
     for g, c in zip(gshape, cshape):
         expected *= g // c
     if n_written != expected:
+        if commit_suffix:
+            for fn in os.listdir(path):
+                if fn.endswith(commit_suffix):
+                    os.remove(os.path.join(path, fn))
         raise ValueError(
             f"zarr write incomplete for ({arr_name}, {t}): "
             f"{n_written}/{expected} chunks written"
         )
+    if commit_suffix:
+        # commit: finalize staged keys, drop stale keys from the old
+        # grid, then replace the metadata — the previous array stays
+        # fully readable up to this point
+        staged = [fn for fn in os.listdir(path) if fn.endswith(commit_suffix)]
+        final_keys = set()
+        for fn in staged:
+            final = fn[: -len(commit_suffix)]
+            os.replace(os.path.join(path, fn), os.path.join(path, final))
+            final_keys.add(final)
+        for fn in os.listdir(path):
+            if fn not in final_keys and all(p.isdigit() for p in fn.split(".")):
+                os.remove(os.path.join(path, fn))
+        zarr2.create_array(path, gshape, cshape, dtype)
 
 
 def read_zarr(url: str, component: str | None = None) -> np.ndarray:

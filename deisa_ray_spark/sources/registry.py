@@ -124,7 +124,11 @@ def _apply_contract(name: str, df: DataFrame) -> DataFrame:
 
     contract = SCHEMA_CONTRACT[name]
     loaded = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    if loaded == contract:
+    # ORDER-SENSITIVE compare: dict equality ignores insertion order, but
+    # the contract guarantees column ORDER too (positional consumers,
+    # value-hash gates) — a reordered-columns regeneration must take the
+    # normalization path, not the fast path.
+    if list(loaded.items()) == list(contract.items()):
         return df
     missing = [c for c in contract if c not in loaded]
     if missing:

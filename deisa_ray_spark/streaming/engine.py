@@ -591,12 +591,23 @@ class InSituEngine:
         deadline = _time.monotonic() + timeout_sec
         last_sig: tuple[int, int] | None = None
         last_progress = _time.monotonic()
+        last_walk = 0.0
         while not self.done:
             self.drain_available(checkpoint_dir, max_files_per_trigger)
             if self.done:
                 return
             now = _time.monotonic()
-            sig = (self._boundary_count, self._drop_file_count())
+            # The file-count walk is O(run history) — only pay it when
+            # boundaries have stopped advancing (the walk exists solely
+            # to arm the stall gate), and at most a few times per stall
+            # window; dispatched boundaries alone prove liveness.
+            if last_sig is not None and self._boundary_count != last_sig[0]:
+                sig = (self._boundary_count, last_sig[1])
+            elif now - last_walk >= max(0.5, stall_timeout / 5.0):
+                last_walk = now
+                sig = (self._boundary_count, self._drop_file_count())
+            else:
+                sig = last_sig if last_sig is not None else (self._boundary_count, -1)
             if sig != last_sig:
                 last_sig = sig
                 last_progress = now

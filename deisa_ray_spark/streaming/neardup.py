@@ -43,7 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deisa_ray_spark.functions.dedup import N_BANDS, N_MINHASH, shingles_col
+from deisa_ray_spark.functions.dedup import shingles_col
 
 #: Owners-table schema: one row per claimed band bucket.
 OWNERS_SCHEMA = "band_id int, band_key string, owner bigint"
@@ -54,33 +54,18 @@ SHINGLES_SCHEMA = "doc_id bigint, shingles array<string>, n_sh int"
 
 def band_rows_for(docs: DataFrame) -> DataFrame:
     """LSH band rows ``(doc_id, band_id, band_key)`` for a document
-    frame — the identical signature pipeline as dedup_minhash_lsh (same
-    md5 permutation family, same banding, same constants), shared by the
-    batch twin and the incremental processor so the two CANNOT drift
+    frame — composed from the SAME ``minhash_signature_df`` +
+    ``lsh_band_rows`` builders the batch queries (dedup_minhash_lsh,
+    dedup_decontaminate_fuzzy) use, so batch and streaming cannot drift
     apart. Documents with fewer than 3 tokens have no shingles and
     produce no band rows (they are never near-dup candidates, matching
     the batch query's behavior)."""
-    e = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
-    sig = e.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
-            for i in range(N_MINHASH)
-        ]
-    )
-    rows = N_MINHASH // N_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_key"
+    from deisa_ray_spark.functions.dedup import lsh_band_rows, minhash_signature_df
+
+    return lsh_band_rows(
+        minhash_signature_df(
+            docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+        )
     )
 
 
@@ -126,12 +111,16 @@ class IncrementalNearDup:
     """foreachBatch processor: per micro-batch, flag near-dups against
     the persistent owners table and claim this batch's new buckets.
 
-    The two writes per batch (flags append, owners append) execute in
-    that order; a mid-batch crash therefore re-processes the batch with
-    the owners table missing at most THIS batch's claims — re-emitting
-    identical flags (flag computation never reads this batch's own
-    appends). Production sinks wanting exactly-once wrap both writes in
-    one transactional table keyed by batchId."""
+    The per-batch writes execute in the order flags → (verify mode:
+    owner shingles) → owners claims. A mid-batch crash re-processes the
+    batch with the owners table missing at most THIS batch's claims, so
+    identical flags are re-emitted (flag computation never reads this
+    batch's own appends); a crash between the shingles and owners
+    appends re-appends both on retry — at worst duplicate shingle rows,
+    which the flag computation collapses. The one non-idempotent
+    artifact is the flags output itself (a retried batch appends its
+    rows twice); production sinks wanting exactly-once wrap the writes
+    in one transactional table keyed by batchId."""
 
     def __init__(
         self,
@@ -223,14 +212,19 @@ class IncrementalNearDup:
                 )
             )
             out.write.mode("append").parquet(self.out_dir)
-            os.makedirs(self.owners_dir, exist_ok=True)
             new_buckets = eff.filter("is_new")
-            new_buckets.select("band_id", "band_key", "owner").write.mode(
-                "append"
-            ).parquet(self.owners_dir)
             if self.verify:
                 # only docs that own >=1 bucket can ever be verify
-                # targets — store exactly those shingle sets
+                # targets — store exactly those shingle sets. WRITE
+                # ORDER MATTERS: shingles must land BEFORE the owners
+                # claims. A crash between the two appends then retries
+                # the batch with is_new still True (owners unclaimed),
+                # re-appending both — at worst duplicate shingle rows,
+                # which the flag computation collapses (same shingles →
+                # same Jaccard → same distinct candidates). The reverse
+                # order would retry with is_new False and permanently
+                # skip the shingle append, silently suppressing every
+                # future verified dup against those owners.
                 os.makedirs(self.shingles_dir, exist_ok=True)
                 new_owner_ids = new_buckets.select(
                     F.col("owner").alias("doc_id")
@@ -238,6 +232,10 @@ class IncrementalNearDup:
                 batch_sh.join(new_owner_ids, "doc_id", "left_semi").write.mode(
                     "append"
                 ).parquet(self.shingles_dir)
+            os.makedirs(self.owners_dir, exist_ok=True)
+            new_buckets.select("band_id", "band_key", "owner").write.mode(
+                "append"
+            ).parquet(self.owners_dir)
         finally:
             bands.unpersist()
 

@@ -38,6 +38,8 @@ def test_contract_covers_every_table():
 def test_loaded_schema_matches_contract(spark, name):
     df = load_table(spark, SF_DIR, name)
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    # column ORDER is part of the contract (positional consumers)
+    assert list(got.items()) == list(SCHEMA_CONTRACT[name].items())
     assert got == SCHEMA_CONTRACT[name], (
         f"schema drift on table {name!r}: loaded+normalized {got} != "
         f"contract {SCHEMA_CONTRACT[name]} — either the testdata physical "
@@ -76,6 +78,28 @@ def test_drifted_physical_types_are_absorbed(spark, tmp_path):
     # values survive the cast (date midnight == ntz midnight)
     row = df.select("o_orderkey", "o_orderdate").orderBy("o_orderkey").first()
     assert row.o_orderdate is not None
+
+
+def test_reordered_columns_are_renormalized(spark, tmp_path):
+    """Same names/types but a different physical column order must take
+    the normalization path and come back in contract order (dict
+    equality is order-blind — the fast path must not be)."""
+    import duckdb
+
+    drift_dir = str(tmp_path / "reorder")
+    os.makedirs(drift_dir)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT r_name, r_regionkey
+          FROM read_parquet('{SF_DIR}/region.parquet')
+        ) TO '{drift_dir}/region.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    df = load_table(spark, drift_dir, "region")
+    assert df.columns == list(SCHEMA_CONTRACT["region"])
 
 
 def test_missing_contract_column_fails_fast(spark, tmp_path):

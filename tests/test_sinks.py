@@ -262,9 +262,14 @@ def test_zarr_append_same_array_overwrites_own_slots_only(spark, tmp_path):
     with pytest.raises(ValueError, match="incomplete"):
         # partial grids are an incomplete WRITE in 'w' mode...
         sinks.to_zarr(redo, url, mode="w")
-    sinks.to_zarr(chunks, url, mode="w")  # restore
-    # ...but a partial append is fine in spirit via direct chunk writes;
-    # here we append the full compatible grid and verify overwrite
+    # ...and the FAILED 'w' write is non-destructive: staged keys are
+    # discarded and the previous array is still fully readable
+    np.testing.assert_array_equal(sinks.read_zarr(url), EXPECTED_T3)
+    import os
+
+    assert not any(".wtmp-" in f for f in os.listdir(url))
+    # a partial append is fine in spirit via direct chunk writes; here
+    # we append the full compatible grid and verify overwrite
     t4 = make_chunk_df(spark, timesteps=(4,)).filter("arr = 'temperature'")
     sinks.to_zarr(t4, url, mode="a")
     np.testing.assert_array_equal(sinks.read_zarr(url), EXPECTED_T3 / 3 * 4)
@@ -353,7 +358,8 @@ def test_zarr_region_write_validation(spark, tmp_path):
     from deisa_ray_spark.formats import zarr2
 
     url = str(tmp_path / "v.zarr")
-    zarr2.create_array(url, (3, 4, 4), (1, 2, 2), np.dtype("int64"))
+    # axis-1 extent 6 so a misaligned-but-in-bounds region exists
+    zarr2.create_array(url, (3, 6, 4), (1, 2, 2), np.dtype("int64"))
     slab = make_chunk_df(
         spark, global_shape=(1, 4, 4), chunk_shape=(1, 2, 2), timesteps=(0,)
     ).filter("arr = 'temperature'")
@@ -408,3 +414,22 @@ def test_arrayframe_sink_methods_inside_callback(spark, tmp_path):
             expect[py * 2 : py * 2 + 2, px * 2 : px * 2 + 2] = t * (b_ + 1)
         np.testing.assert_array_equal(got, expect)
     np.testing.assert_array_equal(sinks.read_vds(h5, "data"), EXPECTED_T3 / 3 * 2)
+
+
+def test_zarr_region_out_of_bounds_rejected(spark, tmp_path):
+    """A region outside the target's declared shape must be rejected:
+    out-of-grid keys are invisible to every reader, so the write would
+    'succeed' and the data silently vanish."""
+    from deisa_ray_spark.formats import zarr2
+
+    url = str(tmp_path / "oob.zarr")
+    zarr2.create_array(url, (3, 4, 4), (1, 2, 2), np.dtype("int64"))
+    slab = make_chunk_df(
+        spark, global_shape=(1, 4, 4), chunk_shape=(1, 2, 2), timesteps=(0,)
+    ).filter("arr = 'temperature'")
+    with pytest.raises(ValueError, match="outside the target"):
+        sinks.to_zarr(slab, url, mode="a",
+                      region=(slice(3, 4), slice(0, 4), slice(0, 4)))
+    with pytest.raises(ValueError, match="outside the target"):
+        sinks.to_zarr(slab, url, mode="a",
+                      region=(slice(-1, 0), slice(0, 4), slice(0, 4)))
