@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from deisa_ray_spark.model import explode_chunks
 from deisa_ray_spark.registry import query
-from deisa_ray_spark.sources.chunks import make_chunk_df
+from deisa_ray_spark.sources.chunks import DEFAULT_GLOBAL_SHAPE, make_chunk_df
 
 #: DuckDB twin of the F1/F2 generator (FIXTURES.md): closed-form cells.
 GRID_CTE = """
@@ -44,29 +44,58 @@ def grid(spark: SparkSession) -> DataFrame:
     return explode_chunks(make_chunk_df(spark))
 
 
+#: ONE position-weighted checksum contract shared by every ingest /
+#: round-trip path (file drop, JSONL, parquet sink, ORC sink, custom
+#: DataSource). A single definition means a weighting change cannot be
+#: applied to four of five paths and silently weaken the fifth.
+CHECKSUM_ORACLE = GRID_CTE + """
+    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
+           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
+    FROM grid GROUP BY arr
+    """
+
+
+def cell_checksum(g: DataFrame) -> DataFrame:
+    """Position-weighted checksum over long-form cells: proves every
+    cell landed at the right global coordinate (reference
+    types.py:721-791 completeness protocol). Twin of CHECKSUM_ORACLE."""
+    return g.groupBy("arr").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(
+            F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2
+        ).alias("weighted_sum"),
+    )
+
+
+_SCRATCH: dict[str, str] = {}
+
+
+def _scratch(tag: str) -> str:
+    """Per-process reusable scratch directory for queries that stage
+    data to disk (round-trip checksums). One dir per tag per process —
+    repeated bench/harness builds REUSE it instead of leaking a fresh
+    mkdtemp per invocation — removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = _SCRATCH.get(tag)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"deisa_{tag}_")
+        _SCRATCH[tag] = path
+        atexit.register(shutil.rmtree, path, True)
+    return path
+
+
 # --------------------------------------------------------------------------
 # A1/A4 — ingest + assembly checksum: decode of binary chunks equals the
 # closed form, i.e. assembled array == concatenation of its chunks.
 # --------------------------------------------------------------------------
-@query(
-    "grid_ingest_checksum",
-    oracle=GRID_CTE
-    + """
-    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
-           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
-    FROM grid GROUP BY arr
-    """,
-)
+@query("grid_ingest_checksum", oracle=CHECKSUM_ORACLE)
 def grid_ingest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 chunk ingest + A4 assembly: position-weighted checksum proves
-    every cell landed at the right global coordinate
-    (reference types.py:721-791 completeness protocol)."""
-    g = grid(spark)
-    return g.groupBy("arr").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
-    )
+    """A1 chunk ingest + A4 assembly (reference types.py:721-791)."""
+    return cell_checksum(grid(spark))
 
 
 # --------------------------------------------------------------------------
@@ -135,7 +164,7 @@ def grid_axis_mean_centering(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(greatest(value, 2.0), 6.0) AS clipped,
            CASE WHEN value > 5 THEN value ELSE 0 END AS masked,
            round(sqrt(value), 6)  AS root,
-           CAST(value AS INT)     AS as_int
+           CAST(trunc(value) AS INT) AS as_int
     FROM grid WHERE arr = 'temperature' AND t = 3
     """,
 )
@@ -152,6 +181,10 @@ def grid_elementwise_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.greatest(v, F.lit(2.0)), F.lit(6.0)).alias("clipped"),
         F.when(v > 5, v).otherwise(F.lit(0.0)).alias("masked"),
         F.round(F.sqrt(v), 6).alias("root"),
+        # astype-int semantics = TRUNCATION (numpy/Spark cast); the
+        # oracle says CAST(trunc(..)) explicitly because DuckDB's bare
+        # CAST(double AS INT) rounds-to-nearest — a real 1-off trap on
+        # any non-integral value
         v.cast("int").alias("as_int"),
     )
 
@@ -376,27 +409,16 @@ def grid_gating_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON-lines source: proves base64 payloads decode identically to parquet
 # binary (sources/chunks_json.py). Same oracle as grid_ingest_checksum.
 # --------------------------------------------------------------------------
-@query(
-    "grid_ingest_json_checksum",
-    oracle=GRID_CTE
-    + """
-    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
-           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
-    FROM grid GROUP BY arr
-    """,
-)
+@query("grid_ingest_json_checksum", oracle=CHECKSUM_ORACLE)
 def grid_ingest_json_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import os
 
     from deisa_ray_spark.sources.chunks_json import read_chunks_jsonl, write_chunks_jsonl
 
-    path = write_chunks_jsonl(tempfile.mkdtemp(prefix="jsonl_") + "/chunks.jsonl")
-    g = explode_chunks(read_chunks_jsonl(spark, path).coalesce(2))
-    return g.groupBy("arr").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
-    )
+    path = os.path.join(_scratch("jsonl"), "chunks.jsonl")
+    if not os.path.exists(path):
+        write_chunks_jsonl(path)
+    return cell_checksum(explode_chunks(read_chunks_jsonl(spark, path).coalesce(2)))
 
 
 # --------------------------------------------------------------------------
@@ -405,30 +427,17 @@ def grid_ingest_json_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decoded cells still match the closed form. Partition pruning on the
 # read side is asserted in tests/test_sinks.py.
 # --------------------------------------------------------------------------
-@query(
-    "sink_roundtrip_checksum",
-    oracle=GRID_CTE
-    + """
-    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
-           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
-    FROM grid GROUP BY arr
-    """,
-)
+@query("sink_roundtrip_checksum", oracle=CHECKSUM_ORACLE)
 def sink_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import os
 
     from deisa_ray_spark.model import CHUNK_SCHEMA
     from deisa_ray_spark.sinks import write_chunks_parquet
 
-    path = tempfile.mkdtemp(prefix="sink_rt_") + "/chunks"
-    write_chunks_parquet(make_chunk_df(spark), path)
+    path = os.path.join(_scratch("sink_rt"), "chunks")
+    write_chunks_parquet(make_chunk_df(spark), path)  # mode=overwrite
     back = spark.read.schema(CHUNK_SCHEMA).parquet(path).coalesce(2)
-    g = explode_chunks(back)
-    return g.groupBy("arr").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
-    )
+    return cell_checksum(explode_chunks(back))
 
 
 # --------------------------------------------------------------------------
@@ -439,29 +448,17 @@ def sink_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the default. Same pruning properties (partitionBy(arr, t) directories
 # + ORC predicate pushdown).
 # --------------------------------------------------------------------------
-@query(
-    "sink_roundtrip_orc_checksum",
-    oracle=GRID_CTE
-    + """
-    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
-           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
-    FROM grid GROUP BY arr
-    """,
-)
+@query("sink_roundtrip_orc_checksum", oracle=CHECKSUM_ORACLE)
 def sink_roundtrip_orc_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import os
 
     from deisa_ray_spark.model import CHUNK_SCHEMA
+    from deisa_ray_spark.sinks import write_chunks_orc
 
-    path = tempfile.mkdtemp(prefix="sink_rt_orc_") + "/chunks"
-    make_chunk_df(spark).write.partitionBy("arr", "t").mode("overwrite").orc(path)
+    path = os.path.join(_scratch("sink_rt_orc"), "chunks")
+    write_chunks_orc(make_chunk_df(spark), path)
     back = spark.read.schema(CHUNK_SCHEMA).orc(path).coalesce(2)
-    g = explode_chunks(back)
-    return g.groupBy("arr").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
-    )
+    return cell_checksum(explode_chunks(back))
 
 
 # --------------------------------------------------------------------------
@@ -472,26 +469,13 @@ def sink_roundtrip_orc_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle proves the source emits byte-identical chunk rows to the
 # file-drop ingest path.
 # --------------------------------------------------------------------------
-@query(
-    "grid_sim_source_checksum",
-    oracle=GRID_CTE
-    + """
-    SELECT arr, count(*) AS n_cells, round(sum(value), 2) AS sum_value,
-           round(sum(value * (x * 4 + y + 1)), 2) AS weighted_sum
-    FROM grid GROUP BY arr
-    """,
-)
+@query("grid_sim_source_checksum", oracle=CHECKSUM_ORACLE)
 def grid_sim_source_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.sources.sim_source import register
 
     register(spark)
     chunks = spark.read.format("sim_grid").option("timesteps", "10").load()
-    g = explode_chunks(chunks)
-    return g.groupBy("arr").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.sum(F.col("value") * (F.col("x") * 4 + F.col("y") + 1)), 2).alias("weighted_sum"),
-    )
+    return cell_checksum(explode_chunks(chunks))
 
 
 # --------------------------------------------------------------------------
@@ -534,10 +518,12 @@ def grid_spatial_stencil5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y") + F.col("o.dy")).alias("ty"),
             "value",
         )
-        # bounds of the declared global shape (4x4 fixture grid)
+        # bounds from the DECLARED global shape (not literals: a
+        # regenerated fixture at another resolution must not silently
+        # clip interior cells at the old boundary)
         .filter(
-            (F.col("tx") >= 0) & (F.col("tx") < 4)
-            & (F.col("ty") >= 0) & (F.col("ty") < 4)
+            (F.col("tx") >= 0) & (F.col("tx") < DEFAULT_GLOBAL_SHAPE[0])
+            & (F.col("ty") >= 0) & (F.col("ty") < DEFAULT_GLOBAL_SHAPE[1])
         )
     )
     return scattered.groupBy(

@@ -58,9 +58,17 @@ def assemble_dense(chunks: DataFrame) -> DataFrame:
         cshape = tuple(pdf["chunk_shape"].iloc[0])
         grid = tuple(g // c for g, c in zip(gshape, cshape))
         expected = int(np.prod(grid))
-        if len(pdf) != expected:
+        # tile check on DISTINCT positions: a duplicated chunk plus a
+        # missing one has the right row COUNT but leaves an np.empty
+        # hole of uninitialized garbage — the set must equal the grid
+        positions = {tuple(int(x) for x in p) for p in pdf["pos"]}
+        want = {tuple(int(x) for x in p) for p in np.ndindex(grid)}
+        if positions != want:
+            missing = sorted(want - positions)
+            extra = sorted(positions - want)
             raise ValueError(
-                f"incomplete array ({arr}, t={t}): {len(pdf)} chunks, expected {expected}"
+                f"incomplete array ({arr}, t={t}): {len(pdf)} chunk rows; "
+                f"missing positions {missing[:8]}, out-of-grid {extra[:8]}"
             )
         out = np.empty(gshape, dtype=np.float64)
         for row in pdf.itertuples(index=False):
@@ -257,9 +265,21 @@ def rowmatrix_svd_values(cells: DataFrame, k: int, ncols: int) -> list[float]:
     packed = cells.groupBy("x").agg(
         F.sort_array(F.collect_list(F.struct("y", "value"))).alias("yv")
     )
-    rows = packed.select("yv").rdd.map(
-        lambda r: Vectors.dense([float(v) for _, v in r["yv"]][:ncols])
-    )
+
+    def to_vector(r):
+        # scatter by the y INDEX, not by list position: a sparse or
+        # over-full row would otherwise shift values into the wrong
+        # columns (or feed a short vector to RowMatrix) silently
+        dense = [0.0] * ncols
+        for y, v in r["yv"]:
+            if not 0 <= int(y) < ncols:
+                raise ValueError(
+                    f"cell y={y} outside declared width {ncols}"
+                )
+            dense[int(y)] = float(v)
+        return Vectors.dense(dense)
+
+    rows = packed.select("yv").rdd.map(to_vector)
     svd = RowMatrix(rows, numCols=ncols).computeSVD(k, computeU=False)
     return list(svd.s.toArray())
 
@@ -311,13 +331,32 @@ def mllib_blockmatrix_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from deisa_ray_spark.model import explode_chunks
 
+    from deisa_ray_spark.sources.chunks import DEFAULT_GLOBAL_SHAPE
+
     cells = explode_chunks(make_chunk_df(spark)).filter(
         "arr = 'temperature' AND t = 3"
     )
     entries = cells.rdd.map(lambda r: MatrixEntry(r["x"], r["y"], r["value"]))
     a = CoordinateMatrix(entries).toBlockMatrix(rowsPerBlock=2, colsPerBlock=2)
     prod = a.transpose().multiply(a)  # distributed block multiply
-    out = prod.toCoordinateMatrix().entries.map(
-        lambda e: (3, int(e.i), int(e.j), float(round(e.value, 2)))
+    coords = spark.createDataFrame(
+        prod.toCoordinateMatrix().entries.map(
+            lambda e: (int(e.i), int(e.j), float(round(e.value, 2)))
+        ),
+        "i int, j int, mm double",
     )
-    return spark.createDataFrame(out, "t bigint, i int, j int, mm double")
+    # toCoordinateMatrix DROPS zero entries; the oracle's (i,j) grid is
+    # dense, so re-expand against the declared ncols x ncols grid with
+    # mm=0.0 for absent coordinates — otherwise any zero inner product
+    # (a different timestep, orthogonal columns) loses rows vs the oracle
+    n = DEFAULT_GLOBAL_SHAPE[1]
+    idx = spark.range(n).select(F.col("id").cast("int").alias("i"))
+    grid = idx.crossJoin(
+        spark.range(n).select(F.col("id").cast("int").alias("j"))
+    )
+    return grid.join(coords, ["i", "j"], "left").select(
+        F.lit(3).cast("bigint").alias("t"),
+        "i",
+        "j",
+        F.coalesce("mm", F.lit(0.0)).alias("mm"),
+    )

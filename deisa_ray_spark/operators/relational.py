@@ -343,7 +343,7 @@ def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_sessionize_events",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -352,7 +352,8 @@ def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )
@@ -967,10 +968,13 @@ def q32_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame
 # from two scalars (min/max hour), so at 100 TB the only heavy op is the
 # initial per-hour partial aggregation; the window runs over
 # #hours × #types rows, not raw events.
+#
+# The ev/hourly/spine/grid scaffolding (and its oracle CTE prefix) is
+# SHARED with q43's interpolation — one definition, so a spine or
+# tie-rounding fix cannot be applied to one gap-fill and missed in the
+# other (the exact-arithmetic trick below was exactly such a fix).
 # --------------------------------------------------------------------------
-@query(
-    "q33_gap_fill_locf",
-    oracle="""
+_HOURLY_SPINE_CTE = """
     WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
     hourly AS (SELECT event_type, h, count(*) AS n,
                round(sum(value), 2) / count(*) AS avg_v
@@ -981,6 +985,40 @@ def q32_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame
              FROM (SELECT DISTINCT event_type FROM ev) t, spine s),
     fg AS (SELECT g.event_type, g.h, hourly.n, hourly.avg_v
            FROM grid g LEFT JOIN hourly USING (event_type, h))
+"""
+
+
+def _hourly_spine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (event_type, hour) grid left-joined with sparse hourly
+    aggregates — Spark twin of ``_HOURLY_SPINE_CTE``.
+
+    Exact cross-engine arithmetic instead of rounding at the end:
+    values are exact 2-decimal, so round(sum, 2) recovers the same
+    double in both engines regardless of summation order, and the
+    division by the same bigint is the identical IEEE op — the avg is
+    bit-equal with no tie-rounding anywhere. (avg(value) + a final
+    round hits half-point ties — averages over n∈{8,16,160,...}
+    2-decimal values land EXACTLY on round boundaries, where Spark's
+    shortest-decimal HALF_UP and DuckDB's binary expansion disagree;
+    observed at sf0.1.)"""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_v"),
+    )
+    spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    return grid.join(hourly, ["event_type", "h"], "left")
+
+
+@query(
+    "q33_gap_fill_locf",
+    oracle=_HOURLY_SPINE_CTE
+    + """
     SELECT event_type, h, coalesce(n, 0) AS n,
            coalesce(last_value(avg_v IGNORE NULLS) OVER (
                      PARTITION BY event_type ORDER BY h
@@ -990,27 +1028,7 @@ def q32_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def q33_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
-    )
-    # Exact cross-engine arithmetic instead of rounding at the end:
-    # values are exact 2-decimal, so round(sum, 2) recovers the same
-    # double in both engines regardless of summation order, and the
-    # division by the same bigint is the identical IEEE op — the avg is
-    # bit-equal with no tie-rounding anywhere. (avg(value) + a final
-    # round hits half-point ties — averages over n∈{8,16,160,...}
-    # 2-decimal values land EXACTLY on round boundaries, where Spark's
-    # shortest-decimal HALF_UP and DuckDB's binary expansion disagree;
-    # observed at sf0.1.)
-    hourly = ev.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_v"),
-    )
-    spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
-    )
-    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
-    fg = grid.join(hourly, ["event_type", "h"], "left")
+    fg = _hourly_spine_grid(spark, sf_dir)
     w = (
         W.partitionBy("event_type")
         .orderBy("h")
@@ -1137,18 +1155,8 @@ def q42_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q43_gap_fill_interp",
-    oracle="""
-    WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
-    hourly AS (SELECT event_type, h, count(*) AS n,
-                      round(sum(value), 2) / count(*) AS avg_v
-               FROM ev GROUP BY 1, 2),
-    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
-    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
-              FROM bounds),
-    grid AS (SELECT t.event_type, s.h
-             FROM (SELECT DISTINCT event_type FROM ev) t, spine s),
-    fg AS (SELECT g.event_type, g.h, hourly.n, hourly.avg_v
-           FROM grid g LEFT JOIN hourly USING (event_type, h)),
+    oracle=_HOURLY_SPINE_CTE.rstrip()
+    + """,
     fg2 AS (SELECT *, CASE WHEN avg_v IS NOT NULL
                            THEN {'oh': h, 'ov': avg_v} END AS obs FROM fg),
     w AS (SELECT event_type, h, n,
@@ -1171,25 +1179,7 @@ def q42_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q43_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
-    )
-    hourly = ev.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).alias("n"),
-        # Exact cross-engine arithmetic (same reasoning as q33): values
-        # are exact 2-decimal, so round(sum, 2) is the identical double
-        # in both engines regardless of summation order, and dividing by
-        # the same count is the identical IEEE op — avg_v is bit-equal
-        # with no tie quantization needed. (The previous
-        # floor(avg*1e6+0.5) trick still tied when c·10^4/n landed on
-        # exact halves, e.g. odd cent-sums with n∈{32,160}.)
-        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_v"),
-    )
-    spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
-    )
-    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
-    fg = grid.join(hourly, ["event_type", "h"], "left").withColumn(
+    fg = _hourly_spine_grid(spark, sf_dir).withColumn(
         "obs",
         F.when(
             F.col("avg_v").isNotNull(),

@@ -46,6 +46,13 @@ def write_cells_parquet(cells: DataFrame, path: str) -> None:
     cells.write.partitionBy("arr", "t").mode("overwrite").parquet(path)
 
 
+def write_chunks_orc(chunks: DataFrame, path: str) -> None:
+    """ORC twin of :func:`write_chunks_parquet` — identical partitioning
+    scheme by construction (one function per format, same layout), so a
+    partitioning change reaches both interchange formats."""
+    chunks.write.partitionBy("arr", "t").mode("overwrite").orc(path)
+
+
 def _single_group_meta(chunks: DataFrame) -> tuple[str, int, tuple[int, ...], tuple[int, ...], str]:
     """Validate that the chunk table holds exactly one (arr, t) group and
     return its layout metadata. Every whole-array sink (HDF5 VDS, zarr
