@@ -652,11 +652,18 @@ def mrl_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cache key includes a fingerprint of the source parquet's file
     sizes+mtimes: the testdata REGENERATES in place between rounds, and
     a path-only key would silently serve stale prefixes against fresh
-    embeddings (wrong shortlists, no loud failure). Publication is
-    write-to-unique-dir + atomic rename, so two concurrent processes
-    cannot corrupt a half-written cache for each other."""
+    embeddings (wrong shortlists, no loud failure). The build reads the
+    source with a FRESH scan (bypassing the registry's pinned-listing
+    table cache) so the bytes written always match the fingerprint even
+    if the data regenerated mid-session. The cache root is per-user
+    (multi-user hosts: a shared fixed dir is owned by whoever ran
+    first), publication is write-unique-dir + atomic rename, and
+    publishing a new fingerprint for a source EVICTS that source's
+    superseded cache dirs — bounded growth across rounds."""
+    import getpass
     import hashlib
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -670,24 +677,39 @@ def mrl_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif os.path.exists(src):
         st = os.stat(src)
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
-    key = hashlib.md5(
-        f"{src}|{MRL_KEEP_DIMS}|{'|'.join(stats)}".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), "deisa_mrl_prefix", key)
+    src_key = hashlib.md5(f"{src}|{MRL_KEEP_DIMS}".encode()).hexdigest()[:12]
+    fp_key = hashlib.md5("|".join(stats).encode()).hexdigest()[:12]
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
+    root_dir = os.path.join(tempfile.gettempdir(), f"deisa_mrl_prefix_{user}")
+    path = os.path.join(root_dir, f"{src_key}-{fp_key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        # fresh scan, NOT load_table: the registry cache pins its file
+        # listing at first load, so after an in-place regeneration it
+        # would serve the OLD snapshot while the fingerprint above
+        # reflects the NEW files — poisoning the persistent cache
+        fresh = spark.read.parquet(src).select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
         (
-            _emb(spark, sf_dir)
-            .select("vec_id", F.slice("e", 1, MRL_KEEP_DIMS).alias("prefix"))
+            fresh.select("vec_id", F.slice("e", 1, MRL_KEEP_DIMS).alias("prefix"))
             .write.mode("overwrite")
             .parquet(tmp)
         )
         try:
             os.rename(tmp, path)  # atomic publish; loser keeps its build
         except OSError:
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)  # someone else won
+        # evict superseded fingerprints of the SAME source (regenerated
+        # data): keeps one live cache dir per source across rounds
+        if os.path.isdir(root_dir):
+            for d in os.listdir(root_dir):
+                if d.startswith(f"{src_key}-") and d != f"{src_key}-{fp_key}":
+                    shutil.rmtree(os.path.join(root_dir, d), ignore_errors=True)
     return spark.read.parquet(path)
 
 

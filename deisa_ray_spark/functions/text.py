@@ -884,15 +884,15 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle), and one final doc-key agg. Head grams are skewed; AQE's
 # skew-join split handles the join side (proven in test_aqe_skew.py).
 # --------------------------------------------------------------------------
-@query(
-    "txt_ngram_novelty",
-    oracle="""
+def _novelty_oracle() -> str:
+    # interpolates dedup._SQL_SHINGLES — the ONE DuckDB twin of
+    # shingles_col — so a shingle-definition change moves this oracle
+    # together with every other shingle oracle
+    from deisa_ray_spark.functions.dedup import _SQL_SHINGLES
+
+    return f"""
     WITH grams AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(string_split(text,' ')) - 1),
-               i -> string_split(text,' ')[i] || ' ' ||
-                    string_split(text,' ')[i+1] || ' ' ||
-                    string_split(text,' ')[i+2]))) AS g
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS g
       FROM documents
     ),
     firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
@@ -904,13 +904,19 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * 1.0 / count(*), 6) AS novelty
     FROM grams JOIN firsts USING (g)
     GROUP BY grams.doc_id
-    """,
-)
-def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deisa_ray_spark.functions.dedup import shingles_col
+    """
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select("doc_id", F.explode(shingles_col()).alias("g"))
+
+@query("txt_ngram_novelty", oracle=_novelty_oracle())
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.dedup import _shingle_sets
+
+    # the session-cached, repartitioned shingle table: grams feed two
+    # join branches (firsts agg + join back), and an unpersisted explode
+    # would recompute the whole split->shingle pipeline per branch on a
+    # single input partition (see _shingle_sets docstring measurements)
+    sh = _shingle_sets(spark, sf_dir)
+    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(firsts, "g")

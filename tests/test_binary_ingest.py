@@ -66,21 +66,23 @@ def test_fuzzy_decontaminate_staged_band_table(spark, tmp_path, duck):
     assert_matches_oracle(df, duck, QUERIES["dedup_decontaminate_fuzzy"].oracle)
 
 
-def test_fuzzy_decontaminate_persist_bounded(spark):
-    """Repeated default-mode builds keep at most ONE persisted band plan
-    (the bench builds each query 3x per run — this was an unbounded
-    cache-entry leak), and they REUSE it (same persisted object), so the
-    leak fix costs no rebuild."""
+def test_persisted_frames_bounded_per_tag(spark):
+    """Repeated builds keep at most ONE persisted frame per cache tag
+    (shingles, LSH bands, fuzzy bands — the bench builds each query 3x
+    per run; unbounded per-construction persists were the r3 leak),
+    and they REUSE it, so the leak fix costs no rebuild."""
     from deisa_ray_spark.functions import dedup as D
 
     for _ in range(3):
         D.dedup_decontaminate_fuzzy(spark, SF_DIR)
-    assert len(D._BANDS_CACHE) == 1
+        D.dedup_minhash_lsh(spark, SF_DIR)
+    for tag in ("shingles", "lsh_bands", "fuzzy_bands"):
+        assert sum(1 for k in D._PERSIST_CACHE if k[0] == tag) == 1
 
 
 def test_fuzzy_decontaminate_cache_survives_dead_session_entry(spark, duck):
-    """Evicting a band-cache entry from an already-stopped SparkSession
-    must not raise (its JVM context is gone): regression for the
+    """Evicting a cache entry from an already-stopped SparkSession must
+    not raise (its JVM context is gone): regression for the
     cross-session eviction failure found by the determinism sweep."""
     from deisa_ray_spark.functions import dedup as D
 
@@ -88,11 +90,11 @@ def test_fuzzy_decontaminate_cache_survives_dead_session_entry(spark, duck):
         def unpersist(self):
             raise RuntimeError("SparkContext was shut down")
 
-    D._BANDS_CACHE.clear()
-    D._BANDS_CACHE[("dead-app-id", "somewhere")] = DeadEntry()
+    D._PERSIST_CACHE.clear()
+    D._PERSIST_CACHE[("fuzzy_bands", "dead-app-id", "somewhere")] = DeadEntry()
     df = D.dedup_decontaminate_fuzzy(spark, SF_DIR)
-    assert ("dead-app-id", "somewhere") not in D._BANDS_CACHE
-    assert len(D._BANDS_CACHE) == 1
+    assert ("fuzzy_bands", "dead-app-id", "somewhere") not in D._PERSIST_CACHE
+    assert sum(1 for k in D._PERSIST_CACHE if k[0] == "fuzzy_bands") == 1
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(df, duck, QUERIES["dedup_decontaminate_fuzzy"].oracle)
