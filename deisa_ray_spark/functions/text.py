@@ -560,6 +560,36 @@ GOPHER_MIN_TTR = 0.25
 GOPHER_MIN_STOPWORDS = 2
 
 
+def gopher_features(text_col: str = "text") -> dict[str, Column]:
+    """The Gopher-rule feature columns and keep predicate as ONE shared
+    builder — the batch query (txt_gopher_rules) and the streaming
+    quality gate (streaming/curation.quality_gate) both consume it, so
+    their pinned streaming==batch equality is structural rather than
+    maintained by eyeball-identical copies."""
+    toks = _tokens(text_col)
+    n_words = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+        / n_words
+    )
+    ttr = F.size(F.array_distinct(toks)) / n_words
+    n_stop = _count_in(toks, STOPWORDS)
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+        & (ttr >= GOPHER_MIN_TTR)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return {
+        "n_words": n_words,
+        "mean_len": mean_len,
+        "ttr": ttr,
+        "n_stop": n_stop,
+        "keep": keep,
+    }
+
+
+
 @query(
     "txt_gopher_rules",
     oracle=f"""
@@ -587,20 +617,9 @@ GOPHER_MIN_STOPWORDS = 2
 )
 def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    n_words = F.size(toks)
-    mean_len = (
-        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-        / n_words
-    )
-    ttr = F.size(F.array_distinct(toks)) / n_words
-    n_stop = _count_in(toks, STOPWORDS)
-    keep = (
-        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mean_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
-        & (ttr >= GOPHER_MIN_TTR)
-        & (n_stop >= GOPHER_MIN_STOPWORDS)
-    )
+    feat = gopher_features()
+    n_words, mean_len = feat["n_words"], feat["mean_len"]
+    ttr, n_stop, keep = feat["ttr"], feat["n_stop"], feat["keep"]
     return docs.select(
         "doc_id",
         "source",

@@ -108,7 +108,24 @@ def partition_table(
     high-cardinality key re-creates the small-file problem compaction
     removes — hence the per-partition repartition below.
     """
-    df = spark.read.parquet(src_dir).repartition(files_per_partition, *partition_by)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_dir)
+    if files_per_partition > 1:
+        # repartition(n, *partition_by) alone hashes on the key itself,
+        # putting ALL of a key's rows in one task — the knob would be a
+        # silent no-op. A row-hash salt bucket spreads each key over up
+        # to files_per_partition tasks, giving real per-partition file
+        # fan-out for scan parallelism.
+        data_cols = [c for c in df.columns if c not in partition_by]
+        salt = (F.abs(F.hash(*data_cols)) % files_per_partition).alias("__salt")
+        df = (
+            df.withColumn("__salt", salt)
+            .repartition(files_per_partition * 8, *partition_by, "__salt")
+            .drop("__salt")
+        )
+    else:
+        df = df.repartition(files_per_partition, *partition_by)
     df.write.partitionBy(*partition_by).mode("overwrite").parquet(dst_dir)
     out = spark.read.parquet(dst_dir)
     n_parts = out.select(*partition_by).distinct().count()
@@ -156,6 +173,15 @@ def zorder_parquet(
     """
     from pyspark.sql import functions as F
 
+    if len(cols) * bits > 64:
+        # shiftleft wraps its shift amount mod 64, so bit positions past
+        # 63 would silently interleave ON TOP of the low bits — files
+        # written without error, clustering quietly wrong
+        raise ValueError(
+            f"len(cols) * bits = {len(cols) * bits} exceeds the 64-bit "
+            f"z-value; lower bits (e.g. bits={64 // len(cols)}) or cluster "
+            "fewer columns"
+        )
     before = _parquet_files(src_dir)
     df = spark.read.parquet(src_dir)
     # Normalize every dimension to the same bit-width before
@@ -167,6 +193,12 @@ def zorder_parquet(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
+    bad = [c for c in cols if stats[f"lo_{c}"] is None]
+    if bad:
+        raise ValueError(
+            f"cannot z-order {src_dir}: empty input or all-NULL cluster "
+            f"column(s) {bad} (no min/max stats to scale by)"
+        )
     top = (1 << bits) - 1
     scaled = [
         (
@@ -230,7 +262,11 @@ def upsert_parquet(
     for vals in parts:
         clause = F.lit(True)
         for c, v in zip(partition_by, vals):
-            clause = clause & (F.col(c) == F.lit(v))
+            # eqNullSafe: `col == lit(None)` is NULL (never true), which
+            # would drop every existing null-partition row from the
+            # merge while dynamic overwrite still rewrites that
+            # partition — deleting unrelated data
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
         pred = pred | clause
 
     old = spark.read.parquet(table_dir).filter(pred)

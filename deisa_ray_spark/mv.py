@@ -131,7 +131,11 @@ def refresh_rollup(
     for vals in parts:
         clause = F.lit(True)
         for c, v in zip(spec.partition_by, vals):
-            clause = clause & (F.col(c) == F.lit(v))
+            # eqNullSafe: `col == lit(None)` is NULL (never true), which
+            # would EXCLUDE existing null-partition state from the merge
+            # while dynamic overwrite still rewrites that partition —
+            # silently resetting every null-keyed group to delta-only
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
         pred = pred | clause
 
     old = spark.read.parquet(mv_dir).filter(pred)
@@ -199,8 +203,21 @@ def apply_batch(
     marker = os.path.join(mv_dir, "_applied", str(batch_id))
     if os.path.exists(marker):  # replayed batch — already merged
         return False
-    if not os.path.exists(mv_dir):  # local FS; a DFS deployment
-        init_rollup(spark, batch, mv_dir, spec)  # checks via Hadoop FS
+    if batch.isEmpty():
+        # an empty first batch must NOT init: init on zero rows writes a
+        # footer-less dir that every later read (and retry) fails to
+        # schema-infer — a permanent crash loop. Empty batches are
+        # no-ops in either phase; mark them applied and move on.
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w"):
+            pass
+        return True
+    # dispatch on the DATA commit marker, not the bare directory: the
+    # _applied marker tree also lives under mv_dir, so mere existence
+    # does not mean an initialized MV (local FS; a DFS deployment
+    # checks via Hadoop FS)
+    if not os.path.exists(os.path.join(mv_dir, "_SUCCESS")):
+        init_rollup(spark, batch, mv_dir, spec)
     else:
         refresh_rollup(spark, batch, mv_dir, spec)
     os.makedirs(os.path.dirname(marker), exist_ok=True)

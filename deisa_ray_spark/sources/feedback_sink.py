@@ -64,8 +64,40 @@ def _publish(feedback_dir: str, queue_size: int, messages) -> None:
     rows = [r for m in messages if m is not None for r in m.rows]
     # Publish in (t, key) order so intra-batch multi-t keys satisfy the
     # strict-increase guard exactly when they are logically ordered.
-    for key, t, value in sorted(rows, key=lambda r: (r[1], r[0])):
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    # VALIDATE the whole batch against the store BEFORE writing anything
+    # ("a failed batch publishes nothing"): a mid-loop violation would
+    # otherwise leave earlier rows published, and the retried batch
+    # would then trip the guard on its own partial publish — a
+    # permanent crash loop.
+    max_t = dict(store._max_t)
+    for key, t, _value in ordered:
+        prev = max_t.get(key)
+        if prev is not None and t <= prev:
+            raise ValueError(
+                f"feedback batch rejected (nothing published): key={key!r} "
+                f"t={t} <= stored max {prev} — timesteps must be strictly "
+                "increasing per key"
+            )
+        max_t[key] = t
+    for key, t, value in ordered:
         store.set(key, json.loads(value), t)
+
+
+def _already_committed(feedback_dir: str, batch_id: int) -> bool:
+    import os
+
+    return os.path.exists(
+        os.path.join(feedback_dir, f".committed-{batch_id}")
+    )
+
+
+def _mark_committed(feedback_dir: str, batch_id: int) -> None:
+    import os
+
+    os.makedirs(feedback_dir, exist_ok=True)
+    with open(os.path.join(feedback_dir, f".committed-{batch_id}"), "w"):
+        pass
 
 
 class _FeedbackBatchWriter(DataSourceWriter):
@@ -92,7 +124,12 @@ class _FeedbackStreamWriter(DataSourceStreamWriter):
         return _stage(iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        # at-least-once replay of an already-committed batch must be a
+        # no-op, not a strict-increase violation
+        if _already_committed(self.path, batchId):
+            return
         _publish(self.path, self.queue_size, messages)
+        _mark_committed(self.path, batchId)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         pass

@@ -156,6 +156,12 @@ class SimGridStreamReader(DataSourceStreamReader):
         return {"t": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Restart resync: a fresh reader instance starts its offset
+        # clock at 0, but Spark replans pending batches from the
+        # CHECKPOINTED offsets — fast-forward the clock to the largest
+        # offset seen so a restart never re-announces (and the engine
+        # never re-ingests) timesteps the query already committed.
+        self._latest = max(getattr(self, "_latest", 0), int(end["t"]))
         at_horizon = self.opts.with_sentinel and int(end["t"]) == self.opts.timesteps
         return [
             _RankPartition(r, int(start["t"]), int(end["t"]), sentinel=at_horizon and r == 0)
@@ -185,7 +191,9 @@ class SimGridStreamReader(DataSourceStreamReader):
         yield _to_record_batch(rows)
 
     def commit(self, end: dict) -> None:
-        pass
+        # same restart-resync as partitions(): committed offsets are a
+        # floor for the clock
+        self._latest = max(getattr(self, "_latest", 0), int(end["t"]))
 
 
 class SimGridDataSource(DataSource):

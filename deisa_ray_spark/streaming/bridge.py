@@ -69,6 +69,7 @@ class SparkBridge:
         max_simulation_ahead: int | None = None,
         ahead_timeout: float = 100.0,
         ahead_poll: float = 0.05,
+        feedback_queue_size: int | None = None,
     ) -> None:
         """``max_simulation_ahead``: opt-in ENFORCED lookahead bound — the
         simulation may create at most K timesteps beyond the last one the
@@ -84,6 +85,10 @@ class SparkBridge:
         self.metadata = validate_arrays_metadata(arrays_metadata)
         self.chunk_dir = chunk_dir
         self.feedback_dir = feedback_dir
+        #: must match the engine's feedback_queue_size when set: the
+        #: reference has ONE shared deque, so both sides must observe
+        #: the same eviction horizon ("miss means evicted" parity)
+        self.feedback_queue_size = feedback_queue_size
         self.max_simulation_ahead = max_simulation_ahead
         self.ahead_timeout = ahead_timeout
         self.ahead_poll = ahead_poll
@@ -203,9 +208,17 @@ class SparkBridge:
         explicitly disclaims read-your-writes timing)."""
         if self.feedback_dir is None:
             raise ValueError("bridge constructed without feedback_dir")
-        from deisa_ray_spark.streaming.feedback import read_feedback
+        from deisa_ray_spark.streaming.feedback import (
+            DEFAULT_QUEUE_SIZE,
+            read_feedback,
+        )
 
-        return read_feedback(self.feedback_dir, key, timestep, default)
+        size = (
+            self.feedback_queue_size
+            if self.feedback_queue_size is not None
+            else DEFAULT_QUEUE_SIZE
+        )
+        return read_feedback(self.feedback_dir, key, timestep, default, size)
 
 
 def metadata_for_grid(

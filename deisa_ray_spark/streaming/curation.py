@@ -28,16 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deisa_ray_spark.functions.text import (
-    GOPHER_MAX_MEAN_LEN,
-    GOPHER_MAX_WORDS,
-    GOPHER_MIN_MEAN_LEN,
-    GOPHER_MIN_STOPWORDS,
-    GOPHER_MIN_TTR,
-    GOPHER_MIN_WORDS,
-    STOPWORDS,
-    _count_in,
-)
+from deisa_ray_spark.functions.text import gopher_features
 
 #: Mirror of the documents table (and the JSONL corpus schema).
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -53,24 +44,14 @@ def stream_documents(
 
 
 def quality_gate(docs: DataFrame) -> DataFrame:
-    """Gopher-rule keep filter — stateless, identical expressions to the
-    batch query txt_gopher_rules, so a doc passes here iff it passes
-    there."""
-    toks = F.split(F.col("text"), " ")
-    n_words = F.size(toks)
-    mean_len = (
-        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
-        / n_words
+    """Gopher-rule keep filter — stateless, and the SAME expression
+    objects as the batch query txt_gopher_rules (shared
+    ``gopher_features`` builder), so a doc passes here iff it passes
+    there by construction, not by copy discipline."""
+    feat = gopher_features()
+    return docs.filter(feat["keep"]).withColumn(
+        "n_words", feat["n_words"].cast("bigint")
     )
-    ttr = F.size(F.array_distinct(toks)) / n_words
-    n_stop = _count_in(toks, STOPWORDS)
-    keep = (
-        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mean_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
-        & (ttr >= GOPHER_MIN_TTR)
-        & (n_stop >= GOPHER_MIN_STOPWORDS)
-    )
-    return docs.filter(keep).withColumn("n_words", n_words.cast("bigint"))
 
 
 def curate_documents(docs: DataFrame) -> DataFrame:

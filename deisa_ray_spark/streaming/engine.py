@@ -198,7 +198,7 @@ def _control_plane(
     st = json.loads(state.get[0]) if state.exists else {
         "t_cur": None,  # open timestep (None until first assembly, A17)
         "closed_t": None,  # newest closed timestep
-        "counts": {},  # "arr|t" -> arrived chunk count
+        "counts": {},  # "arr|t" -> [distinct arrived chunk positions]
         "expected": {},  # arr -> nb_chunks of the declared grid
         "open": {},  # str(t) -> {arr: n_chunks} assembled, not yet closed
         "done": False,
@@ -235,8 +235,22 @@ def _control_plane(
                 f"{_CONTRACT_MARKER}: {r.arr}: grid changed {prev} -> {expected}"
             )
         ck = f"{r.arr}|{t}"
-        st["counts"][ck] = st["counts"].get(ck, 0) + 1
-        if st["counts"][ck] < expected:
+        # completeness = DISTINCT positions, not arrival count: a crashed
+        # bridge that re-sends its chunk (new file, same pos) must not
+        # both mark the timestep complete early (with a real position
+        # still missing -> uninitialized-garbage assembly) and phantom-
+        # complete it a second time later (-> spurious OrderingError)
+        if r.arr in st["open"].get(str(t), {}):
+            # resend noise for an assembled-but-not-yet-closed timestep.
+            # (A resend arriving after CLOSE still accumulates and, if it
+            # ever re-completes, aborts via the ordering check below —
+            # the reference's conservative stance on genuinely-late data.)
+            continue
+        pos_key = ",".join(str(int(p)) for p in r.pos)
+        seen = st["counts"].setdefault(ck, [])
+        if pos_key not in seen:
+            seen.append(pos_key)
+        if len(seen) < expected:
             continue
         # assembled (A4 completeness reached)
         del st["counts"][ck]

@@ -146,3 +146,56 @@ def test_upsert_rewrites_only_affected_partitions(spark, tmp_path):
     assert got.count() == 4  # 2 replaced + 2 inserted rows carry value=-1
     # untouched partition: identical files, identical inodes
     assert inodes(other_day) == before_other
+
+
+def test_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """Regression: `col == lit(None)` is NULL (never true), so existing
+    rows in the null partition were excluded from the merge while
+    dynamic overwrite still rewrote that partition — silently deleting
+    them. eqNullSafe keeps them."""
+    from deisa_ray_spark.maintenance import upsert_parquet
+
+    table_dir = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 30.0)],
+        "k int, part string, v double",
+    )
+    base.write.partitionBy("part").parquet(table_dir)
+    updates = spark.createDataFrame([(2, None, 99.0)], "k int, part string, v double")
+    upsert_parquet(spark, table_dir, updates, keys=["k"], partition_by=["part"])
+    got = {
+        r.k: r.v for r in spark.read.parquet(table_dir).collect()
+    }
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}  # row k=1 survived the merge
+
+
+def test_zorder_rejects_empty_and_too_many_bits(spark, tmp_path):
+    from deisa_ray_spark.maintenance import zorder_parquet
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([], "a bigint, b bigint").write.parquet(src)
+    with pytest.raises(ValueError, match="empty input or all-NULL"):
+        zorder_parquet(spark, src, str(tmp_path / "d1"), cols=["a", "b"])
+    src2 = str(tmp_path / "src2")
+    spark.range(10).selectExpr("id AS a", "id AS b").write.parquet(src2)
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_parquet(spark, src2, str(tmp_path / "d2"),
+                       cols=["a", "b"], bits=40)
+
+
+def test_partition_table_files_per_partition_fans_out(spark, tmp_path):
+    """Regression: repartition(n, *key) hashed on the key alone, so the
+    knob could never produce more than one file per partition."""
+    import glob
+
+    from deisa_ray_spark.maintenance import partition_table
+
+    src = str(tmp_path / "src")
+    spark.range(10_000).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part"
+    ).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    partition_table(spark, src, dst, ["part"], files_per_partition=4)
+    for part in ("0", "1"):
+        files = glob.glob(f"{dst}/part={part}/*.parquet")
+        assert len(files) >= 2, f"partition {part}: {len(files)} file(s)"

@@ -155,3 +155,41 @@ def test_streaming_rollup_matches_one_shot(spark, tmp_path):
     assert applied_once != {k: r.n_rows for k, r in before.items()}
     assert apply_batch(some_batch, 99, mv_dir, SPEC) is False
     assert {k: r.n_rows for k, r in _rollup_rows(read_rollup(spark, mv_dir, SPEC)).items()} == applied_once
+
+
+def test_refresh_preserves_null_partition_state(spark, tmp_path):
+    """Regression: the touched-partition predicate's `col == lit(None)`
+    never matched, so null-keyed MV state was excluded from the merge
+    while dynamic overwrite rewrote its partition — silently resetting
+    accumulated aggregates to delta-only values."""
+    spec = RollupSpec(
+        keys=["part"], partition_by=["part"], measures=["v"], approx_distinct=[]
+    )
+    mv_dir = str(tmp_path / "mv")
+    b1 = spark.createDataFrame([(None, 10.0), ("a", 1.0)], "part string, v double")
+    init_rollup(spark, b1, mv_dir, spec)
+    b2 = spark.createDataFrame([(None, 5.0)], "part string, v double")
+    refresh_rollup(spark, b2, mv_dir, spec)
+    rows = {r.part: r for r in read_rollup(spark, mv_dir, spec).collect()}
+    assert rows[None].n_rows == 2  # both null-keyed facts accumulated
+    assert rows[None].sum_v == 15.0
+    assert rows["a"].sum_v == 1.0
+
+
+def test_stream_rollup_survives_empty_first_batch(spark, tmp_path):
+    """Regression: an empty batch 0 used to init an unreadable (footer-
+    less) MV dir and wedge every retry in a schema-inference crash loop;
+    empty batches are now applied as no-ops in either phase."""
+    from deisa_ray_spark.mv import apply_batch
+
+    spec = RollupSpec(
+        keys=["part"], partition_by=["part"], measures=["v"], approx_distinct=[]
+    )
+    mv_dir = str(tmp_path / "mv")
+    empty = spark.createDataFrame([], "part string, v double")
+    assert apply_batch(empty, 0, mv_dir, spec) is True
+    assert not os.path.exists(os.path.join(mv_dir, "_SUCCESS"))  # no init
+    real = spark.createDataFrame([("a", 1.0)], "part string, v double")
+    assert apply_batch(real, 1, mv_dir, spec) is True  # init works after
+    rows = {r.part: r for r in read_rollup(spark, mv_dir, spec).collect()}
+    assert rows["a"].n_rows == 1

@@ -81,10 +81,12 @@ def test_state_size_is_bounded_over_240_timesteps():
 def test_state_partial_assembly_accumulates_then_frees():
     state = FakeState()
     rows = _chunk_rows(0, arrs=("temperature",))
-    # first 3 of 4 chunks: count accumulates, nothing assembled
+    # first 3 of 4 chunks: distinct positions accumulate, nothing
+    # assembled (positions, not arrival counts — a duplicate resend must
+    # not fake completeness)
     list(_control_plane((0,), iter([pd.DataFrame(rows[:3])]), state))
     st = json.loads(state.get[0])
-    assert st["counts"] == {"temperature|0": 3}
+    assert sorted(st["counts"]["temperature|0"]) == ["0,0", "0,1", "1,0"]
     assert st["open"] == {}
     # 4th chunk: assembled, count freed
     list(_control_plane((0,), iter([pd.DataFrame(rows[3:])]), state))
