@@ -83,11 +83,9 @@ def main() -> None:
     # total cores instead — see session.get_session docstring. Broadcast
     # threshold covers every dimension table at this SF so star joins
     # never shuffle the big side.
-    import os as _os
-
     spark = get_session(
         app_name="deisa_ray_spark_bench",
-        shuffle_partitions=max(8, _os.cpu_count() or 8),
+        shuffle_partitions=max(8, os.cpu_count() or 8),
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": "64MB"},
     )
 
@@ -105,9 +103,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    unknown = [n for n in BENCH_QUERIES if n not in specs]
+    if unknown:
+        # a typo'd/renamed entry must fail loudly, not silently shrink
+        # the suite while the headline total still looks green
+        raise KeyError(f"BENCH_QUERIES entries not in the registry: {unknown}")
     for name in BENCH_QUERIES:
-        if name not in specs:
-            continue
         fn = specs[name].fn
 
         def run_once() -> float:
@@ -117,7 +118,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
-        # Steady-state protocol: min of 2 runs. The first run pays
+        # Steady-state protocol: min of 3 runs. The first run pays
         # one-time per-query costs that don't recur in production
         # (Catalyst analysis caches, codegen JIT compile of this plan,
         # Python worker reuse pools) and this host has noisy neighbors

@@ -65,7 +65,11 @@ def cms_merge(counters: DataFrame) -> DataFrame:
 def cms_estimate(
     counters: DataFrame, keys: DataFrame, key: str, w: int = CMS_W, d: int = CMS_D
 ) -> DataFrame:
-    """Point-estimate each key in ``keys``: min over its d bucket counters."""
+    """Point-estimate each key in ``keys``: min over its d bucket
+    counters. LEFT join + coalesce(0): an empty (seed, bucket) cell is a
+    ZERO counter — an inner join would drop it, making a never-seen key
+    either vanish from the output (all cells empty) or read an inflated
+    min over only its collision-populated cells."""
     probes = keys.select(
         key,
         F.explode(
@@ -80,9 +84,9 @@ def cms_estimate(
     ).select(key, "cell.seed", "cell.bucket")
     return (
         F.broadcast(probes)
-        .join(counters, ["seed", "bucket"])
+        .join(counters, ["seed", "bucket"], "left")
         .groupBy(key)
-        .agg(F.min("cnt").alias("cms_count"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )
 
 
@@ -113,16 +117,27 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_exact"), F.asc("user_id"))
         .limit(10)
     )
-    n_total = ev.count()
-    bound = 2.0 * n_total / CMS_W
+    # N from the SKETCH itself (sum of any one seed row's counters =
+    # total occurrences), as a broadcast 1-row aggregate — deriving it
+    # with ev.count() would fire a third full fact scan EAGERLY at
+    # plan-construction time
+    n_total = F.broadcast(
+        sketch.filter(F.col("seed") == 0).agg(
+            F.sum("cnt").cast("double").alias("n_total")
+        )
+    )
     est = cms_estimate(sketch, exact.select("user_id"), "user_id")
     return (
         exact.join(est, "user_id")
+        .crossJoin(n_total)
         .select(
             "user_id",
             "n_exact",
             (F.col("cms_count") >= F.col("n_exact")).alias("over_ok"),
-            ((F.col("cms_count") - F.col("n_exact")) <= bound).alias("tight_ok"),
+            (
+                (F.col("cms_count") - F.col("n_exact"))
+                <= 2.0 * F.col("n_total") / CMS_W
+            ).alias("tight_ok"),
         )
         .orderBy(F.desc("n_exact"), F.asc("user_id"))
     )

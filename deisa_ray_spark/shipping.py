@@ -17,7 +17,7 @@ import zipfile
 from pyspark.sql import SparkSession
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 _ZIP_PATH: str | None = None
 
 
@@ -42,9 +42,13 @@ def _build_zip() -> str:
 
 
 def ensure_shipped(spark: SparkSession) -> None:
-    """Idempotently add this package as a pyfile on ``spark``'s context."""
+    """Idempotently add this package as a pyfile on ``spark``'s context.
+
+    Keyed by applicationId, NOT id(sc): a recycled object id after a
+    context stop/GC would silently skip addPyFile for the new context
+    and every Python-worker task would fail with ModuleNotFoundError."""
     sc = spark.sparkContext
-    key = id(sc)
+    key = sc.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     sc.addPyFile(_build_zip())

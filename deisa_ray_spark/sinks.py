@@ -66,6 +66,9 @@ def _single_group_meta(chunks: DataFrame) -> tuple[str, int, tuple[int, ...], tu
             F.first("global_shape").alias("global_shape"),
             F.first("chunk_shape").alias("chunk_shape"),
             F.first("dtype").alias("dtype"),
+            F.countDistinct("global_shape", "chunk_shape", "dtype").alias(
+                "n_layouts"
+            ),
         )
         .collect()
     )
@@ -79,6 +82,15 @@ def _single_group_meta(chunks: DataFrame) -> tuple[str, int, tuple[int, ...], tu
             "(chunks.t == ts))) or write one sink per group"
         )
     g = groups[0]
+    if int(g["n_layouts"]) != 1:
+        # mixed shapes/dtypes inside one group would be silently
+        # reinterpreted against the first row's layout (np.frombuffer
+        # with the wrong dtype = garbage values, no error)
+        raise ValueError(
+            f"sink group ({g['arr']}, t={g['t']}) mixes "
+            f"{g['n_layouts']} distinct (global_shape, chunk_shape, dtype) "
+            "layouts; every chunk of one array/timestep must agree"
+        )
     return (
         g["arr"],
         int(g["t"]),
@@ -489,7 +501,19 @@ def to_zarr(
                 receipts.append({"pos": list(row.pos)})
         yield pd.DataFrame(receipts, columns=["pos"])
 
-    n_written = chunks.mapInPandas(write_partition, schema="pos array<int>").count()
+    try:
+        n_written = chunks.mapInPandas(
+            write_partition, schema="pos array<int>"
+        ).count()
+    except Exception:
+        # a failed WRITE JOB (not just a count mismatch) must also
+        # discard its staged keys, or each retry's fresh uuid suffix
+        # leaks another orphan set into the store forever
+        if commit_suffix and os.path.isdir(path):
+            for fn in os.listdir(path):
+                if fn.endswith(commit_suffix):
+                    os.remove(os.path.join(path, fn))
+        raise
     expected = 1
     for g, c in zip(gshape, cshape):
         expected *= g // c
@@ -514,6 +538,10 @@ def to_zarr(
             final_keys.add(final)
         for fn in os.listdir(path):
             if fn not in final_keys and all(p.isdigit() for p in fn.split(".")):
+                os.remove(os.path.join(path, fn))
+            elif ".wtmp-" in fn:
+                # orphaned stage from a process KILLED mid-write (its own
+                # cleanup never ran) — reclaim it at the next commit
                 os.remove(os.path.join(path, fn))
         zarr2.create_array(path, gshape, cshape, dtype)
 
