@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "txt_ngram_novelty",
     "txt_length_buckets",
     "dedup_semantic_buckets",
+    "sim_range_search",
     "emb_scalar_quantize",
     "emb_whiten",
     "emb_cluster_stats",

@@ -899,3 +899,92 @@ def emb_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cos"), 4).alias("min_cohesion"),
         F.round(F.stddev_pop("cos"), 4).alias("std_cohesion"),
     )
+
+
+# --------------------------------------------------------------------------
+# sim_range_search — ε-neighborhood (threshold) search: every corpus
+# vector with cosine ≥ SIM_RANGE_TAU of each query. The dedup-mining /
+# near-duplicate-candidate primitive (reference capability: the
+# similarity surface over embeddings; this is its range form, distinct
+# from top-k ranking).
+# Scale (100 TB): strictly CHEAPER than top-k — broadcast queries, one
+# narrow corpus pass, and the predicate is a pure pipelined filter: no
+# window, no shuffle at all; output size is bounded by the threshold,
+# not by |corpus|. The same plan at cluster scale is a broadcast
+# nested-loop over the scan with zero exchanges.
+# --------------------------------------------------------------------------
+SIM_RANGE_TAU = 0.2
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS neighbor_id, c.label,
+             round(list_cosine_similarity(q.qe, c.embedding::DOUBLE[]), 6) AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, label, cosine
+    FROM scored WHERE cosine >= {SIM_RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SIM_RANGE_TAU)
+    )
+
+
+# --------------------------------------------------------------------------
+# emb_quantize_error — distortion audit of the int8 scalar quantizer
+# (the QA metric reported alongside any quantized index build: how much
+# cosine/recall headroom the compression costs). Reconstruction
+# err_i = v_i − code_i/scale with the exact emb_scalar_quantize codes
+# (floor(x+0.5), so both engines agree bit-for-bit on the codes).
+# Per-vector MSE is rounded to 9 dp — values are ~1e-5 with summation
+# noise ~1e-18, so both engines round identically.
+# Scale: same shape as emb_scalar_quantize — posexplode + two
+# partial-agg-friendly groupBys keyed by vec_id, no wide shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "emb_quantize_error",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             127.0 / list_max(list_transform(embedding::DOUBLE[], v -> abs(v)))
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(e,
+                 v -> pow(v - floor(v * scale + 0.5) / scale, 2))) / len(e), 9)
+             AS mse
+    FROM prep
+    """,
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dims = emb.select("vec_id", F.posexplode("e").alias("dim", "v"))
+    amax = dims.groupBy("vec_id").agg(F.max(F.abs("v")).alias("amax"))
+    scale = F.lit(127.0) / F.col("amax")
+    err = F.col("v") - F.floor(F.col("v") * scale + F.lit(0.5)) / scale
+    return (
+        dims.join(amax, "vec_id")
+        .groupBy("vec_id")
+        .agg(F.round(F.avg(err * err), 9).alias("mse"))
+    )
