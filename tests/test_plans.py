@@ -92,6 +92,19 @@ def test_bruteforce_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_range_search_is_shuffle_free(spark):
+    """ε-neighborhood search is a pure pipelined filter over one corpus
+    pass: the only exchange is the query-side broadcast — no shuffle, no
+    Window, no sort anywhere in the plan."""
+    plan = plan_of(spark, "sim_range_search")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    # every Exchange in this plan must be the broadcast one
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    assert "Window" not in plan and "Sort" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_grid_explode_is_narrow(spark):
     """Chunk decode (mapInPandas) happens with no Exchange beneath it in
     the plan tree — decode parallelism is the input partitioning, chunk
