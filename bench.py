@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_decontaminate",
     "dedup_decontaminate_fuzzy",
+    "dedup_decontaminate_bloom",
+    "q54_fuzzy_name_linkage",
     "sim_bruteforce_topk",
     "txt_token_stats",
     "txt_tfidf",

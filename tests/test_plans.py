@@ -105,6 +105,17 @@ def test_range_search_is_shuffle_free(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bloom_decontaminate_probe_is_broadcast(spark):
+    """The Bloom probe is a single narrow pass: corpus shingles cross a
+    broadcast ONE-ROW packed-bits array — the corpus side reaches the
+    cross join straight from its scan+Generate with no Exchange in
+    between (shuffles exist only on the tiny bench-side build and the
+    final aggregates)."""
+    plan = plan_of(spark, "dedup_decontaminate_bloom")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_grid_explode_is_narrow(spark):
     """Chunk decode (mapInPandas) happens with no Exchange beneath it in
     the plan tree — decode parallelism is the input partitioning, chunk
