@@ -1290,8 +1290,11 @@ FUZZY_MAX_DIST = 2
 def q54_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     dict_df = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    # coalesce to '' — for a single-word name DuckDB's split_part gives
+    # '' while element_at past the end gives NULL, which would silently
+    # drop the row from the equi-blocked join on one side only
     dict_df = dict_df.withColumn(
-        "blk", F.element_at(F.split("p_name", " "), 2)
+        "blk", F.coalesce(F.element_at(F.split("p_name", " "), 2), F.lit(""))
     )
     a = dict_df.select(
         F.col("p_name").alias("name_a"), F.col("blk"), F.col("n_rows").alias("rows_a")
