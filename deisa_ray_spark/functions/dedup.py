@@ -958,7 +958,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in an m=BLOOM_M-bit space packed into m/64 longs
 # (groupBy(word).agg(bit_or(mask))), assembled into ONE dense
 # array<long> row and broadcast; the probe is a single narrow pass over
-# corpus shingles — `forall` over the k bit tests against the broadcast
+# corpus shingles — an unrolled k-way AND of bit tests against the broadcast
 # array, no explode, no join per hash, no shuffle of the corpus at all
 # until the final per-source aggregate.
 #
