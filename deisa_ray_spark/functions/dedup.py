@@ -959,8 +959,11 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (groupBy(word).agg(bit_or(mask))), assembled into ONE dense
 # array<long> row and broadcast; the probe is a single narrow pass over
 # corpus shingles — an unrolled k-way AND of bit tests against the broadcast
-# array, no explode, no join per hash, no shuffle of the corpus at all
-# until the final per-source aggregate.
+# array, no explode, no join per hash. The corpus SHINGLE stream is
+# never shuffled; the exchanges downstream of the probe carry one row
+# per DOCUMENT (the per-doc flag aggregate, map-side combined from
+# shingles to docs before its exchange, and the doc-level join back to
+# sources) — |docs| rows, not |shingles|.
 #
 # Contract (the sketch convention of q27/q42/kmeans-IVF): a Bloom filter
 # has NO false negatives — every exactly-contaminated doc must be
@@ -1015,7 +1018,13 @@ def _pow2_masks():
 )
 def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    # The shingle stream is referenced from three branches (Bloom build,
+    # probe, exact twin) — read it from the session-persisted shingle
+    # table (_shingle_sets) so the split→shingle pipeline runs once,
+    # not once per branch (the dedup_minhash_lsh convention).
+    sh = _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
     is_bench = F.col("doc_id") % 97 == 0
     bench_sh = sh.filter(is_bench).select("s").distinct()
 

@@ -1257,7 +1257,9 @@ def q53_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q54 — blocked fuzzy record linkage: pairs of DISTINCT part names within
-# edit distance 2, blocked on the name's last word. The data-cleaning /
+# edit distance 2, blocked on the name's SECOND word (the noun of the
+# two-word "adjective noun" fixture names — split_part(..., 2) in the
+# oracle, element_at(split(...), 2) here; keep the two in lockstep). The data-cleaning /
 # entity-resolution primitive (match near-identical catalog entries,
 # vendor names, user aliases) the reference has no analogue of.
 # Dataflow shape: extract the distinct-name DICTIONARY with row counts

@@ -107,13 +107,28 @@ def test_range_search_is_shuffle_free(spark):
 
 def test_bloom_decontaminate_probe_is_broadcast(spark):
     """The Bloom probe is a single narrow pass: corpus shingles cross a
-    broadcast ONE-ROW packed-bits array — the corpus side reaches the
-    cross join straight from its scan+Generate with no Exchange in
-    between (shuffles exist only on the tiny bench-side build and the
-    final aggregates)."""
+    broadcast ONE-ROW packed-bits array — the shingle stream reaches the
+    cross join straight from its Generate with no Exchange in between
+    (exchanges downstream of the probe carry one row per DOCUMENT, not
+    per shingle)."""
     plan = plan_of(spark, "dedup_decontaminate_bloom")
     assert "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the streamed side of the cross join — tree lines between the BNLJ
+    # node and its input boundary (the session-cached shingle table's
+    # InMemoryTableScan, whose embedded build plan is materialized once
+    # per session, or the BroadcastExchange build-side sibling) — is
+    # shuffle-free
+    tree = plan.split("\n\n")[0].splitlines()
+    bnlj = next(i for i, l in enumerate(tree) if "BroadcastNestedLoopJoin" in l)
+    stop = next(
+        i
+        for i, l in enumerate(tree)
+        if i > bnlj and ("InMemoryTableScan" in l or "BroadcastExchange" in l)
+    )
+    streamed = "\n".join(tree[bnlj + 1 : stop])
+    assert "Generate" in streamed, "probe side lost its explode"
+    assert "Exchange" not in streamed, "shuffle crept between scan and probe"
 
 
 def test_grid_explode_is_narrow(spark):
