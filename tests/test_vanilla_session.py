@@ -1,0 +1,90 @@
+"""Driver-environment robustness: the correctness harness builds its OWN
+SparkSession — none of this engine's session defaults (UTC timezone,
+Arrow, AQE settings, shuffle partitions) are guaranteed there. This test
+runs the most environment-sensitive declared queries under a deliberately
+VANILLA session in a fresh subprocess and asserts they still match their
+DuckDB oracles.
+
+Subset choice: every events/timestamp query shape (session timezone is
+the classic silent-divergence risk), plus one text and one embedding
+representative. The full 143-query vanilla sweep was run green on
+2026-08-14; this pins the property against regressions at ~1/10 the
+cost.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "q11_sessionize_events",
+    "q13_asof_join_click_view",
+    "q33_gap_fill_locf",
+    "q53_retention_cohorts",
+    "q12_latest_orders",
+    "txt_token_stats",
+    "emb_scalar_quantize",
+]
+
+_SCRIPT = textwrap.dedent(
+    """
+    import sys, importlib.util
+    sys.path.insert(0, {repo!r})
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", {repo!r} + "/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+    from pyspark.sql import SparkSession
+    # VANILLA on purpose: no UTC pin, no Arrow conf, default partitions
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    import duckdb, pandas as pd
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(
+            "CREATE VIEW " + t + " AS SELECT * FROM '" + {sf!r} + "/" + t + ".parquet'")
+    qs, osql = mod.queries(), mod.oracle_sql()
+    bad = []
+    for name in {names!r}:
+        sdf = qs[name](spark, {sf!r}).toPandas()
+        odf = con.execute(osql[name]).df()
+        cols = sorted(sdf.columns)
+        if sorted(odf.columns) != cols:
+            bad.append((name, "cols")); continue
+        s = sdf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        o = odf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        if s.shape != o.shape:
+            bad.append((name, "shape")); continue
+        try:
+            pd.testing.assert_frame_equal(
+                s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+        except AssertionError:
+            bad.append((name, "values"))
+    print("VANILLA_RESULT:" + repr(bad))
+    spark.stop()
+    """
+)
+
+
+def test_vanilla_session_matches_oracles():
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    script = _SCRIPT.format(repo=REPO, sf=sf, names=QUERIES)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/tmp",  # foreign cwd: also exercises shipping.ensure_shipped
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(
+        (l for l in proc.stdout.splitlines() if l.startswith("VANILLA_RESULT:")),
+        None,
+    )
+    assert line is not None, proc.stdout[-2000:]
+    assert line == "VANILLA_RESULT:[]", line
