@@ -63,6 +63,17 @@ class ArrayWindow:
             raise ValueError("window size must be >= 1")
 
 
+class LazyScalar:
+    """Deferred scalar result of an ArrayFrame compute verb — the
+    reference's dask-handle shape (build now, ``.compute()`` later)."""
+
+    def __init__(self, fn: Callable[[], float]) -> None:
+        self._fn = fn
+
+    def compute(self) -> float:
+        return self._fn()
+
+
 class ArrayFrame:
     """A distributed array at one timestep: lazy handle over the chunk
     store (the engine's ``DeisaArray`` — a DataFrame + ``.t`` instead of a
@@ -96,6 +107,33 @@ class ArrayFrame:
     def cells(self) -> DataFrame:
         """Long-form ``(arr, t, x, y, value)`` cells (never densifies)."""
         return explode_chunks(self.chunks())
+
+    # -- lazy compute verbs (the reference's dask idiom: build the
+    #    expression now, ``.compute()`` later — quick_start.rst
+    #    ``latest.mean().compute()``). Each runs ONE distributed
+    #    aggregate over the cells, so the callback idiom ports verbatim
+    #    and never densifies; ``std`` is population (ddof=0), the
+    #    reference's contract (tests/test_analytics.py:42). ------------
+
+    def _lazy_agg(self, agg_col) -> "LazyScalar":
+        return LazyScalar(
+            lambda: float(self.cells().agg(agg_col.alias("v")).first()["v"])
+        )
+
+    def mean(self) -> "LazyScalar":
+        return self._lazy_agg(F.avg("value"))
+
+    def sum(self) -> "LazyScalar":
+        return self._lazy_agg(F.sum("value"))
+
+    def min(self) -> "LazyScalar":
+        return self._lazy_agg(F.min("value"))
+
+    def max(self) -> "LazyScalar":
+        return self._lazy_agg(F.max("value"))
+
+    def std(self) -> "LazyScalar":
+        return self._lazy_agg(F.stddev_pop("value"))
 
     def to_numpy(self) -> np.ndarray:
         """Assemble the dense tensor driver-side (bounded by the declared
@@ -338,10 +376,28 @@ class InSituEngine:
         tests/test_callback_registration.py:46-59."""
         if when not in ("AND", "OR"):
             raise ValueError("when must be 'AND' or 'OR'")
-        if not windows:
+        # Accept the reference QUICKSTART's documented list form —
+        # register_callback(cb, [Window(...), ...]) — alongside the
+        # varargs form its code actually implements. (The reference
+        # SKIPS non-Window/str varargs silently, so its own doc example
+        # registers an empty spec — docs/source/quick_start.rst:112-115
+        # vs window_handler.py:255-259; here the documented form works
+        # and junk raises instead of vanishing.)
+        flat: list = []
+        for w in windows:
+            if isinstance(w, (list, tuple)):
+                flat.extend(w)
+            else:
+                flat.append(w)
+        if not flat:
             raise ValueError("at least one ArrayWindow is required")
+        for w in flat:
+            if not isinstance(w, (ArrayWindow, str)):
+                raise TypeError(
+                    f"window spec must be ArrayWindow or str, got {type(w).__name__}"
+                )
         normalized = tuple(
-            ArrayWindow(w) if isinstance(w, str) else w for w in windows
+            ArrayWindow(w) if isinstance(w, str) else w for w in flat
         )
         self.callbacks.append(_CallbackConfig(fn, normalized, when, exception_handler))
         return fn

@@ -136,3 +136,48 @@ def test_bridge_positional_order_matches_reference(tmp_path):
 
     with _pytest.raises(TypeError, match="comm FIRST"):
         Bridge(object(), None, transport_dir=str(tmp_path / "t4"))
+
+
+def test_quickstart_compute_idiom(spark, tmp_path):
+    """The reference quickstart's callback body ports verbatim:
+    ``latest.mean().compute()`` (docs/source/quick_start.rst analytics
+    snippet) — lazy verb + .compute(), computed as ONE distributed
+    aggregate over the chunk cells (std is population, ddof=0,
+    reference tests/test_analytics.py:42)."""
+    transport = str(tmp_path / "transport")
+    bridges = [
+        Bridge(
+            None,
+            {
+                "array": {
+                    "global_shape": (4, 4),
+                    "chunk_shape": (2, 2),
+                    "chunk_position": (r // 2, r % 2),
+                }
+            },
+            transport_dir=transport,
+        )
+        for r in range(4)
+    ]
+    for t in range(3):
+        for r, b in enumerate(bridges):
+            b.send("array", t * (r + 1) * np.ones((2, 2), dtype=np.int64), t)
+    bridges[0].close(2)
+
+    got = {}
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+
+    @d.register(Window("array"))
+    def summary_callback(array):
+        latest = array[-1]
+        got[latest.t] = (
+            latest.mean().compute(),
+            latest.sum().compute(),
+            latest.min().compute(),
+            latest.max().compute(),
+        )
+
+    d.execute_callbacks()
+    # rank r sends t*(r+1)*ones -> sum = 4t*(1+2+3+4) = 40t over 16
+    # cells; min = rank 0's value = t, max = rank 3's = 4t
+    assert got == {t: (2.5 * t, 40.0 * t, 1.0 * t, 4.0 * t) for t in range(3)}

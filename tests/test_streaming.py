@@ -552,3 +552,24 @@ def test_public_api_exports():
         Timestep,
         Window,
     )
+
+
+def test_register_accepts_documented_list_form(spark, tmp_path):
+    """The reference quickstart registers with a LIST —
+    ``register_callback(cb, [Window(...)])`` (docs/source/
+    quick_start.rst:112-115) — which the reference's own varargs loop
+    silently drops (window_handler.py:255-259: non-Window/str args are
+    skipped, leaving an empty spec). Here the documented form works,
+    mixed specs normalize, and junk raises instead of vanishing."""
+    from deisa_ray_spark.streaming import ArrayWindow, InSituEngine
+
+    engine = InSituEngine(spark, str(tmp_path / "chunks"))
+    engine.register_callback(lambda temperature: None,
+                             [ArrayWindow("temperature", 3), "pressure"])
+    windows = engine.callbacks[0].windows
+    assert [(w.name, w.size) for w in windows] == [("temperature", 3),
+                                                   ("pressure", 1)]
+    with pytest.raises(TypeError, match="ArrayWindow or str"):
+        engine.register_callback(lambda x: None, 42)
+    with pytest.raises(ValueError, match="at least one"):
+        engine.register_callback(lambda x: None, [])
