@@ -209,3 +209,185 @@ class Bridge:
 
     def get(self, key: str, timestep: int | None = None, default: Any = None) -> Any:
         return self._bridge.get(key, timestep, default)
+
+
+# ---------------------------------------------------------------------------
+# Lazy expression layer: the reference callback's dask-array idioms
+# (tests/test_analytics.py:25-102 — arithmetic, slicing, .T, @, clip,
+# astype, rechunk, persist, da.where/sqrt/concatenate/linalg.svd/
+# fft.fft) over this engine's ArrayFrame, so an analytics callback
+# ports by changing `import dask.array as da` to
+# `from deisa_ray_spark.compat import da`.
+#
+# Evaluation contract: `.compute()` materializes ON THE DRIVER — the
+# same landing point as the reference's dask `.compute()` (its results
+# are ndarrays in the callback process too), bounded by the declared
+# global_shape exactly like ArrayFrame.to_numpy. The DISTRIBUTED twins
+# of every one of these kernels live in operators/grid_ops.py and
+# operators/linalg.py (B1-B20, oracle-checked); use those via
+# ArrayFrame.cells() when the arrays are bigger than a driver.
+# ---------------------------------------------------------------------------
+
+
+class LazyArray:
+    """Deferred ndarray expression (the dask-array handle shape)."""
+
+    def __init__(self, thunk: Callable[[], np.ndarray]) -> None:
+        self._thunk = thunk
+
+    # -- materialization ---------------------------------------------------
+
+    def compute(self) -> np.ndarray:
+        return self._thunk()
+
+    def persist(self) -> "LazyArray":
+        arr = self.compute()
+        return LazyArray(lambda: arr)
+
+    def rechunk(self, *_a, **_k) -> "LazyArray":
+        return self  # chunking is the engine's concern (SURVEY B16)
+
+    # -- elementwise / structural ops --------------------------------------
+
+    @staticmethod
+    def _val(x):
+        if isinstance(x, LazyArray):
+            return x.compute()
+        if hasattr(x, "to_numpy"):  # ArrayFrame operand
+            return x.to_numpy()
+        return x
+
+    def _bin(self, other, op) -> "LazyArray":
+        return LazyArray(lambda: op(self.compute(), LazyArray._val(other)))
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._bin(o, lambda a, b: b - a)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __matmul__(self, o):
+        return self._bin(o, lambda a, b: a @ b)
+
+    def __gt__(self, o):
+        return self._bin(o, lambda a, b: a > b)
+
+    def __lt__(self, o):
+        return self._bin(o, lambda a, b: a < b)
+
+    def __getitem__(self, idx) -> "LazyArray":
+        return LazyArray(lambda: self.compute()[idx])
+
+    @property
+    def T(self) -> "LazyArray":  # noqa: N802 — numpy/dask name
+        return LazyArray(lambda: self.compute().T)
+
+    def astype(self, dtype) -> "LazyArray":
+        return LazyArray(lambda: self.compute().astype(dtype))
+
+    def clip(self, lo, hi) -> "LazyArray":
+        return LazyArray(lambda: np.clip(self.compute(), lo, hi))
+
+    # -- aggregations (scalar unless axis= given, like dask) ---------------
+
+    def _agg(self, fn, axis=None):
+        if axis is None:
+            return _LazyNumber(lambda: float(fn(self.compute())))
+        return LazyArray(lambda: fn(self.compute(), axis=axis))
+
+    def mean(self, axis=None):
+        return self._agg(np.mean, axis)
+
+    def sum(self, axis=None):
+        return self._agg(np.sum, axis)
+
+    def min(self, axis=None):
+        return self._agg(np.min, axis)
+
+    def max(self, axis=None):
+        return self._agg(np.max, axis)
+
+    def std(self, axis=None):  # population, the reference's contract
+        return self._agg(np.std, axis)
+
+
+class _LazyNumber:
+    def __init__(self, fn: Callable[[], float]) -> None:
+        self._fn = fn
+
+    def compute(self) -> float:
+        return self._fn()
+
+
+def _as_lazy(x) -> LazyArray:
+    """ArrayFrame | LazyArray | ndarray/scalar → LazyArray."""
+    if isinstance(x, LazyArray):
+        return x
+    if hasattr(x, "to_numpy"):  # ArrayFrame
+        return LazyArray(x.to_numpy)
+    return LazyArray(lambda: np.asarray(x))
+
+
+class _DaLinalg:
+    @staticmethod
+    def svd(a):
+        """Reduced SVD, dask-shaped: returns (u, s, v) lazy triple
+        sharing one factorization."""
+        a = _as_lazy(a)
+        cache: dict = {}
+
+        def factor():
+            if "usv" not in cache:
+                cache["usv"] = np.linalg.svd(a.compute(), full_matrices=False)
+            return cache["usv"]
+
+        return (
+            LazyArray(lambda: factor()[0]),
+            LazyArray(lambda: factor()[1]),
+            LazyArray(lambda: factor()[2]),
+        )
+
+
+class _DaFft:
+    @staticmethod
+    def fft(a, axis=-1):
+        a = _as_lazy(a)
+        return LazyArray(lambda: np.fft.fft(a.compute(), axis=axis))
+
+
+class _DaModule:
+    """``da``: the dask.array module functions reference callbacks use."""
+
+    linalg = _DaLinalg()
+    fft = _DaFft()
+
+    @staticmethod
+    def where(cond, x, y):
+        c, xv, yv = _as_lazy(cond), _as_lazy(x), _as_lazy(y)
+        return LazyArray(lambda: np.where(c.compute(), xv.compute(), yv.compute()))
+
+    @staticmethod
+    def sqrt(a):
+        a = _as_lazy(a)
+        return LazyArray(lambda: np.sqrt(a.compute()))
+
+    @staticmethod
+    def concatenate(seq, axis=0):
+        lazies = [_as_lazy(s) for s in seq]
+        return LazyArray(lambda: np.concatenate([s.compute() for s in lazies], axis=axis))
+
+
+da = _DaModule()

@@ -135,6 +135,65 @@ class ArrayFrame:
     def std(self) -> "LazyScalar":
         return self._lazy_agg(F.stddev_pop("value"))
 
+    # -- expression surface (reference tests/test_analytics.py:25-102:
+    #    arithmetic, slicing, .T, @, clip, astype, persist — the dask
+    #    idioms a ported callback uses verbatim). Delegates to the
+    #    compat layer's LazyArray; ``.compute()`` lands driver-side,
+    #    the same place the reference's dask compute() lands, bounded
+    #    by the declared global_shape. Distributed twins: grid_ops. ---
+
+    def _lazy(self):
+        from deisa_ray_spark.compat import LazyArray
+
+        return LazyArray(self.to_numpy)
+
+    def compute(self) -> np.ndarray:
+        """The reference's ``DeisaArray.compute()`` — dense ndarray."""
+        return self.to_numpy()
+
+    def persist(self):
+        """Materialize once; further verbs reuse the result (reference
+        ``d_arr.persist()``, tests/test_analytics.py:29-38)."""
+        return self._lazy().persist()
+
+    def __mul__(self, o):
+        return self._lazy() * o
+
+    __rmul__ = __mul__
+
+    def __add__(self, o):
+        return self._lazy() + o
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._lazy() - o
+
+    def __truediv__(self, o):
+        return self._lazy() / o
+
+    def __matmul__(self, o):
+        return self._lazy() @ o
+
+    def __gt__(self, o):
+        return self._lazy() > o
+
+    def __lt__(self, o):
+        return self._lazy() < o
+
+    def __getitem__(self, idx):
+        return self._lazy()[idx]
+
+    @property
+    def T(self):  # noqa: N802 — numpy/dask name
+        return self._lazy().T
+
+    def astype(self, dtype):
+        return self._lazy().astype(dtype)
+
+    def clip(self, lo, hi):
+        return self._lazy().clip(lo, hi)
+
     def to_numpy(self) -> np.ndarray:
         """Assemble the dense tensor driver-side (bounded by the declared
         global_shape — the analogue of calling ``.compute()`` on the

@@ -181,3 +181,86 @@ def test_quickstart_compute_idiom(spark, tmp_path):
     # rank r sends t*(r+1)*ones -> sum = 4t*(1+2+3+4) = 40t over 16
     # cells; min = rank 0's value = t, max = rank 3's = 4t
     assert got == {t: (2.5 * t, 40.0 * t, 1.0 * t, 4.0 * t) for t in range(3)}
+
+
+def test_reference_analytics_idioms_port_verbatim(spark, tmp_path):
+    """The reference's analytics test callback (tests/test_analytics.py:
+    25-102) ported with its dask idioms intact — persist, compute,
+    scalar aggs, scalar/elementwise arithmetic, slicing, .T, @, clip,
+    where, sqrt, astype, concatenate+rechunk, axis-mean centering, SVD,
+    FFT — via `from deisa_ray_spark.compat import da` instead of
+    `import dask.array as da`. Same input ([[1, 2]]), same golden
+    values, byte-for-byte the reference's assertions."""
+    from deisa_ray_spark.compat import da
+
+    transport = str(tmp_path / "transport")
+    bridge = Bridge(
+        None,
+        {"array": {"global_shape": (1, 2), "chunk_shape": (1, 2),
+                   "chunk_position": (0, 0)}},
+        transport_dir=transport,
+    )
+    bridge.send("array", np.array([[1, 2]], dtype=np.int64), 0)
+    bridge.close(0)
+
+    ran = []
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+
+    @d.register("array")
+    def analytics_callback(array):
+        d_arr = array[0]
+
+        d_arr_p = d_arr.persist()
+
+        computed = d_arr.compute()
+        np.testing.assert_array_equal(computed, np.array([[1, 2]], dtype=np.int64))
+
+        assert isinstance(d_arr.mean().compute(), float)
+        assert d_arr_p.mean().compute() == 1.5
+        assert d_arr.sum().compute() == 3
+        assert d_arr.min().compute() == 1
+        assert d_arr.max().compute() == 2
+        assert d_arr.std().compute() == 0.5
+
+        np.testing.assert_array_equal(
+            (d_arr * 2).compute(), np.array([[2, 4]], dtype=np.int64))
+        np.testing.assert_array_equal(
+            (d_arr * d_arr).compute(), np.array([[1, 4]], dtype=np.int64))
+        np.testing.assert_array_equal(
+            d_arr[:, :1].compute(), np.array([[1]], dtype=np.int64))
+        np.testing.assert_array_equal(
+            d_arr.T.compute(), np.array([[1], [2]], dtype=np.int64))
+        np.testing.assert_array_equal(
+            (d_arr.T @ d_arr).compute(),
+            np.array([[1, 2], [2, 4]], dtype=np.int64))
+        np.testing.assert_array_equal(
+            d_arr.clip(1, 1).compute(), np.array([[1, 1]], dtype=np.int64))
+        np.testing.assert_array_equal(
+            da.where(d_arr > 1, d_arr, 0).compute(),
+            np.array([[0, 2]], dtype=np.int64))
+        np.testing.assert_allclose(
+            da.sqrt(d_arr.astype(float)).compute(),
+            np.array([[1.0, np.sqrt(2.0)]]))
+
+        stacked = da.concatenate(
+            [d_arr, d_arr * 2, d_arr * 3], axis=0).rechunk((3, 2))
+        np.testing.assert_array_equal(
+            stacked.compute(),
+            np.array([[1, 2], [2, 4], [3, 6]], dtype=np.int64))
+
+        centered = stacked.astype(float) - stacked.mean(axis=0)
+        _, singular_values, principal_components = da.linalg.svd(centered)
+        np.testing.assert_allclose(
+            singular_values.compute(), np.array([np.sqrt(10.0), 0.0]),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            np.abs(principal_components.compute()[0]),
+            np.array([1 / np.sqrt(5), 2 / np.sqrt(5)]))
+
+        fft = da.fft.fft(d_arr.astype(float).rechunk((1, 2)), axis=1).compute()
+        np.testing.assert_allclose(fft, np.array([[3.0 + 0.0j, -1.0 + 0.0j]]))
+
+        ran.append(d_arr.t)
+
+    d.execute_callbacks()
+    assert ran == [0]
