@@ -50,6 +50,28 @@ class ConfigError(RuntimeError):
     continue to resolve."""
 
 
+def _ambient_transport_dir(given: str | None) -> str:
+    """Resolve the transport dir the way the reference resolves its
+    cluster: from the ambient environment when not passed explicitly.
+    The reference's ``Deisa()`` / ``Bridge(...)`` take no cluster
+    address (Ray is ambient); here the ambient channel is the
+    ``DEISA_SPARK_TRANSPORT_DIR`` environment variable, so a verbatim
+    zero-config quickstart script runs once both sides export it."""
+    import os
+
+    if given is not None:
+        return given
+    env = os.environ.get("DEISA_SPARK_TRANSPORT_DIR")
+    if env:
+        return env
+    raise TypeError(
+        "a transport dir is required: pass transport_dir= or export "
+        "DEISA_SPARK_TRANSPORT_DIR (the shared path both the bridges "
+        "and the analytics can reach — this engine's analogue of the "
+        "ambient Ray cluster)"
+    )
+
+
 class Deisa:
     """Reference-named analytics front end (window_handler.Deisa).
 
@@ -62,10 +84,11 @@ class Deisa:
         feedback_queue_size: int = 1024,
         *,
         spark: SparkSession | None = None,
-        transport_dir: str,
+        transport_dir: str | None = None,
         checkpoint_dir: str | None = None,
         max_simulation_ahead: int = 1,
     ) -> None:
+        transport_dir = _ambient_transport_dir(transport_dir)
         self.spark = spark
         self.transport_dir = transport_dir
         self.checkpoint_dir = checkpoint_dir or transport_dir + "/.ckpt"
@@ -145,10 +168,12 @@ class Bridge:
         arrays_metadata: dict[str, dict] | None = None,
         *,
         rank: int | None = None,
-        transport_dir: str,
+        transport_dir: str | None = None,
         max_simulation_ahead: int | None = None,
     ) -> None:
         from collections.abc import Mapping
+
+        transport_dir = _ambient_transport_dir(transport_dir)
 
         if arrays_metadata is None and isinstance(comm, Mapping):
             # tolerate the metadata-first call style of earlier shim

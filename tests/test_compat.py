@@ -264,3 +264,38 @@ def test_reference_analytics_idioms_port_verbatim(spark, tmp_path):
 
     d.execute_callbacks()
     assert ran == [0]
+
+
+def test_zero_config_ambient_transport(spark, tmp_path, monkeypatch):
+    """The reference quickstart constructs ``Deisa()`` and
+    ``Bridge(arrays_metadata=..., comm=...)`` with NO cluster argument —
+    Ray is ambient. The shim's ambient channel is
+    $DEISA_SPARK_TRANSPORT_DIR: with it exported, the verbatim
+    zero-config forms work; without it, a clear TypeError names the fix."""
+    import pytest as _pytest
+
+    monkeypatch.delenv("DEISA_SPARK_TRANSPORT_DIR", raising=False)
+    with _pytest.raises(TypeError, match="DEISA_SPARK_TRANSPORT_DIR"):
+        Deisa(spark=spark)
+
+    transport = str(tmp_path / "ambient")
+    monkeypatch.setenv("DEISA_SPARK_TRANSPORT_DIR", transport)
+    b = Bridge(
+        arrays_metadata={
+            "array": {"global_shape": (2, 2), "chunk_shape": (2, 2),
+                      "chunk_position": (0, 0)}
+        },
+        comm=None,
+    )
+    b.send("array", np.ones((2, 2), dtype=np.int64), 0)
+    b.close(0)
+
+    seen = []
+    d = Deisa(spark=spark, checkpoint_dir=str(tmp_path / "ck"))
+
+    @d.register("array")
+    def cb(array):
+        seen.append(float(array[-1].sum().compute()))
+
+    d.execute_callbacks()
+    assert seen == [4.0]
