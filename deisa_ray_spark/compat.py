@@ -356,6 +356,10 @@ class _LazyNumber:
     def compute(self) -> float:
         return self._fn()
 
+    def persist(self) -> "_LazyNumber":
+        v = self.compute()
+        return _LazyNumber(lambda: v)
+
 
 def _as_lazy(x) -> LazyArray:
     """ArrayFrame | LazyArray | ndarray/scalar → LazyArray."""

@@ -65,13 +65,19 @@ class ArrayWindow:
 
 class LazyScalar:
     """Deferred scalar result of an ArrayFrame compute verb — the
-    reference's dask-handle shape (build now, ``.compute()`` later)."""
+    reference's dask-handle shape (build now, ``.compute()`` later;
+    ``persist()`` materializes eagerly and returns a handle whose
+    compute() is free — docs/source/analytics.rst "Dask persist")."""
 
     def __init__(self, fn: Callable[[], float]) -> None:
         self._fn = fn
 
     def compute(self) -> float:
         return self._fn()
+
+    def persist(self) -> "LazyScalar":
+        v = self.compute()
+        return LazyScalar(lambda: v)
 
 
 class ArrayFrame:

@@ -299,3 +299,44 @@ def test_zero_config_ambient_transport(spark, tmp_path, monkeypatch):
 
     d.execute_callbacks()
     assert seen == [4.0]
+
+
+def test_analytics_doc_examples_port(spark, tmp_path):
+    """The analytics-guide examples (docs/source/analytics.rst:100-177)
+    port verbatim: the three-point rate (newest - oldest) / dt, the
+    five-point average via builtin sum() over the window list, and
+    sum().persist() whose compute() reuses the materialized value."""
+    transport = str(tmp_path / "transport")
+    b = Bridge(
+        None,
+        {"temperature": {"global_shape": (2, 2), "chunk_shape": (2, 2),
+                         "chunk_position": (0, 0)}},
+        transport_dir=transport,
+    )
+    for t in range(6):
+        b.send("temperature", t * np.ones((2, 2), dtype=np.float64), t)
+    b.close(5)
+
+    rates, fives, persisted = [], [], []
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+
+    @d.register(Window("temperature", size=5))
+    def estimate_temperature_change(temperature):
+        total = temperature[-1].sum().persist()
+        persisted.append(total.compute())
+
+        if len(temperature) >= 3:
+            newest, oldest = temperature[-1], temperature[-3]
+            three_point_rate = (newest - oldest) / (newest.t - oldest.t)
+            rates.append(three_point_rate.mean().compute())
+
+        if len(temperature) < 5:
+            return
+        five_point_average = sum(ts for ts in temperature) / 5
+        fives.append(five_point_average.mean().compute())
+
+    d.execute_callbacks()
+    assert persisted == [4.0 * t for t in range(6)]   # sum = 4t
+    assert rates == [1.0] * 4                         # dT/dt = 1 everywhere
+    # five newest timesteps end at t=4 (mean 2) and t=5 (mean 3)
+    assert fives == [2.0, 3.0]
