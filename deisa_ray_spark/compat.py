@@ -420,3 +420,13 @@ class _DaModule:
 
 
 da = _DaModule()
+
+
+def to_hdf5(fname: str, sources: dict[str, Any]) -> None:
+    """Module-level multi-dataset HDF5 save — the reference's
+    ``deisa.ray.types.to_hdf5(fname, {dataset: DeisaArray})``
+    (types.py:451; docs/source/analytics.rst "Saving to HDF5").
+    Values are this engine's ArrayFrames (the callback arguments)."""
+    from deisa_ray_spark import sinks
+
+    sinks.to_hdf5_multi({name: af.chunks() for name, af in sources.items()}, fname)

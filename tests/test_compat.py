@@ -340,3 +340,42 @@ def test_analytics_doc_examples_port(spark, tmp_path):
     assert rates == [1.0] * 4                         # dT/dt = 1 everywhere
     # five newest timesteps end at t=4 (mean 2) and t=5 (mean 3)
     assert fives == [2.0, 3.0]
+
+
+def test_doc_hdf5_save_idioms(spark, tmp_path):
+    """The save examples from the analytics guide port verbatim: the
+    method form ``temperature[0].to_hdf5(fname, dataset)`` and the
+    module-level dict form ``to_hdf5(fname, {name: arr})``
+    (docs/source/analytics.rst:185-225; reference types.py:318,451).
+    Round-trips are byte-checked through the VDS reader."""
+    from deisa_ray_spark.compat import to_hdf5
+    from deisa_ray_spark.sinks import read_vds
+
+    transport = str(tmp_path / "transport")
+    md = {
+        name: {"global_shape": (2, 2), "chunk_shape": (2, 2),
+               "chunk_position": (0, 0)}
+        for name in ("temperature", "pressure")
+    }
+    b = Bridge(None, md, transport_dir=transport)
+    b.send("temperature", np.arange(4, dtype=np.int64).reshape(2, 2), 0)
+    b.send("pressure", 10 * np.arange(4, dtype=np.int64).reshape(2, 2), 0)
+    b.close(0)
+
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+    single = str(tmp_path / "interesting-event.h5")
+    multi = str(tmp_path / "state.h5")
+
+    @d.register(Window("temperature"), Window("pressure"), when="AND")
+    def save_state_snapshot(temperature, pressure):
+        temperature[0].to_hdf5(single, "temperature")
+        to_hdf5(multi, {"temperature": temperature[0], "pressure": pressure[0]})
+
+    d.execute_callbacks()
+
+    np.testing.assert_array_equal(
+        read_vds(single, "temperature"), np.arange(4).reshape(2, 2))
+    np.testing.assert_array_equal(
+        read_vds(multi, "temperature"), np.arange(4).reshape(2, 2))
+    np.testing.assert_array_equal(
+        read_vds(multi, "pressure"), 10 * np.arange(4).reshape(2, 2))
