@@ -280,6 +280,8 @@ class LazyArray:
             return x.compute()
         if hasattr(x, "to_numpy"):  # ArrayFrame operand
             return x.to_numpy()
+        if hasattr(x, "compute"):  # LazyScalar/_LazyNumber operand
+            return x.compute()  # e.g. d_arr - d_arr.mean()
         return x
 
     def _bin(self, other, op) -> "LazyArray":
@@ -359,6 +361,32 @@ class _LazyNumber:
     def persist(self) -> "_LazyNumber":
         v = self.compute()
         return _LazyNumber(lambda: v)
+
+    # scalar arithmetic, dask-scalar style: stays lazy
+    def _bin(self, other, op) -> "_LazyNumber":
+        return _LazyNumber(lambda: op(self.compute(), LazyArray._val(other)))
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._bin(o, lambda a, b: b - a)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._bin(o, lambda a, b: b / a)
 
 
 def _as_lazy(x) -> LazyArray:

@@ -79,6 +79,37 @@ class LazyScalar:
         v = self.compute()
         return LazyScalar(lambda: v)
 
+    # scalar arithmetic, dask-scalar style: stays lazy; operands may be
+    # plain numbers or other lazy handles (anything with .compute())
+    def _bin(self, other, op) -> "LazyScalar":
+        def thunk() -> float:
+            o = other.compute() if hasattr(other, "compute") else other
+            return op(self.compute(), o)
+
+        return LazyScalar(thunk)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._bin(o, lambda a, b: b - a)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._bin(o, lambda a, b: b / a)
+
 
 class ArrayFrame:
     """A distributed array at one timestep: lazy handle over the chunk

@@ -379,3 +379,34 @@ def test_doc_hdf5_save_idioms(spark, tmp_path):
         read_vds(multi, "temperature"), np.arange(4).reshape(2, 2))
     np.testing.assert_array_equal(
         read_vds(multi, "pressure"), 10 * np.arange(4).reshape(2, 2))
+
+
+def test_lazy_scalar_and_mixed_arithmetic(spark, tmp_path):
+    """Dask-scalar arithmetic stays lazy and mixes freely with arrays:
+    anomaly = d_arr - d_arr.mean() (array minus lazy scalar),
+    2 * d_arr.sum() + 1 (scalar chain), and a normalized ratio of two
+    lazy scalars — shapes a reference callback produces constantly."""
+    transport = str(tmp_path / "transport")
+    b = Bridge(
+        None,
+        {"array": {"global_shape": (1, 2), "chunk_shape": (1, 2),
+                   "chunk_position": (0, 0)}},
+        transport_dir=transport,
+    )
+    b.send("array", np.array([[1, 3]], dtype=np.float64), 0)
+    b.close(0)
+
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+    out = {}
+
+    @d.register("array")
+    def cb(array):
+        a = array[0]
+        out["anomaly"] = (a - a.mean()).compute()          # array - lazy scalar
+        out["chain"] = (2 * a.sum() + 1).compute()         # lazy scalar chain
+        out["ratio"] = (a.max() / a.min()).compute()       # lazy / lazy
+
+    d.execute_callbacks()
+    np.testing.assert_array_equal(out["anomaly"], np.array([[-1.0, 1.0]]))
+    assert out["chain"] == 9.0
+    assert out["ratio"] == 3.0
