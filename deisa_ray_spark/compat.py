@@ -30,6 +30,12 @@ from deisa_ray_spark.streaming import ArrayWindow, InSituEngine, SparkBridge
 #: (deisa.ray.types.Window(name, size)).
 Window = ArrayWindow
 
+#: The reference's array-handle type under its own name — scripts
+#: import it for callback annotations (``array: list[DeisaArray]``,
+#: docs/source/quick_start.rst) and isinstance checks; the engine's
+#: ArrayFrame IS that handle here.
+from deisa_ray_spark.streaming.engine import ArrayFrame as DeisaArray  # noqa: E402
+
 #: Reference type alias (deisa/ray/__init__.py:5): a timestep is any
 #: Hashable, in practice an int.
 from typing import Hashable  # noqa: E402
