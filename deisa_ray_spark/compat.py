@@ -260,148 +260,19 @@ class Bridge:
 # ---------------------------------------------------------------------------
 
 
-class LazyArray:
-    """Deferred ndarray expression (the dask-array handle shape)."""
+# One shared implementation (previously duplicated here and in the
+# engine); see streaming/lazy.py for semantics (memoized compute,
+# full dask-style operator surface, elementwise comparisons,
+# __array_ufunc__ = None).
+from deisa_ray_spark.streaming.lazy import (  # noqa: E402
+    LazyArray,
+    LazyScalar,
+    as_lazy as _as_lazy,
+)
 
-    def __init__(self, thunk: Callable[[], np.ndarray]) -> None:
-        self._thunk = thunk
-
-    # -- materialization ---------------------------------------------------
-
-    def compute(self) -> np.ndarray:
-        return self._thunk()
-
-    def persist(self) -> "LazyArray":
-        arr = self.compute()
-        return LazyArray(lambda: arr)
-
-    def rechunk(self, *_a, **_k) -> "LazyArray":
-        return self  # chunking is the engine's concern (SURVEY B16)
-
-    # -- elementwise / structural ops --------------------------------------
-
-    @staticmethod
-    def _val(x):
-        if isinstance(x, LazyArray):
-            return x.compute()
-        if hasattr(x, "to_numpy"):  # ArrayFrame operand
-            return x.to_numpy()
-        if hasattr(x, "compute"):  # LazyScalar/_LazyNumber operand
-            return x.compute()  # e.g. d_arr - d_arr.mean()
-        return x
-
-    def _bin(self, other, op) -> "LazyArray":
-        return LazyArray(lambda: op(self.compute(), LazyArray._val(other)))
-
-    def __mul__(self, o):
-        return self._bin(o, lambda a, b: a * b)
-
-    __rmul__ = __mul__
-
-    def __add__(self, o):
-        return self._bin(o, lambda a, b: a + b)
-
-    __radd__ = __add__
-
-    def __sub__(self, o):
-        return self._bin(o, lambda a, b: a - b)
-
-    def __rsub__(self, o):
-        return self._bin(o, lambda a, b: b - a)
-
-    def __truediv__(self, o):
-        return self._bin(o, lambda a, b: a / b)
-
-    def __matmul__(self, o):
-        return self._bin(o, lambda a, b: a @ b)
-
-    def __gt__(self, o):
-        return self._bin(o, lambda a, b: a > b)
-
-    def __lt__(self, o):
-        return self._bin(o, lambda a, b: a < b)
-
-    def __getitem__(self, idx) -> "LazyArray":
-        return LazyArray(lambda: self.compute()[idx])
-
-    @property
-    def T(self) -> "LazyArray":  # noqa: N802 — numpy/dask name
-        return LazyArray(lambda: self.compute().T)
-
-    def astype(self, dtype) -> "LazyArray":
-        return LazyArray(lambda: self.compute().astype(dtype))
-
-    def clip(self, lo, hi) -> "LazyArray":
-        return LazyArray(lambda: np.clip(self.compute(), lo, hi))
-
-    # -- aggregations (scalar unless axis= given, like dask) ---------------
-
-    def _agg(self, fn, axis=None):
-        if axis is None:
-            return _LazyNumber(lambda: float(fn(self.compute())))
-        return LazyArray(lambda: fn(self.compute(), axis=axis))
-
-    def mean(self, axis=None):
-        return self._agg(np.mean, axis)
-
-    def sum(self, axis=None):
-        return self._agg(np.sum, axis)
-
-    def min(self, axis=None):
-        return self._agg(np.min, axis)
-
-    def max(self, axis=None):
-        return self._agg(np.max, axis)
-
-    def std(self, axis=None):  # population, the reference's contract
-        return self._agg(np.std, axis)
-
-
-class _LazyNumber:
-    def __init__(self, fn: Callable[[], float]) -> None:
-        self._fn = fn
-
-    def compute(self) -> float:
-        return self._fn()
-
-    def persist(self) -> "_LazyNumber":
-        v = self.compute()
-        return _LazyNumber(lambda: v)
-
-    # scalar arithmetic, dask-scalar style: stays lazy
-    def _bin(self, other, op) -> "_LazyNumber":
-        return _LazyNumber(lambda: op(self.compute(), LazyArray._val(other)))
-
-    def __mul__(self, o):
-        return self._bin(o, lambda a, b: a * b)
-
-    __rmul__ = __mul__
-
-    def __add__(self, o):
-        return self._bin(o, lambda a, b: a + b)
-
-    __radd__ = __add__
-
-    def __sub__(self, o):
-        return self._bin(o, lambda a, b: a - b)
-
-    def __rsub__(self, o):
-        return self._bin(o, lambda a, b: b - a)
-
-    def __truediv__(self, o):
-        return self._bin(o, lambda a, b: a / b)
-
-    def __rtruediv__(self, o):
-        return self._bin(o, lambda a, b: b / a)
-
-
-def _as_lazy(x) -> LazyArray:
-    """ArrayFrame | LazyArray | ndarray/scalar → LazyArray."""
-    if isinstance(x, LazyArray):
-        return x
-    if hasattr(x, "to_numpy"):  # ArrayFrame
-        return LazyArray(x.to_numpy)
-    return LazyArray(lambda: np.asarray(x))
+#: back-compat alias: earlier shim versions named the scalar handle
+#: _LazyNumber; it IS LazyScalar.
+_LazyNumber = LazyScalar
 
 
 class _DaLinalg:

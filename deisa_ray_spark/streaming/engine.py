@@ -38,8 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deisa_ray_spark.errors import ContractError, OrderingError
-from deisa_ray_spark.model import CHUNK_SCHEMA, SENTINEL_ARRAY, explode_chunks
+from deisa_ray_spark.model import (
+    CHUNK_SCHEMA,
+    SENTINEL_ARRAY,
+    explode_chunks,
+    explode_chunks_nd,
+)
 from deisa_ray_spark.streaming.feedback import DEFAULT_QUEUE_SIZE, FeedbackStore
+from deisa_ray_spark.streaming.lazy import LazyArray, LazyScalar
 
 _ORDERING_MARKER = "DEISA_ORDERING_VIOLATION"
 _CONTRACT_MARKER = "DEISA_CONTRACT_VIOLATION"
@@ -61,54 +67,6 @@ class ArrayWindow:
     def __post_init__(self) -> None:
         if self.size < 1:
             raise ValueError("window size must be >= 1")
-
-
-class LazyScalar:
-    """Deferred scalar result of an ArrayFrame compute verb — the
-    reference's dask-handle shape (build now, ``.compute()`` later;
-    ``persist()`` materializes eagerly and returns a handle whose
-    compute() is free — docs/source/analytics.rst "Dask persist")."""
-
-    def __init__(self, fn: Callable[[], float]) -> None:
-        self._fn = fn
-
-    def compute(self) -> float:
-        return self._fn()
-
-    def persist(self) -> "LazyScalar":
-        v = self.compute()
-        return LazyScalar(lambda: v)
-
-    # scalar arithmetic, dask-scalar style: stays lazy; operands may be
-    # plain numbers or other lazy handles (anything with .compute())
-    def _bin(self, other, op) -> "LazyScalar":
-        def thunk() -> float:
-            o = other.compute() if hasattr(other, "compute") else other
-            return op(self.compute(), o)
-
-        return LazyScalar(thunk)
-
-    def __mul__(self, o):
-        return self._bin(o, lambda a, b: a * b)
-
-    __rmul__ = __mul__
-
-    def __add__(self, o):
-        return self._bin(o, lambda a, b: a + b)
-
-    __radd__ = __add__
-
-    def __sub__(self, o):
-        return self._bin(o, lambda a, b: a - b)
-
-    def __rsub__(self, o):
-        return self._bin(o, lambda a, b: b - a)
-
-    def __truediv__(self, o):
-        return self._bin(o, lambda a, b: a / b)
-
-    def __rtruediv__(self, o):
-        return self._bin(o, lambda a, b: b / a)
 
 
 class ArrayFrame:
@@ -153,8 +111,14 @@ class ArrayFrame:
     #    reference's contract (tests/test_analytics.py:42). ------------
 
     def _lazy_agg(self, agg_col) -> "LazyScalar":
+        # explode_chunks_nd, not cells(): the whole-array aggregate
+        # needs no coordinates, and the N-d exploder works at ANY rank
+        # (cells() is the 2-D hot path and would reject a 3-D field
+        # the engine otherwise transports fine)
         return LazyScalar(
-            lambda: float(self.cells().agg(agg_col.alias("v")).first()["v"])
+            lambda: float(
+                explode_chunks_nd(self.chunks()).agg(agg_col.alias("v")).first()["v"]
+            )
         )
 
     def mean(self) -> "LazyScalar":
@@ -173,16 +137,25 @@ class ArrayFrame:
         return self._lazy_agg(F.stddev_pop("value"))
 
     # -- expression surface (reference tests/test_analytics.py:25-102:
-    #    arithmetic, slicing, .T, @, clip, astype, persist — the dask
-    #    idioms a ported callback uses verbatim). Delegates to the
-    #    compat layer's LazyArray; ``.compute()`` lands driver-side,
-    #    the same place the reference's dask compute() lands, bounded
-    #    by the declared global_shape. Distributed twins: grid_ops. ---
+    #    arithmetic incl. reflected forms, comparisons as elementwise
+    #    lazy masks, slicing, .T, @, **, unary, clip, astype, persist —
+    #    the dask idioms a ported callback uses verbatim). Delegates to
+    #    ONE cached streaming.lazy.LazyArray handle per frame, so a
+    #    frame referenced from many subexpressions materializes its
+    #    dense form once per callback, dask-graph style. ``.compute()``
+    #    lands driver-side, the same place the reference's dask
+    #    compute() lands, bounded by the declared global_shape.
+    #    Distributed twins: grid_ops. ---------------------------------
 
-    def _lazy(self):
-        from deisa_ray_spark.compat import LazyArray
+    __array_ufunc__ = None  # ndarray OP frame → our reflected op
+    __array_priority__ = 1000
 
-        return LazyArray(self.to_numpy)
+    def _lazy(self) -> LazyArray:
+        handle = self.__dict__.get("_lazy_handle")
+        if handle is None:
+            handle = LazyArray(self.to_numpy)
+            self.__dict__["_lazy_handle"] = handle
+        return handle
 
     def compute(self) -> np.ndarray:
         """The reference's ``DeisaArray.compute()`` — dense ndarray."""
@@ -206,17 +179,49 @@ class ArrayFrame:
     def __sub__(self, o):
         return self._lazy() - o
 
+    def __rsub__(self, o):
+        return self._lazy().__rsub__(o)
+
     def __truediv__(self, o):
         return self._lazy() / o
 
+    def __rtruediv__(self, o):
+        return self._lazy().__rtruediv__(o)
+
     def __matmul__(self, o):
         return self._lazy() @ o
+
+    def __rmatmul__(self, o):
+        return self._lazy().__rmatmul__(o)
+
+    def __pow__(self, o):
+        return self._lazy() ** o
+
+    def __neg__(self):
+        return -self._lazy()
+
+    def __abs__(self):
+        return abs(self._lazy())
 
     def __gt__(self, o):
         return self._lazy() > o
 
     def __lt__(self, o):
         return self._lazy() < o
+
+    def __ge__(self, o):
+        return self._lazy() >= o
+
+    def __le__(self, o):
+        return self._lazy() <= o
+
+    def __eq__(self, o):  # elementwise lazy mask, not identity
+        return self._lazy() == o
+
+    def __ne__(self, o):
+        return self._lazy() != o
+
+    __hash__ = object.__hash__
 
     def __getitem__(self, idx):
         return self._lazy()[idx]

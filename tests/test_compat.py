@@ -410,3 +410,33 @@ def test_lazy_scalar_and_mixed_arithmetic(spark, tmp_path):
     np.testing.assert_array_equal(out["anomaly"], np.array([[-1.0, 1.0]]))
     assert out["chain"] == 9.0
     assert out["ratio"] == 3.0
+
+
+def test_nd_array_lazy_aggregates(spark, tmp_path):
+    """The lazy aggregate verbs work at ANY rank: a 3-D field's
+    latest.mean().compute() must aggregate, not trip the 2-D cell
+    exploder (the engine transports N-D arrays; quickstart idioms must
+    follow)."""
+    transport = str(tmp_path / "transport")
+    b = Bridge(
+        None,
+        {"field3d": {"global_shape": (2, 2, 2), "chunk_shape": (2, 2, 2),
+                     "chunk_position": (0, 0, 0)}},
+        transport_dir=transport,
+    )
+    b.send("field3d", np.arange(8, dtype=np.float64).reshape(2, 2, 2), 0)
+    b.close(0)
+
+    out = {}
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+
+    @d.register("field3d")
+    def cb(field3d):
+        a = field3d[-1]
+        out["mean"] = a.mean().compute()
+        out["max"] = a.max().compute()
+        out["dense"] = a.compute()
+
+    d.execute_callbacks()
+    assert out["mean"] == 3.5 and out["max"] == 7.0
+    np.testing.assert_array_equal(out["dense"], np.arange(8).reshape(2, 2, 2))

@@ -1,0 +1,98 @@
+"""Unit tests for the shared lazy-handle module (streaming/lazy.py) —
+the dask-semantics contract of the migration surface, pinned without a
+SparkSession: full operator surface including reflected/unary/pow
+forms, ELEMENTWISE comparisons (not identity), ndarray-on-the-left
+deferral, lazy scalar thresholds, and memoized diamond reuse."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deisa_ray_spark.streaming.lazy import LazyArray, LazyScalar
+
+
+def _counting(base: np.ndarray):
+    calls = {"n": 0}
+
+    def thunk():
+        calls["n"] += 1
+        return base
+
+    return LazyArray(thunk), calls
+
+
+def test_operator_surface_matches_numpy():
+    a = np.array([[1.0, 2.0], [3.0, 4.0]])
+    la = LazyArray(lambda: a)
+    np.testing.assert_array_equal((la**2).compute(), a**2)
+    np.testing.assert_array_equal((-la).compute(), -a)
+    np.testing.assert_array_equal(abs(-la).compute(), a)
+    np.testing.assert_array_equal((1.0 / la).compute(), 1.0 / a)
+    np.testing.assert_array_equal((2 - la).compute(), 2 - a)
+    np.testing.assert_array_equal((la >= 2).compute(), a >= 2)
+    np.testing.assert_array_equal((la <= 2).compute(), a <= 2)
+
+
+def test_elementwise_equality_is_a_lazy_mask_not_identity():
+    a = np.array([1, 2, 1, 3])
+    la = LazyArray(lambda: a)
+    mask = la == 1
+    assert isinstance(mask, LazyArray)  # NOT a Python bool
+    np.testing.assert_array_equal(mask.compute(), np.array([True, False, True, False]))
+    np.testing.assert_array_equal((la != 1).compute(), a != 1)
+    # the silent-wrong-data trap: where() over an equality mask
+    np.testing.assert_array_equal(
+        np.where((la == 1).compute(), 0, a), np.array([0, 2, 0, 3])
+    )
+
+
+def test_ndarray_on_the_left_defers_to_reflected_ops():
+    a = np.array([1.0, 2.0, 3.0])
+    weights = np.array([2.0, 2.0, 2.0])
+    la = LazyArray(lambda: a)
+    out = weights * la  # ndarray.__mul__ must defer via __array_ufunc__=None
+    assert isinstance(out, LazyArray), type(out)
+    np.testing.assert_array_equal(out.compute(), weights * a)
+    out2 = weights @ la
+    assert isinstance(out2, LazyArray)
+    assert out2.compute() == 12.0
+
+
+def test_scalar_threshold_if_works_verbatim():
+    hot = LazyScalar(lambda: 400.0)
+    cold = LazyScalar(lambda: 200.0)
+    assert (hot > 300) and not (cold > 300)  # __bool__ computes
+    assert (hot == 400.0) and (cold != 400.0)
+    assert float(hot) == 400.0 and int(cold) == 200
+    assert abs(-hot).compute() == 400.0
+    assert (hot**2).compute() == 160000.0
+
+
+def test_diamond_reuse_computes_base_once():
+    base = np.ones((4, 4))
+    la, calls = _counting(base)
+    x = la * la
+    y = (x + x) - (x / 2)
+    np.testing.assert_array_equal(y.compute(), base * 1.5)
+    assert calls["n"] == 1, f"base materialized {calls['n']} times"
+    # a second compute of the same expression is also free
+    y.compute()
+    assert calls["n"] == 1
+
+
+def test_persist_returns_live_handle():
+    la, calls = _counting(np.arange(4))
+    p = la.persist()
+    assert calls["n"] == 1
+    assert p.mean().compute() == 1.5
+    assert calls["n"] == 1
+
+
+def test_array_truthiness_matches_numpy():
+    import pytest
+
+    one = LazyArray(lambda: np.array([True]))
+    many = LazyArray(lambda: np.array([True, False]))
+    assert bool(one)
+    with pytest.raises(ValueError, match="ambiguous"):
+        bool(many)  # never silently True
