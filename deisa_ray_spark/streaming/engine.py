@@ -142,7 +142,11 @@ class ArrayFrame:
     #    the dask idioms a ported callback uses verbatim). Delegates to
     #    ONE cached streaming.lazy.LazyArray handle per frame, so a
     #    frame referenced from many subexpressions materializes its
-    #    dense form once per callback, dask-graph style. ``.compute()``
+    #    dense form once per callback, dask-graph style. A frame kept
+    #    in a sliding window thus holds its dense cache for the window
+    #    lifetime — memory is bounded by window_size × global_shape,
+    #    the same bound as the reference's deque of in-store dask
+    #    arrays (A7/A16). ``.compute()``
     #    lands driver-side, the same place the reference's dask
     #    compute() lands, bounded by the declared global_shape.
     #    Distributed twins: grid_ops. ---------------------------------
