@@ -100,8 +100,15 @@ class ArrayFrame:
         return self._spark.read.schema(CHUNK_SCHEMA).parquet(path)
 
     def cells(self) -> DataFrame:
-        """Long-form ``(arr, t, x, y, value)`` cells (never densifies)."""
+        """Long-form ``(arr, t, x, y, value)`` cells (never densifies).
+        2-D hot path; any-rank arrays use :meth:`cells_nd`."""
         return explode_chunks(self.chunks())
+
+    def cells_nd(self) -> DataFrame:
+        """Rank-agnostic long form ``(arr, t, coord, value)`` with
+        ``coord`` the global index vector — the distributed surface for
+        N-D fields (grid_ops' N-d axis ops consume exactly this)."""
+        return explode_chunks_nd(self.chunks())
 
     # -- lazy compute verbs (the reference's dask idiom: build the
     #    expression now, ``.compute()`` later — quick_start.rst

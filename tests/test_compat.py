@@ -440,3 +440,40 @@ def test_nd_array_lazy_aggregates(spark, tmp_path):
     d.execute_callbacks()
     assert out["mean"] == 3.5 and out["max"] == 7.0
     np.testing.assert_array_equal(out["dense"], np.arange(8).reshape(2, 2, 2))
+
+
+def test_cells_nd_distributed_surface(spark, tmp_path):
+    """cells_nd() exposes the rank-agnostic long form for distributed
+    analytics on N-D fields — coord is the global index vector and a
+    Spark aggregation over it matches the dense assembly."""
+    from pyspark.sql import functions as F
+
+    transport = str(tmp_path / "transport")
+    b = Bridge(
+        None,
+        {"f": {"global_shape": (2, 2, 2), "chunk_shape": (2, 2, 2),
+               "chunk_position": (0, 0, 0)}},
+        transport_dir=transport,
+    )
+    b.send("f", np.arange(8, dtype=np.float64).reshape(2, 2, 2), 0)
+    b.close(0)
+
+    out = {}
+    d = Deisa(spark=spark, transport_dir=transport, checkpoint_dir=str(tmp_path / "ck"))
+
+    @d.register("f")
+    def cb(f):
+        cells = f[-1].cells_nd()
+        out["n"] = cells.count()
+        out["sum"] = cells.agg(F.sum("value")).first()[0]
+        # axis-0 slab sums via element_at on the coord vector
+        out["slabs"] = {
+            int(r["k"]): float(r["s"])
+            for r in cells.groupBy(F.element_at("coord", 1).alias("k"))
+            .agg(F.sum("value").alias("s"))
+            .collect()
+        }
+
+    d.execute_callbacks()
+    assert out["n"] == 8 and out["sum"] == 28.0
+    assert out["slabs"] == {0: 6.0, 1: 22.0}  # arange slabs 0-3 / 4-7
