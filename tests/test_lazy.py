@@ -96,3 +96,49 @@ def test_array_truthiness_matches_numpy():
     assert bool(one)
     with pytest.raises(ValueError, match="ambiguous"):
         bool(many)  # never silently True
+
+
+# -- property: random expression trees evaluate exactly like numpy --------
+
+def test_random_expression_trees_match_numpy():
+    """Build random expression trees over LazyArray handles and verify
+    compute() equals the same tree evaluated directly in numpy — the
+    lazy layer must be a pure deferral, never a semantic change."""
+    import random
+
+    rng = random.Random(42)
+    nprng = np.random.default_rng(42)
+
+    binops = [
+        (lambda x, y: x + y, "+"),
+        (lambda x, y: x - y, "-"),
+        (lambda x, y: x * y, "*"),
+        (lambda x, y: x / y, "/"),
+    ]
+    unops = [
+        (lambda x: -x, "neg"),
+        (lambda x: abs(x), "abs"),
+        (lambda x: x.clip(-1.0, 1.0) if hasattr(x, "clip") else np.clip(x, -1.0, 1.0), "clip"),
+        (lambda x: x.T, "T"),
+        (lambda x: x.astype(np.float64), "astype"),
+    ]
+
+    for trial in range(25):
+        base = nprng.uniform(0.5, 2.0, size=(3, 3))  # away from 0: safe /
+        lazy, plain = LazyArray(lambda b=base: b), base
+        for _step in range(rng.randint(1, 6)):
+            if rng.random() < 0.5:
+                op, _n = rng.choice(binops)
+                if rng.random() < 0.5:  # scalar operand
+                    s = rng.uniform(0.5, 2.0)
+                    lazy, plain = op(lazy, s), op(plain, s)
+                else:  # self-referencing operand (diamond reuse)
+                    lazy, plain = op(lazy, lazy), op(plain, plain)
+            else:
+                op, _n = rng.choice(unops)
+                lazy, plain = op(lazy), op(plain)
+        np.testing.assert_allclose(lazy.compute(), plain, rtol=1e-12,
+                                   err_msg=f"trial {trial}")
+        # scalar verbs agree too (population std)
+        np.testing.assert_allclose(lazy.mean().compute(), float(np.mean(plain)))
+        np.testing.assert_allclose(lazy.std().compute(), float(np.std(plain)))
