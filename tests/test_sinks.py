@@ -433,3 +433,33 @@ def test_zarr_region_out_of_bounds_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="outside the target"):
         sinks.to_zarr(slab, url, mode="a",
                       region=(slice(-1, 0), slice(0, 4), slice(0, 4)))
+
+
+def test_zarr_and_hdf5_sinks_are_rank_agnostic(spark, tmp_path):
+    """A20/A19 beyond the 2-D fixtures: a 3-D chunk grid round-trips
+    through both the zarr store (rank-agnostic keys, proven per-format
+    by the property fuzzers) AND the HDF5 VDS path — the sinks map
+    (pos, chunk_shape) vectors without any rank assumption."""
+    from deisa_ray_spark.sources.chunks import make_chunk_df
+
+    chunks = make_chunk_df(
+        spark,
+        arrays=("field3d",),
+        global_shape=(4, 4, 2),
+        chunk_shape=(2, 2, 2),
+        timesteps=(3,),
+    )
+    # golden values: rank r (row-major over the 2x2x1 grid) holds
+    # 3*(r+1) everywhere
+    expected = np.zeros((4, 4, 2), dtype=np.int64)
+    for r, pos in enumerate(np.ndindex(2, 2, 1)):
+        sl = tuple(slice(p * c, (p + 1) * c) for p, c in zip(pos, (2, 2, 2)))
+        expected[sl] = 3 * (r + 1)
+
+    url = str(tmp_path / "z3.zarr")
+    sinks.to_zarr(chunks, url)
+    np.testing.assert_array_equal(sinks.read_zarr(url), expected)
+
+    h5 = str(tmp_path / "f3.h5")
+    sinks.to_hdf5(chunks, h5, "field3d")
+    np.testing.assert_array_equal(sinks.read_vds(h5, "field3d"), expected)
