@@ -463,3 +463,9 @@ def test_zarr_and_hdf5_sinks_are_rank_agnostic(spark, tmp_path):
     h5 = str(tmp_path / "f3.h5")
     sinks.to_hdf5(chunks, h5, "field3d")
     np.testing.assert_array_equal(sinks.read_vds(h5, "field3d"), expected)
+
+    nc = str(tmp_path / "f3.nc")
+    sinks.to_netcdf(chunks, nc, "field3d", dims=("x", "y", "z"))
+    np.testing.assert_array_equal(
+        sinks.read_netcdf(nc, "field3d"), expected.astype(np.float64)
+    )
