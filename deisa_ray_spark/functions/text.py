@@ -1013,3 +1013,84 @@ def txt_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pad_waste_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_snapshot_delta — corpus snapshot diff: the dataset-versioning
+# report every recurring-crawl pipeline produces (what changed between
+# corpus v1 and v2: docs added, removed, edited, untouched — the input
+# to incremental re-processing and training-mix audits). Snapshots are
+# derived deterministically from the one documents table: v1 omits
+# doc_id % 13 == 0 ("added later"), v2 omits doc_id % 11 == 0
+# ("removed"), and v2's content fingerprint differs for doc_id % 7 == 0
+# ("edited"). Comparison is by content fingerprint (md5), never by
+# text equality.
+# Scale (100 TB): ONE full-outer equi-join on doc_id between two
+# fingerprint projections (narrow: id, source, 32-byte hash — the text
+# column is pruned after the md5), partial-agg per-source rollup.
+# Real snapshots stored as parquet join the same way; at two-crawl
+# scale AQE plans this sort-merge on the id and nothing else shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "txt_snapshot_delta",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+      WHERE doc_id % 13 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id, source,
+             md5(text || CASE WHEN doc_id % 7 = 0 THEN 'v2' ELSE '' END) AS fp
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    joined AS (
+      SELECT coalesce(v1.source, v2.source) AS source,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fp <> v2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source,
+           count(*) FILTER (WHERE status = 'added')     AS n_added,
+           count(*) FILTER (WHERE status = 'removed')   AS n_removed,
+           count(*) FILTER (WHERE status = 'changed')   AS n_changed,
+           count(*) FILTER (WHERE status = 'unchanged') AS n_unchanged
+    FROM joined GROUP BY source
+    """,
+)
+def txt_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    v2 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("v2")).otherwise(F.lit("")),
+            )
+        ).alias("fp"),
+    )
+    a = v1.select(
+        F.col("doc_id").alias("id1"), F.col("source").alias("s1"), F.col("fp").alias("fp1")
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id2"), F.col("source").alias("s2"), F.col("fp").alias("fp2")
+    )
+    joined = a.join(b, a.id1 == b.id2, "full_outer").select(
+        F.coalesce("s1", "s2").alias("source"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.when(F.col("status") == "added", 1)).alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
+        F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
+        F.count(F.when(F.col("status") == "unchanged", 1)).alias("n_unchanged"),
+    )
