@@ -474,76 +474,164 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deduplication"): partition the embedding space into coarse cells, then
 # mark within-cell near-duplicates by cosine, keeping the lowest id.
 # The paper clusters with k-means; the declared query derives the cell
-# DETERMINISTICALLY from the vector itself (sign bits of the first
-# SEM_BUCKET_BITS dimensions — a random-hyperplane LSH with axis-aligned
-# planes), which keeps an exact SQL oracle while exercising the same
-# plan: derive cell → equi-shuffle on cell → bounded within-cell pairs.
-# Unlike dedup_embedding_cosine (which blocks on a *given* label), this
-# needs no labels — the buckets come from the data.
+# DETERMINISTICALLY from the vector itself (sign bits of the leading
+# dimensions — a random-hyperplane LSH with axis-aligned planes), which
+# keeps an exact SQL oracle while exercising the same plan: derive cell →
+# equi-shuffle on cell → bounded within-cell pairs. Unlike
+# dedup_embedding_cosine (which blocks on a *given* label), this needs no
+# labels — the buckets come from the data.
 #
-# Scale shape: one narrow projection to (vec_id, cell), one equi-join on
-# cell; 2^SEM_BUCKET_BITS cells bound the fan-out and the same
-# MAX_COSINE_BLOCK cap excludes oversized cells from the pairwise stage
-# (at 100 TB those route through the ANN candidate paths instead).
+# ADAPTIVE REFINEMENT (r5): a fixed 2^8-cell split degenerates at corpus
+# scale — with ≥10⁹ vectors every cell exceeds MAX_COSINE_BLOCK and the
+# cap would silently exclude ALL of them, so the query would inspect
+# nothing. Instead, any cell over the cap extends its key with 8 more
+# sign bits (8 → 16 → 24) until every cell is bounded; a vector's
+# effective bucket is the SHORTEST prefix whose cell fits under the cap.
+# Cells still oversized at SEM_BITS_STAGES[-1] are emitted with
+# ``skipped = 1`` (``n_dups = 0``, everything kept) — truncation is
+# telemetry, never silent. The refinement is consistent: a longer prefix
+# determines its shorter prefixes, so all vectors sharing a depth-d cell
+# made identical routing decisions at depths < d.
+#
+# Scale shape: per-depth cell counts are computed ONLY over the subset
+# still oversized at the previous depth, so each count frame is bounded
+# by 256 × (number of oversized parent cells) rows — explicitly
+# broadcast back. No full-corpus shuffle before the (bounded) within-cell
+# pair join; the corpus is scanned once, projected narrow.
 # --------------------------------------------------------------------------
-SEM_BUCKET_BITS = 8
+SEM_BITS_STAGES = (8, 16, 24)
 
 
-def _sem_bucket(e: Column) -> Column:
-    """Sign-bit string of the first SEM_BUCKET_BITS dims (JVM-side)."""
+def _sem_bucket(e: Column, n_bits: int) -> Column:
+    """Sign-bit string of the first ``n_bits`` dims (JVM-side)."""
     return F.concat_ws(
         "",
         *[
             F.when(F.element_at(e, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(SEM_BUCKET_BITS)
+            for i in range(n_bits)
         ],
     )
 
 
-@query(
-    "dedup_semantic_buckets",
-    oracle=f"""
-    WITH cells AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e,
-             array_to_string(list_transform(
-               (embedding::DOUBLE[])[1:{SEM_BUCKET_BITS}],
-               v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS bucket
-      FROM embeddings
-    ),
-    sized AS (
-      SELECT bucket FROM cells GROUP BY bucket
-      HAVING count(*) <= {MAX_COSINE_BLOCK}
-    ),
-    dups AS (
-      SELECT DISTINCT b.bucket, b.vec_id
-      FROM cells a JOIN cells b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      JOIN sized s ON s.bucket = a.bucket
-      WHERE list_cosine_similarity(a.e, b.e) >= {COSINE_THRESHOLD}
+def semantic_bucket_assign(
+    cells: DataFrame, cap: int = MAX_COSINE_BLOCK, stages: tuple = SEM_BITS_STAGES
+) -> DataFrame:
+    """Assign each vector its adaptively-refined bucket.
+
+    ``cells`` must carry ``vec_id``, ``e`` (array<double>) and one
+    sign-bit prefix column per stage named ``_b1.._b{len(stages)}``
+    (longer prefixes refine shorter ones — ``_b1`` is a prefix of
+    ``_b2`` is a prefix of ``_b3``). Returns ``(vec_id, e, bucket,
+    depth, skipped)`` where ``bucket`` is the shortest prefix whose cell
+    count is ≤ ``cap``, ``depth`` its 1-based stage index, and
+    ``skipped = 1`` marks vectors whose deepest cell still exceeds the
+    cap (excluded from pairwise inspection, never silently dropped).
+
+    Scan shape: ONE partial-aggregated pass over the corpus builds the
+    deepest-cell count table (≤ min(n, 2^bits) rows); every shallower
+    depth's count is a prefix window-SUM computed on that small stats
+    frame, never by re-scanning the corpus. The per-cell decision
+    (bucket, depth, skipped) joins back on the deepest key — AQE turns
+    it into a broadcast join whenever the decision table is small (it
+    is, until distinct deep cells approach 2^24)."""
+    k = len(stages)
+    deepest = f"_b{k}"
+    stats = cells.groupBy(deepest).agg(F.count(F.lit(1)).alias("_cnt"))
+    for d, n_bits in enumerate(stages[:-1]):
+        stats = stats.withColumn(
+            f"_n{d + 1}",
+            F.sum("_cnt").over(W.partitionBy(F.substring(deepest, 1, n_bits))),
+        )
+    depth = None
+    for d in range(1, k):
+        cond = F.col(f"_n{d}") <= cap
+        depth = F.when(cond, d) if depth is None else depth.when(cond, d)
+    depth = (depth.otherwise(k) if depth is not None else F.lit(k)).alias("depth")
+    bucket = None
+    for d, n_bits in enumerate(stages[:-1]):
+        cond = F.col(f"_n{d + 1}") <= cap
+        br = F.substring(deepest, 1, n_bits)
+        bucket = F.when(cond, br) if bucket is None else bucket.when(cond, br)
+    bucket = (
+        bucket.otherwise(F.col(deepest)) if bucket is not None else F.col(deepest)
+    ).alias("bucket")
+    # skipped ⇔ still over the cap at the deepest stage AND no shallower
+    # stage fit (the deepest count is _cnt itself).
+    over = F.col("_cnt") > cap
+    if k > 1:
+        over = over & (F.col(f"_n{k - 1}") > cap)
+    skipped = F.when(over, 1).otherwise(0).alias("skipped")
+    decisions = stats.select(deepest, bucket, depth, skipped)
+    return cells.join(decisions, deepest).select(
+        "vec_id", "e", "bucket", "depth", "skipped"
     )
+
+
+def _sem_oracle_sql(cap: int = MAX_COSINE_BLOCK, stages: tuple = SEM_BITS_STAGES) -> str:
+    """DuckDB twin of the adaptive assignment + within-cell dup count."""
+
+    def bits(n: int) -> str:
+        return (
+            f"array_to_string(list_transform((embedding::DOUBLE[])[1:{n}], "
+            "v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '')"
+        )
+
+    base_cols = ", ".join(f"{bits(n)} AS _b{d + 1}" for d, n in enumerate(stages))
+    parts = [
+        f"WITH r0 AS (SELECT vec_id, embedding::DOUBLE[] AS e, {base_cols} "
+        "FROM embeddings)"
+    ]
+    fits = []
+    for d in range(1, len(stages) + 1):
+        parts.append(
+            f"c{d} AS (SELECT _b{d}, count(*) AS _n FROM r{d - 1} GROUP BY _b{d})"
+        )
+        parts.append(
+            f"fit{d} AS (SELECT vec_id, e, _b{d} AS bucket, {d} AS depth, "
+            f"0 AS skipped FROM r{d - 1} JOIN c{d} USING (_b{d}) WHERE _n <= {cap})"
+        )
+        parts.append(
+            f"r{d} AS (SELECT r{d - 1}.* FROM r{d - 1} JOIN c{d} USING (_b{d}) "
+            f"WHERE _n > {cap})"
+        )
+        fits.append(f"SELECT * FROM fit{d}")
+    last = len(stages)
+    fits.append(
+        f"SELECT vec_id, e, _b{last} AS bucket, {last} AS depth, 1 AS skipped "
+        f"FROM r{last}"
+    )
+    parts.append("assigned AS (" + " UNION ALL ".join(fits) + ")")
+    parts.append(
+        f"""dups AS (
+      SELECT DISTINCT b.bucket, b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE a.skipped = 0
+        AND list_cosine_similarity(a.e, b.e) >= {COSINE_THRESHOLD}
+    )"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
     SELECT c.bucket,
+           CAST(any_value(c.depth) AS INT) AS depth,
+           CAST(any_value(c.skipped) AS INT) AS skipped,
            CAST(count(*) AS BIGINT) AS n_vectors,
            CAST(count(d.vec_id) AS BIGINT) AS n_dups,
            CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
-    FROM cells c
+    FROM assigned c
     LEFT JOIN dups d ON d.bucket = c.bucket AND d.vec_id = c.vec_id
     GROUP BY c.bucket
-    """,
-)
-def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    """
     )
-    cells = emb.select("vec_id", "e", _sem_bucket(F.col("e")).alias("bucket"))
-    sized = (
-        cells.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= MAX_COSINE_BLOCK)
-        .select("bucket")
-    )
-    bounded = cells.join(sized, "bucket", "left_semi")
-    a = bounded.select("bucket", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = bounded.select("bucket", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+
+
+def _semantic_bucket_report(cells: DataFrame, cap: int, stages: tuple) -> DataFrame:
+    """Shared body: assignment → within-cell pairs → per-cell report."""
+    assigned = semantic_bucket_assign(cells, cap, stages)
+    inspect = assigned.filter(F.col("skipped") == 0)
+    a = inspect.select("bucket", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = inspect.select("bucket", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
     dups = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -553,9 +641,11 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        cells.join(dups, ["bucket", "vec_id"], "left")
+        assigned.join(dups, ["bucket", "vec_id"], "left")
         .groupBy("bucket")
         .agg(
+            F.first("depth").cast("int").alias("depth"),
+            F.first("skipped").cast("int").alias("skipped"),
             F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
             F.sum(F.when(F.col("is_dup") == 1, 1).otherwise(0))
             .cast("bigint")
@@ -565,6 +655,22 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@query("dedup_semantic_buckets", oracle=_sem_oracle_sql())
+def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cells = emb.select(
+        "vec_id",
+        "e",
+        *[
+            _sem_bucket(F.col("e"), n).alias(f"_b{d + 1}")
+            for d, n in enumerate(SEM_BITS_STAGES)
+        ],
+    )
+    return _semantic_bucket_report(cells, MAX_COSINE_BLOCK, SEM_BITS_STAGES)
 
 
 # --------------------------------------------------------------------------
