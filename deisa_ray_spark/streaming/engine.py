@@ -122,11 +122,14 @@ class ArrayFrame:
         # needs no coordinates, and the N-d exploder works at ANY rank
         # (cells() is the 2-D hot path and would reject a 3-D field
         # the engine otherwise transports fine)
-        return LazyScalar(
-            lambda: float(
-                explode_chunks_nd(self.chunks()).agg(agg_col.alias("v")).first()["v"]
-            )
-        )
+        def run() -> float:
+            v = explode_chunks_nd(self.chunks()).agg(agg_col.alias("v")).first()["v"]
+            if v is None:  # empty chunk set aggregates to NULL — match
+                # the descriptive to_numpy() error, not an opaque float(None)
+                raise ValueError(f"no chunks for ({self.name}, t={self.t})")
+            return float(v)
+
+        return LazyScalar(run)
 
     def mean(self) -> "LazyScalar":
         return self._lazy_agg(F.avg("value"))

@@ -38,11 +38,24 @@ def _val(x: Any):
     """Resolve an operand: lazy handle / ArrayFrame / plain value."""
     if isinstance(x, (LazyArray, LazyScalar)):
         return x.compute()
-    if hasattr(x, "to_numpy"):  # ArrayFrame operand
+    h = getattr(x, "_lazy", None)
+    if callable(h):  # ArrayFrame: reuse its memoized per-frame handle
+        return h().compute()
+    if hasattr(x, "to_numpy"):  # foreign array-frame operand
         return x.to_numpy()
     if hasattr(x, "compute"):  # foreign lazy handle
         return x.compute()
     return x
+
+
+def _is_arraylike(x: Any) -> bool:
+    """Operands that make a scalar-OP-x result an ARRAY (dask promotes
+    scalar⊗array to an array handle, never a scalar one)."""
+    return (
+        isinstance(x, (LazyArray, np.ndarray, list, tuple))
+        or callable(getattr(x, "_lazy", None))
+        or hasattr(x, "to_numpy")
+    )
 
 
 class LazyScalar:
@@ -67,7 +80,12 @@ class LazyScalar:
 
     # -- arithmetic (stays lazy) ------------------------------------------
 
-    def _bin(self, other, op) -> "LazyScalar":
+    def _bin(self, other, op):
+        # scalar ⊗ array promotes to an ARRAY handle (dask semantics):
+        # the result needs .T / indexing / axis aggs, and LazyScalar's
+        # __bool__/__float__ would raise on its multi-element value.
+        if _is_arraylike(other):
+            return LazyArray(lambda: op(self.compute(), _val(other)))
         return LazyScalar(lambda: op(self.compute(), _val(other)))
 
     def __mul__(self, o):
@@ -244,7 +262,15 @@ class LazyArray:
 
     def _agg(self, fn, axis=None):
         if axis is None:
-            return LazyScalar(lambda: float(fn(self.compute())))
+            # .item(), not float(): whole-array aggregation of a complex
+            # result (da.fft.fft(x).mean()) must stay complex, and an
+            # integer dtype must not silently widen — real floats still
+            # come back as Python float, preserving the float contract.
+            def run():
+                r = fn(self.compute())
+                return r.item() if isinstance(r, np.generic) else r
+
+            return LazyScalar(run)
         return LazyArray(lambda: fn(self.compute(), axis=axis))
 
     def mean(self, axis=None):
@@ -267,6 +293,9 @@ def as_lazy(x) -> LazyArray:
     """ArrayFrame | LazyArray | ndarray/scalar → LazyArray."""
     if isinstance(x, LazyArray):
         return x
-    if hasattr(x, "to_numpy"):  # ArrayFrame
+    h = getattr(x, "_lazy", None)
+    if callable(h):  # ArrayFrame: its memoized handle, not a fresh one —
+        return h()  # da.where(f > 1, f, 0) must densify f ONCE
+    if hasattr(x, "to_numpy"):  # foreign array-frame
         return LazyArray(x.to_numpy)
     return LazyArray(lambda: np.asarray(x))

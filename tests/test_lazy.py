@@ -142,3 +142,64 @@ def test_random_expression_trees_match_numpy():
         # scalar verbs agree too (population std)
         np.testing.assert_allclose(lazy.mean().compute(), float(np.mean(plain)))
         np.testing.assert_allclose(lazy.std().compute(), float(np.std(plain)))
+
+
+def test_scalar_times_array_promotes_to_array_handle():
+    # dask promotes scalar⊗array to an array handle with the full array
+    # surface (.T, indexing, axis aggs) — LazyScalar must not swallow it
+    a = np.array([[1.0, 2.0], [3.0, 4.0]])
+    weights = np.array([10.0, 100.0])
+    s = LazyScalar(lambda: 2.0)
+    out = s * weights
+    assert isinstance(out, LazyArray), type(out)
+    np.testing.assert_array_equal(out.compute(), 2.0 * weights)
+    # reflected path and the array surface of the promoted result
+    out2 = (weights * s).T
+    np.testing.assert_array_equal(out2.compute(), (weights * 2.0).T)
+    la = LazyArray(lambda: a)
+    prod = LazyScalar(lambda: 3.0) * la
+    assert isinstance(prod, LazyArray)
+    np.testing.assert_array_equal(prod[0].compute(), 3.0 * a[0])
+    np.testing.assert_array_equal(prod.sum(axis=0).compute(), (3.0 * a).sum(axis=0))
+
+
+def test_whole_array_agg_preserves_complex_and_int_dtypes():
+    z = np.fft.fft(np.array([1.0, 2.0, 3.0, 4.0]))
+    lz = LazyArray(lambda: z)
+    got = lz.mean().compute()  # complex must survive, not TypeError
+    assert isinstance(got, complex)
+    np.testing.assert_allclose(got, z.mean())
+    li = LazyArray(lambda: np.array([1, 2, 3], dtype=np.int64))
+    total = li.sum().compute()
+    assert isinstance(total, int) and total == 6
+    # real floats keep the Python-float contract
+    assert isinstance(LazyArray(lambda: np.array([1.0, 2.0])).mean().compute(), float)
+
+
+def test_frame_operands_reuse_the_memoized_lazy_handle():
+    # an ArrayFrame-shaped operand (has _lazy() AND to_numpy) must
+    # resolve through its cached handle, not re-materialize per use
+    from deisa_ray_spark.streaming.lazy import as_lazy
+
+    class FakeFrame:
+        def __init__(self, base):
+            self._base = base
+            self.n_materialize = 0
+            self._handle = None
+
+        def to_numpy(self):
+            self.n_materialize += 1
+            return self._base
+
+        def _lazy(self):
+            if self._handle is None:
+                self._handle = LazyArray(self.to_numpy)
+            return self._handle
+
+    f = FakeFrame(np.array([1.0, 2.0, 3.0]))
+    la = LazyArray(lambda: np.array([10.0, 20.0, 30.0]))
+    # the reference idiom: the frame appears in several subexpressions
+    expr = (la + f) * (la - f) + as_lazy(f)
+    expr.compute()
+    (la * f).compute()
+    assert f.n_materialize == 1, f.n_materialize
