@@ -638,16 +638,20 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRL_SHORTLIST = 20
 
 
-def mrl_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mrl_prefix_table(
+    spark: SparkSession, sf_dir: str, scratch_root: str | None = None
+) -> DataFrame:
     """The stored-prefix companion table ``(vec_id, prefix)``.
 
     At 100 TB this column is written at ingest time next to the full
     embedding (the whole point of MRL training is that the prefix is a
     usable embedding, so you persist it once and scan K/d of the bytes on
     every coarse pass). The testdata has no such column, so materialize
-    it once per (sf_dir, K, DATA VERSION) into a temp-dir parquet cache
-    and scan THAT — a genuinely narrow scan, not a slice over the wide
-    column.
+    it once per (sf_dir, K, DATA VERSION) into a parquet cache under the
+    engine's scratch root (``paths.scratch_root`` — the
+    ``$SPARK_GRAFT_SCRATCH_DIR`` policy; point it at shared storage on a
+    real cluster) and scan THAT — a genuinely narrow scan, not a slice
+    over the wide column.
 
     The cache key includes a fingerprint of the source parquet's file
     sizes+mtimes: the testdata REGENERATES in place between rounds, and
@@ -655,17 +659,16 @@ def mrl_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (wrong shortlists, no loud failure). The build reads the
     source with a FRESH scan (bypassing the registry's pinned-listing
     table cache) so the bytes written always match the fingerprint even
-    if the data regenerated mid-session. The cache root is per-user
-    (multi-user hosts: a shared fixed dir is owned by whoever ran
-    first), publication is write-unique-dir + atomic rename, and
-    publishing a new fingerprint for a source EVICTS that source's
-    superseded cache dirs — bounded growth across rounds."""
-    import getpass
+    if the data regenerated mid-session. Publication is
+    write-unique-dir + atomic rename, and publishing a new fingerprint
+    for a source EVICTS that source's superseded cache dirs — bounded
+    growth across rounds."""
     import hashlib
     import os
     import shutil
-    import tempfile
     import uuid
+
+    from deisa_ray_spark import paths
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     stats = []
@@ -679,11 +682,8 @@ def mrl_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.append(f"{st.st_size}:{st.st_mtime_ns}")
     src_key = hashlib.md5(f"{src}|{MRL_KEEP_DIMS}".encode()).hexdigest()[:12]
     fp_key = hashlib.md5("|".join(stats).encode()).hexdigest()[:12]
-    try:
-        user = getpass.getuser()
-    except Exception:
-        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
-    root_dir = os.path.join(tempfile.gettempdir(), f"deisa_mrl_prefix_{user}")
+    root_dir = os.path.join(paths.scratch_root(scratch_root), "mrl_prefix")
+    os.makedirs(root_dir, exist_ok=True)
     path = os.path.join(root_dir, f"{src_key}-{fp_key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"

@@ -1,0 +1,50 @@
+"""Scratch-root policy (paths.py) and the MRL stored-prefix staging
+that uses it: explicit param > $SPARK_GRAFT_SCRATCH_DIR > per-user
+tempdir, and the prefix cache must land under the resolved root while
+still serving fresh, correct prefixes."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from deisa_ray_spark import paths
+from deisa_ray_spark.functions.similarity import MRL_KEEP_DIMS, mrl_prefix_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_scratch_root_resolution_order(tmp_path, monkeypatch):
+    envd = tmp_path / "env_root"
+    argd = tmp_path / "arg_root"
+    monkeypatch.setenv(paths.ENV_VAR, str(envd))
+    assert paths.scratch_root(str(argd)) == str(argd)  # explicit wins
+    assert paths.scratch_root() == str(envd)  # then env
+    assert argd.is_dir() and envd.is_dir()  # both created
+    monkeypatch.delenv(paths.ENV_VAR)
+    assert "deisa_scratch_" in paths.scratch_root()  # tempdir fallback
+
+
+def test_mrl_prefix_stages_under_scratch_root(spark, tmp_path, monkeypatch):
+    root = tmp_path / "scratch"
+    monkeypatch.setenv(paths.ENV_VAR, str(root))
+    df = mrl_prefix_table(spark, SF_DIR)
+    staged = root / "mrl_prefix"
+    assert staged.is_dir() and any(staged.iterdir()), "cache not under root"
+    # staged prefixes match a fresh slice of the source
+    want = (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.slice(F.col("embedding").cast("array<double>"), 1, MRL_KEEP_DIMS).alias(
+                "prefix"
+            ),
+        )
+    )
+    assert df.count() == want.count()
+    assert df.exceptAll(want).count() == 0
+    # explicit param overrides the env root
+    other = tmp_path / "other"
+    mrl_prefix_table(spark, SF_DIR, scratch_root=str(other))
+    assert (other / "mrl_prefix").is_dir()
