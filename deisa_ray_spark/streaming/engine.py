@@ -50,8 +50,12 @@ from deisa_ray_spark.streaming.lazy import LazyArray, LazyScalar
 _ORDERING_MARKER = "DEISA_ORDERING_VIOLATION"
 _CONTRACT_MARKER = "DEISA_CONTRACT_VIOLATION"
 
-#: Event rows emitted by the control-plane operator.
-_EVENT_SCHEMA = "t bigint, arr string, n_chunks int, event string"
+#: Event rows emitted by the control-plane operator. ``win_ts`` is the
+#: JSON list of timesteps in the array's sliding window as of this
+#: event — maintained INSIDE the operator's keyed state (the
+#: list_window.py deque-as-state shape), so window membership lives in
+#: the checkpoint, not in driver object graphs.
+_EVENT_SCHEMA = "t bigint, arr string, n_chunks int, event string, win_ts string"
 _STATE_SCHEMA = "state string"
 
 
@@ -338,99 +342,132 @@ class _CallbackConfig:
     calls: int = 0
 
 
-def _control_plane(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
-) -> Iterator[pd.DataFrame]:
-    """Stateful operator body: completeness counting, boundary detection,
-    ordering enforcement, sentinel. Pure metadata — tiny rows, one group.
+def _make_control_plane(window_sizes: dict[str, int] | None = None):
+    """Build the stateful control-plane body: completeness counting,
+    boundary detection, ordering enforcement, sentinel, and sliding-
+    window membership. Pure metadata — tiny rows, one group.
+
+    ``window_sizes`` maps array → max requested window size (default 1):
+    the operator keeps the last-N timestep list per array in its keyed
+    state — the executor-side deque of list_window.py — and stamps it on
+    every ready event, so the ``state`` window backend can build frames
+    from the event alone and a checkpoint restart recovers membership.
 
     Raises through the query (failing the run) on ordering violations —
     the reference raises RuntimeError("Logical flow of data was
     violated…") rather than dropping late data (window_handler.py:348-351).
     """
-    st = json.loads(state.get[0]) if state.exists else {
-        "t_cur": None,  # open timestep (None until first assembly, A17)
-        "closed_t": None,  # newest closed timestep
-        "counts": {},  # "arr|t" -> [distinct arrived chunk positions]
-        "expected": {},  # arr -> nb_chunks of the declared grid
-        "open": {},  # str(t) -> {arr: n_chunks} assembled, not yet closed
-        "done": False,
-    }
-    events: list[dict] = []
+    sizes = dict(window_sizes or {})
 
-    def close_upto(limit_t: int | None) -> None:
-        """Emit ready events for every assembled timestep < limit_t
-        (None = all), oldest first."""
-        for ts in sorted(int(k) for k in st["open"]):
-            if limit_t is not None and ts >= limit_t:
+    def _control_plane(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        st = json.loads(state.get[0]) if state.exists else {
+            "t_cur": None,  # open timestep (None until first assembly, A17)
+            "closed_t": None,  # newest closed timestep
+            "counts": {},  # "arr|t" -> [distinct arrived chunk positions]
+            "expected": {},  # arr -> nb_chunks of the declared grid
+            "open": {},  # str(t) -> {arr: n_chunks} assembled, not yet closed
+            "win": {},  # arr -> last-N closed timesteps (deque-as-state, A7)
+            "done": False,
+        }
+        st.setdefault("win", {})  # pre-r5 checkpoints lack the key
+        events: list[dict] = []
+
+        def close_upto(limit_t: int | None) -> None:
+            """Emit ready events for every assembled timestep < limit_t
+            (None = all), oldest first."""
+            for ts in sorted(int(k) for k in st["open"]):
+                if limit_t is not None and ts >= limit_t:
+                    continue
+                for arr, n in sorted(st["open"][str(ts)].items()):
+                    w = st["win"].setdefault(arr, [])
+                    w.append(ts)
+                    del w[: -max(int(sizes.get(arr, 1)), 1)]
+                    events.append(
+                        {
+                            "t": ts,
+                            "arr": arr,
+                            "n_chunks": n,
+                            "event": "ready",
+                            "win_ts": json.dumps(w),
+                        }
+                    )
+                st["closed_t"] = ts
+                del st["open"][str(ts)]
+
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            rows.extend(pdf.itertuples(index=False))
+        rows.sort(key=lambda r: int(r.t))  # arrival order: per-file batches + t
+
+        sentinel_t: int | None = None
+        for r in rows:
+            t = int(r.t)
+            if r.arr == SENTINEL_ARRAY:
+                sentinel_t = t if sentinel_t is None else max(sentinel_t, t)
                 continue
-            for arr, n in sorted(st["open"][str(ts)].items()):
-                events.append({"t": ts, "arr": arr, "n_chunks": n, "event": "ready"})
-            st["closed_t"] = ts
-            del st["open"][str(ts)]
+            grid = [g // c for g, c in zip(r.global_shape, r.chunk_shape)]
+            expected = int(np.prod(grid))
+            prev = st["expected"].setdefault(r.arr, expected)
+            if prev != expected:
+                raise ContractError(
+                    f"{_CONTRACT_MARKER}: {r.arr}: grid changed {prev} -> {expected}"
+                )
+            ck = f"{r.arr}|{t}"
+            # completeness = DISTINCT positions, not arrival count: a crashed
+            # bridge that re-sends its chunk (new file, same pos) must not
+            # both mark the timestep complete early (with a real position
+            # still missing -> uninitialized-garbage assembly) and phantom-
+            # complete it a second time later (-> spurious OrderingError)
+            if r.arr in st["open"].get(str(t), {}):
+                # resend noise for an assembled-but-not-yet-closed timestep.
+                # (A resend arriving after CLOSE still accumulates and, if it
+                # ever re-completes, aborts via the ordering check below —
+                # the reference's conservative stance on genuinely-late data.)
+                continue
+            pos_key = ",".join(str(int(p)) for p in r.pos)
+            seen = st["counts"].setdefault(ck, [])
+            if pos_key not in seen:
+                seen.append(pos_key)
+            if len(seen) < expected:
+                continue
+            # assembled (A4 completeness reached)
+            del st["counts"][ck]
+            if st["t_cur"] is not None and t < st["t_cur"]:
+                # The reference raises on pulling an assembled array older than
+                # the current timestep, whether or not it was "closed"
+                # (window_handler.py:348-351).
+                raise OrderingError(
+                    f"{_ORDERING_MARKER}: array ({r.arr}, t={t}) completed after "
+                    f"timestep {st['t_cur']} was current — logical flow of data "
+                    "was violated (sends must be ordered)"
+                )
+            st["open"].setdefault(str(t), {})[r.arr] = expected
+            if st["t_cur"] is None:
+                st["t_cur"] = t  # bootstrap from first arrival (A17)
+            elif t > st["t_cur"]:
+                close_upto(t)  # boundary: a newer assembly closes older ts (A5)
+                st["t_cur"] = t
 
-    rows: list[tuple] = []
-    for pdf in pdfs:
-        rows.extend(pdf.itertuples(index=False))
-    rows.sort(key=lambda r: int(r.t))  # arrival order: per-file batches + t
-
-    sentinel_t: int | None = None
-    for r in rows:
-        t = int(r.t)
-        if r.arr == SENTINEL_ARRAY:
-            sentinel_t = t if sentinel_t is None else max(sentinel_t, t)
-            continue
-        grid = [g // c for g, c in zip(r.global_shape, r.chunk_shape)]
-        expected = int(np.prod(grid))
-        prev = st["expected"].setdefault(r.arr, expected)
-        if prev != expected:
-            raise ContractError(
-                f"{_CONTRACT_MARKER}: {r.arr}: grid changed {prev} -> {expected}"
+        if sentinel_t is not None:
+            close_upto(None)  # sentinel closes everything buffered (A3)
+            events.append(
+                {
+                    "t": sentinel_t,
+                    "arr": SENTINEL_ARRAY,
+                    "n_chunks": 0,
+                    "event": "sentinel",
+                    "win_ts": "[]",
+                }
             )
-        ck = f"{r.arr}|{t}"
-        # completeness = DISTINCT positions, not arrival count: a crashed
-        # bridge that re-sends its chunk (new file, same pos) must not
-        # both mark the timestep complete early (with a real position
-        # still missing -> uninitialized-garbage assembly) and phantom-
-        # complete it a second time later (-> spurious OrderingError)
-        if r.arr in st["open"].get(str(t), {}):
-            # resend noise for an assembled-but-not-yet-closed timestep.
-            # (A resend arriving after CLOSE still accumulates and, if it
-            # ever re-completes, aborts via the ordering check below —
-            # the reference's conservative stance on genuinely-late data.)
-            continue
-        pos_key = ",".join(str(int(p)) for p in r.pos)
-        seen = st["counts"].setdefault(ck, [])
-        if pos_key not in seen:
-            seen.append(pos_key)
-        if len(seen) < expected:
-            continue
-        # assembled (A4 completeness reached)
-        del st["counts"][ck]
-        if st["t_cur"] is not None and t < st["t_cur"]:
-            # The reference raises on pulling an assembled array older than
-            # the current timestep, whether or not it was "closed"
-            # (window_handler.py:348-351).
-            raise OrderingError(
-                f"{_ORDERING_MARKER}: array ({r.arr}, t={t}) completed after "
-                f"timestep {st['t_cur']} was current — logical flow of data "
-                "was violated (sends must be ordered)"
-            )
-        st["open"].setdefault(str(t), {})[r.arr] = expected
-        if st["t_cur"] is None:
-            st["t_cur"] = t  # bootstrap from first arrival (A17)
-        elif t > st["t_cur"]:
-            close_upto(t)  # boundary: a newer assembly closes older ts (A5)
-            st["t_cur"] = t
+            st["done"] = True
 
-    if sentinel_t is not None:
-        close_upto(None)  # sentinel closes everything buffered (A3)
-        events.append({"t": sentinel_t, "arr": SENTINEL_ARRAY, "n_chunks": 0, "event": "sentinel"})
-        st["done"] = True
+        state.update((json.dumps(st),))
+        if events:
+            yield pd.DataFrame(events, columns=["t", "arr", "n_chunks", "event", "win_ts"])
 
-    state.update((json.dumps(st),))
-    if events:
-        yield pd.DataFrame(events, columns=["t", "arr", "n_chunks", "event"])
+    return _control_plane
 
 
 class InSituEngine:
@@ -447,6 +484,7 @@ class InSituEngine:
         max_simulation_ahead: int = 1,
         chunk_stream: DataFrame | None = None,
         chunk_loader: Callable[[str, int], DataFrame] | None = None,
+        window_backend: str = "driver",
     ) -> None:
         #: A15 parity: accepted and stored but NOT enforced — faithful to
         #: the reference, where the documented semaphore does not exist
@@ -467,11 +505,26 @@ class InSituEngine:
         #: data plane. Default (None, None) = the parquet drop dir.
         self._chunk_stream = chunk_stream
         self._chunk_loader = chunk_loader
+        #: A7 window maintenance: "driver" keeps a deque of live
+        #: ArrayFrames per array (frames reuse their dense cache across
+        #: boundaries — memory bounded by window × global_shape on the
+        #: driver); "state" keeps ONLY the timestep membership list,
+        #: maintained inside the control-plane operator's keyed state
+        #: (list_window.py's deque-as-state shape) and rebuilds frames
+        #: per dispatch — no dense arrays retained across boundaries, so
+        #: large window×array products survive driver-memory pressure,
+        #: and membership rides the streaming checkpoint across restarts.
+        if window_backend not in ("driver", "state"):
+            raise ValueError("window_backend must be 'driver' or 'state'")
+        self.window_backend = window_backend
         self.callbacks: list[_CallbackConfig] = []
         self.feedback = (
             FeedbackStore(feedback_dir, feedback_queue_size) if feedback_dir else None
         )
         self._windows: dict[str, deque[ArrayFrame]] = {}
+        #: state backend: array -> window timestep list (ints only),
+        #: refreshed from each ready event's ``win_ts`` stamp.
+        self._win_ts: dict[str, list[int]] = {}
         self._new_at_boundary: set[str] = set()
         self.done = False
         self._boundary_count = 0  # progress signal for run()'s stall gate
@@ -557,22 +610,50 @@ class InSituEngine:
         names = [w.name for w in cfg.windows]
         if cfg.when == "AND":
             return all(n in new_arrays for n in names)
-        all_seen = all(len(self._windows.get(n, ())) > 0 for n in names)
+        seen = self._win_ts if self.window_backend == "state" else self._windows
+        all_seen = all(len(seen.get(n, ())) > 0 for n in names)
         return all_seen and any(n in new_arrays for n in names)
 
-    def _dispatch_boundary(self, t: int, new_arrays: set[str]) -> None:
+    def _dispatch_boundary(
+        self,
+        t: int,
+        new_arrays: set[str],
+        win_map: dict[str, list[int]] | None = None,
+    ) -> None:
         self._boundary_count += 1
-        for arr in sorted(new_arrays):
-            dq = self._windows.setdefault(arr, deque(maxlen=self._max_window(arr)))
-            dq.append(
-                ArrayFrame(self.spark, self.chunk_dir, arr, t, self._chunk_loader)
-            )
+        if self.window_backend == "state":
+            # authoritative membership arrived WITH the event (operator
+            # keyed state); the driver keeps only int lists
+            for arr, ts_list in (win_map or {}).items():
+                self._win_ts[arr] = [int(x) for x in ts_list]
+        else:
+            for arr in sorted(new_arrays):
+                dq = self._windows.setdefault(
+                    arr, deque(maxlen=self._max_window(arr))
+                )
+                dq.append(
+                    ArrayFrame(self.spark, self.chunk_dir, arr, t, self._chunk_loader)
+                )
         for cfg in self.callbacks:
             if not self._should_call(cfg, new_arrays):
                 continue
-            kwargs = {
-                w.name: list(self._windows[w.name])[-w.size :] for w in cfg.windows
-            }
+            if self.window_backend == "state":
+                # fresh frames per dispatch: dense caches live for one
+                # callback, not the window lifetime
+                kwargs = {
+                    w.name: [
+                        ArrayFrame(
+                            self.spark, self.chunk_dir, w.name, ts, self._chunk_loader
+                        )
+                        for ts in self._win_ts.get(w.name, [])[-w.size :]
+                    ]
+                    for w in cfg.windows
+                }
+            else:
+                kwargs = {
+                    w.name: list(self._windows[w.name])[-w.size :]
+                    for w in cfg.windows
+                }
             cfg.calls += 1
             try:
                 cfg.fn(**kwargs)
@@ -607,7 +688,13 @@ class InSituEngine:
                 at_t = events[events["t"] == t]
                 ready = at_t[at_t["event"] == "ready"]
                 if len(ready):
-                    self._dispatch_boundary(int(t), set(ready["arr"]))
+                    win_map = None
+                    if self.window_backend == "state":
+                        win_map = {
+                            r.arr: json.loads(r.win_ts)
+                            for r in ready.itertuples(index=False)
+                        }
+                    self._dispatch_boundary(int(t), set(ready["arr"]), win_map)
                     self._write_progress(int(t))
                 if (at_t["event"] == "sentinel").any():
                     self.done = True
@@ -635,8 +722,13 @@ class InSituEngine:
                 reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
             chunks = reader.parquet(self.chunk_dir)
         meta = chunks.drop("data").withColumn("k", F.lit(0))
+        sizes = {
+            w.name: self._max_window(w.name)
+            for cfg in self.callbacks
+            for w in cfg.windows
+        }
         return meta.groupBy("k").applyInPandasWithState(
-            _control_plane,
+            _make_control_plane(sizes),
             outputStructType=_EVENT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
