@@ -626,9 +626,12 @@ def _sem_oracle_sql(cap: int = MAX_COSINE_BLOCK, stages: tuple = SEM_BITS_STAGES
     )
 
 
-def _semantic_bucket_report(cells: DataFrame, cap: int, stages: tuple) -> DataFrame:
-    """Shared body: assignment → within-cell pairs → per-cell report."""
-    assigned = semantic_bucket_assign(cells, cap, stages)
+def _semantic_bucket_report(assigned: DataFrame) -> DataFrame:
+    """Within-cell pairs → per-cell report over an assignment frame
+    (``vec_id, e, bucket, depth, skipped``). The assignment is
+    referenced from three branches (both pair sides + the final
+    count) — callers should hand in a persisted/staged frame, the same
+    write-the-assignment-once discipline a 100 TB pipeline uses."""
     inspect = assigned.filter(F.col("skipped") == 0)
     a = inspect.select("bucket", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
     b = inspect.select("bucket", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
@@ -659,18 +662,23 @@ def _semantic_bucket_report(cells: DataFrame, cap: int, stages: tuple) -> DataFr
 
 @query("dedup_semantic_buckets", oracle=_sem_oracle_sql())
 def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        cells = emb.select(
+            "vec_id",
+            "e",
+            *[
+                _sem_bucket(F.col("e"), n).alias(f"_b{d + 1}")
+                for d, n in enumerate(SEM_BITS_STAGES)
+            ],
+        )
+        return semantic_bucket_assign(cells, MAX_COSINE_BLOCK, SEM_BITS_STAGES)
+
+    return _semantic_bucket_report(
+        _session_cached(spark, "sem_assign", sf_dir, build)
     )
-    cells = emb.select(
-        "vec_id",
-        "e",
-        *[
-            _sem_bucket(F.col("e"), n).alias(f"_b{d + 1}")
-            for d, n in enumerate(SEM_BITS_STAGES)
-        ],
-    )
-    return _semantic_bucket_report(cells, MAX_COSINE_BLOCK, SEM_BITS_STAGES)
 
 
 # --------------------------------------------------------------------------
@@ -940,7 +948,11 @@ def dedup_decontaminate_fuzzy(
         # may race the empty cache and compute the signature pass twice;
         # every later stage and action reads the cache. For the
         # guaranteed single pass, pass ``staging_dir`` (above).
-        bands = _session_cached(spark, "fuzzy_bands", sf_dir, build_bands)
+        # Tag "lsh_bands", NOT a private tag: dedup_minhash_lsh builds
+        # the IDENTICAL band plan — two tags would persist the same plan
+        # twice (a CacheManager "already cached" warning and a wasted
+        # entry); one tag means whichever query runs first feeds both.
+        bands = _session_cached(spark, "lsh_bands", sf_dir, build_bands)
     is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == 0
     bench_bands = bands.filter(is_bench).select(
         F.col("doc_id").alias("bench_id"), "band_id", "band_key"

@@ -338,3 +338,88 @@ def analyze_star_schema(
         )
         out[name] = TableStats(n_rows=rows, size_bytes=size)
     return out
+
+
+def stage_split_tables(
+    sf_dir: str,
+    tables: list[str] | None = None,
+    min_files: int = 8,
+    scratch_root: str | None = None,
+) -> str:
+    """Stage ``sf_dir``'s parquet tables re-split into ≥ ``min_files``
+    files each, returning the staged directory (layout-compatible with
+    ``sf_dir``: ``<out>/<table>.parquet`` is a parquet directory).
+
+    Why: the driver-generated testdata writes each table as ONE file
+    with ONE row group, which caps every scan at one task regardless of
+    cores — a local-bench artifact, not a property of the engine (any
+    production table is many files). Splitting restores honest scan
+    parallelism for the bench without touching the source data or any
+    oracle (oracles keep reading ``sf_dir``).
+
+    The split is a pyarrow row-slice rewrite — SCHEMA-PRESERVING, no
+    engine decode/re-encode, so physical quirks the loader contract
+    pins (events' TIMESTAMP(NANOS)) survive. Staging is cached under
+    ``paths.scratch_root()/bench_split`` keyed by a size+mtime
+    fingerprint of the source (testdata regenerates in place between
+    rounds); publication is build-dir + atomic rename with superseded-
+    fingerprint eviction, the same protocol as the MRL prefix cache."""
+    import hashlib
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from deisa_ray_spark import paths
+    from deisa_ray_spark.sources.registry import TABLES
+
+    tables = list(tables or TABLES)
+    src_dir = os.path.abspath(sf_dir)
+    stats = []
+    for name in tables:
+        p = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.isdir(p):
+            for root, _d, files in os.walk(p):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    stats.append(f"{name}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            stats.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    src_key = hashlib.md5(f"{src_dir}|{min_files}".encode()).hexdigest()[:12]
+    fp_key = hashlib.md5("|".join(stats).encode()).hexdigest()[:12]
+    root_dir = os.path.join(paths.scratch_root(scratch_root), "bench_split")
+    os.makedirs(root_dir, exist_ok=True)
+    out = os.path.join(root_dir, f"{src_key}-{fp_key}")
+    if not os.path.exists(os.path.join(out, "_STAGED_OK")):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        for name in tables:
+            src = os.path.join(src_dir, f"{name}.parquet")
+            dst = os.path.join(tmp, f"{name}.parquet")
+            if os.path.isdir(src) and len(_parquet_files(src)) >= min_files:
+                shutil.copytree(src, dst)  # already parallel enough
+                continue
+            tbl = pq.read_table(src)
+            os.makedirs(dst, exist_ok=True)
+            n = max(1, min(min_files, tbl.num_rows))
+            step = -(-tbl.num_rows // n)  # ceil — last slice may be short
+            for i in range(n):
+                part = tbl.slice(i * step, step)
+                if part.num_rows == 0:
+                    break
+                pq.write_table(
+                    part,
+                    os.path.join(dst, f"part-{i:05d}.parquet"),
+                    version="2.6",  # keeps TIMESTAMP(NANOS) physical type
+                )
+        with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
+            f.write(fp_key)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+        for d in os.listdir(root_dir):
+            if d.startswith(f"{src_key}-") and d != f"{src_key}-{fp_key}":
+                shutil.rmtree(os.path.join(root_dir, d), ignore_errors=True)
+    return out

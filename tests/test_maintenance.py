@@ -199,3 +199,36 @@ def test_partition_table_files_per_partition_fans_out(spark, tmp_path):
     for part in ("0", "1"):
         files = glob.glob(f"{dst}/part={part}/*.parquet")
         assert len(files) >= 2, f"partition {part}: {len(files)} file(s)"
+
+
+def test_stage_split_tables_schema_preserving(spark, tmp_path, monkeypatch):
+    """Bench split staging: >=8 files per table, schema (incl. events'
+    TIMESTAMP(NANOS) physical type) preserved, rows identical, cached by
+    fingerprint."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deisa_ray_spark import paths
+    from deisa_ray_spark.maintenance import stage_split_tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv(paths.ENV_VAR, str(tmp_path / "scratch"))
+    out = stage_split_tables(sf_dir, tables=["lineitem", "events"])
+    for name in ("lineitem", "events"):
+        parts = glob.glob(os.path.join(out, f"{name}.parquet", "*.parquet"))
+        src = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+        assert len(parts) == min(8, src.num_rows)
+        assert pq.read_schema(parts[0]).equals(src.schema)
+        got = pq.ParquetDataset(os.path.join(out, f"{name}.parquet")).read()
+        assert got.num_rows == src.num_rows
+    # second call is a cache hit (same dir back, no rebuild marker churn)
+    marker = os.path.getmtime(os.path.join(out, "_STAGED_OK"))
+    assert stage_split_tables(sf_dir, tables=["lineitem", "events"]) == out
+    assert os.path.getmtime(os.path.join(out, "_STAGED_OK")) == marker
+    # the engine loader reads the staged layout under its schema contract
+    from deisa_ray_spark.sources.registry import load_table
+
+    n_src = pq.read_table(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    assert load_table(spark, out, "lineitem").count() == n_src

@@ -101,7 +101,7 @@ def test_unsplittable_cell_is_skipped_with_telemetry(cells):
 
 
 def test_report_marks_skipped_cells_uninspected(cells):
-    rep = _semantic_bucket_report(cells, CAP, STAGES).toPandas()
+    rep = _semantic_bucket_report(semantic_bucket_assign(cells, CAP, STAGES)).toPandas()
     sk = rep[rep.skipped == 1]
     assert len(sk) == 1
     row = sk.iloc[0]
