@@ -186,3 +186,100 @@ def test_stray_partial_tmp_files_are_ignored(spark, tmp_path):
     # the under-subscription scan also skips hidden files: all groups
     # read as complete
     assert engine._incomplete_assemblies() == []
+
+
+_FB_RANK_SCRIPT = """
+import json, os, sys, time
+import numpy as np
+
+sys.path.insert(0, {repo!r})
+from deisa_ray_spark.streaming.bridge import SparkBridge, metadata_for_grid
+
+rank = int(sys.argv[1])
+chunk_dir = sys.argv[2]
+fb_dir = sys.argv[3]
+pos = (rank // 2, rank % 2)
+md = metadata_for_grid(("temperature",), {glob!r}, {chunk!r}, pos)
+b = SparkBridge(rank, md, chunk_dir, feedback_dir=fb_dir)
+out = {{}}
+# pre-publish probe: nothing set yet -> default (reference miss path)
+out["pre_miss"] = b.get("sum", 0, default="MISS")
+for t in range({steps}):
+    b.send("temperature", t * (rank + 1) * np.ones({chunk!r}, dtype=np.int64), t)
+open(os.path.join(chunk_dir, f".rank{{rank}}.done"), "w").close()
+if rank == 0:
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if all(
+            os.path.exists(os.path.join(chunk_dir, f".rank{{r}}.done"))
+            for r in range({ranks})
+        ):
+            break
+        time.sleep(0.05)
+    else:
+        sys.exit(2)
+    b.close({steps} - 1)
+# collective read: EVERY rank polls for the engine's last published
+# feedback (reference tests/test_feedback_loop.py:221-252 — all ranks
+# observe the value, not just rank 0)
+last_t = {steps} - 1
+deadline = time.time() + 90
+while time.time() < deadline:
+    v = b.get("sum", last_t, default=None)
+    if v is not None:
+        out["hit"] = v
+        break
+    time.sleep(0.1)
+else:
+    sys.exit(3)
+out["post_miss"] = b.get("sum", 999, default="MISS")  # exact-t miss stays a miss
+out["queue"] = b.get("sum")  # no-t form: full queue oldest->newest
+with open(os.path.join(chunk_dir, f".fbout.rank{{rank}}.json"), "w") as f:
+    json.dump(out, f)
+"""
+
+
+def test_cross_process_feedback_loop_e2e(spark, tmp_path):
+    """4 OS-process bridges + parent engine publishing feedback at every
+    boundary: every rank observes the published value (collective read),
+    exact-t misses stay misses, and the queue form returns the full
+    history — the reference's feedback-loop e2e without MPI."""
+    chunk_dir = str(tmp_path / "chunks")
+    fb_dir = str(tmp_path / "fb")
+    script = tmp_path / "fb_rank_worker.py"
+    script.write_text(
+        _FB_RANK_SCRIPT.format(
+            repo=REPO, glob=GLOBAL, chunk=CHUNK, steps=N_STEPS, ranks=N_RANKS
+        )
+    )
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(r), chunk_dir, fb_dir])
+        for r in range(N_RANKS)
+    ]
+    try:
+        engine = InSituEngine(spark, chunk_dir, feedback_dir=fb_dir)
+
+        def cb(temperature):
+            af = temperature[-1]
+            engine.set("sum", float(af.to_numpy().sum()), af.t)
+
+        engine.register_callback(cb, ArrayWindow("temperature"))
+        engine.run(
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_trigger=None,
+            timeout_sec=120.0,
+        )
+    finally:
+        for p in procs:
+            p.wait(timeout=120)
+    assert [p.returncode for p in procs] == [0] * N_RANKS
+    import json as _json
+
+    for r in range(N_RANKS):
+        with open(os.path.join(chunk_dir, f".fbout.rank{r}.json")) as f:
+            out = _json.load(f)
+        assert out["pre_miss"] == "MISS"
+        assert out["hit"] == 40.0 * (N_STEPS - 1)
+        assert out["post_miss"] == "MISS"
+        # queue form: (t, value) pairs oldest→newest (JSON: lists)
+        assert out["queue"] == [[t, 40.0 * t] for t in range(N_STEPS)]
