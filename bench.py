@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "txt_pii_scrub",
     "txt_ngram_novelty",
     "txt_length_buckets",
+    "txt_dsir_weights",
     "dedup_semantic_buckets",
     "sim_range_search",
     "emb_scalar_quantize",

@@ -745,6 +745,29 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     return out
 
 
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs ``(doc_a, doc_b)`` by shingle Jaccard ≥
+    threshold — the shared edge list for clustering (dedup_cluster_cc)
+    and leakage-safe splitting (dedup_split_leakage_safe)."""
+    sh = _shingle_sets(spark, sf_dir)
+    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
 @query(
     "dedup_cluster_cc",
     oracle=f"""
@@ -770,27 +793,79 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     SELECT cluster_id, count(*) AS n_docs FROM comps GROUP BY cluster_id
     """,
 )
-
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_sets(spark, sf_dir)
-    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
-    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
-    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _jaccard_pairs(spark, sf_dir)
     return cc_labels(pairs).groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_split_leakage_safe — leakage-safe train/val split assignment:
+# hash-split by near-dup CLUSTER, not by document, so two near-duplicate
+# documents can never land on opposite sides of the split (the classic
+# eval-integrity failure: val "generalization" measured against training
+# near-copies). Singleton documents are their own cluster. The split key
+# is md5 of the cluster id — deterministic across engines, runs, and
+# cluster sizes, so re-running the pipeline never migrates a document.
+#
+# Scale shape: the edge list is the (tiny) verified near-dup pair output,
+# CC over it is diameter-bounded min-label propagation (see cc_labels);
+# the corpus-sized work is one left join of docs against the (small)
+# cluster map + a hash filter — broadcast at any realistic dup rate.
+# --------------------------------------------------------------------------
+VAL_HEX_LT = "29"  #: md5 first byte < 0x29 → 41/256 ≈ 16% validation
+
+
+@query(
+    "dedup_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_clustered,
+           CASE WHEN substr(md5(cast(coalesce(c.comp, d.doc_id) AS VARCHAR)),
+                            1, 2) < '{VAL_HEX_LT}'
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+    """,
+)
+def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comps = cc_labels(_jaccard_pairs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "comp"
+    )
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return docs.join(F.broadcast(comps), "doc_id", "left").select(
+        "doc_id",
+        cluster.cast("bigint").alias("cluster_id"),
+        F.when(F.col("comp").isNotNull(), 1).otherwise(0).cast("int").alias(
+            "is_clustered"
+        ),
+        F.when(
+            F.substring(F.md5(cluster.cast("string")), 1, 2) < VAL_HEX_LT, "val"
+        )
+        .otherwise("train")
+        .alias("split"),
     )
 
 

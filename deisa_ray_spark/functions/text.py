@@ -1094,3 +1094,96 @@ def txt_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
         F.count(F.when(F.col("status") == "unchanged", 1)).alias("n_unchanged"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_dsir_weights — Data Selection via Importance Resampling (Xie et
+# al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every document by the log importance ratio of a
+# TARGET-domain bag-of-words model over the RAW-corpus model, then keep
+# the top-K. DSIR uses hashed n-grams; the declared query uses unigrams
+# (same estimator shape as txt_unigram_logprob) with add-1 smoothing on
+# the target side (it must cover raw-only tokens), and the stand-in
+# target domain is one source shard.
+#
+# Scale shape: two vocabulary-sized partial-agg shuffles build the two
+# LMs (the raw LM covers the vocabulary, the target LM left-joins onto
+# it), AQE broadcasts the merged LM into the scoring join, and the
+# global top-K is ORDER BY+LIMIT → TakeOrderedAndProject (per-partition
+# top-K, no global sort), joined back broadcast. Selection is by ROUNDED
+# score with doc_id tiebreak, so the frontier is deterministic across
+# engines and partitionings.
+# --------------------------------------------------------------------------
+DSIR_TARGET_SOURCE = "src0"
+DSIR_SELECT_K = 60
+
+
+@query(
+    "txt_dsir_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    lm_r AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+    lm_t AS (SELECT tok, count(*) AS ct FROM toks
+             WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY tok),
+    lm AS (SELECT lm_r.tok, cr, coalesce(ct, 0) AS ct
+           FROM lm_r LEFT JOIN lm_t USING (tok)),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm),
+    scored AS (
+      SELECT toks.doc_id, any_value(toks.source) AS source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln((lm.ct + 1.0) / (tot.nt + tot.v))
+                       - ln(lm.cr * 1.0 / tot.nr)), 6) AS dsir_score
+      FROM toks JOIN lm USING (tok) CROSS JOIN tot
+      GROUP BY toks.doc_id
+    ),
+    sel AS (SELECT doc_id FROM scored
+            ORDER BY dsir_score DESC, doc_id LIMIT {DSIR_SELECT_K})
+    SELECT scored.doc_id, scored.source, scored.n_tokens, scored.dsir_score,
+           CAST(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS selected
+    FROM scored LEFT JOIN sel USING (doc_id)
+    """,
+)
+def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.explode(_tokens()).alias("tok"))
+    lm_r = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    lm_t = (
+        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    lm = lm_r.join(lm_t, "tok", "left").fillna(0, ["ct"])
+    tot = lm.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(lm, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+                    - F.log(F.col("cr") / F.col("nr"))
+                ),
+                6,
+            ).alias("dsir_score"),
+        )
+    )
+    sel = (
+        scored.orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(DSIR_SELECT_K)
+        .select("doc_id")
+        .withColumn("_sel", F.lit(1))
+    )
+    return scored.join(F.broadcast(sel), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "dsir_score",
+        F.when(F.col("_sel") == 1, 1).otherwise(0).cast("int").alias("selected"),
+    )

@@ -68,16 +68,19 @@ def test_fuzzy_decontaminate_staged_band_table(spark, tmp_path, duck):
 
 def test_persisted_frames_bounded_per_tag(spark):
     """Repeated builds keep at most ONE persisted frame per cache tag
-    (shingles, LSH bands, fuzzy bands — the bench builds each query 3x
-    per run; unbounded per-construction persists were the r3 leak),
-    and they REUSE it, so the leak fix costs no rebuild."""
+    (the bench builds each query 3x per run; unbounded per-construction
+    persists were the r3 leak), and they REUSE it, so the leak fix costs
+    no rebuild. Since r5 the fuzzy query shares the lsh_bands tag (its
+    band plan is identical to dedup_minhash_lsh's) — a private tag would
+    double-persist the same plan."""
     from deisa_ray_spark.functions import dedup as D
 
     for _ in range(3):
         D.dedup_decontaminate_fuzzy(spark, SF_DIR)
         D.dedup_minhash_lsh(spark, SF_DIR)
-    for tag in ("shingles", "lsh_bands", "fuzzy_bands"):
+    for tag in ("shingles", "lsh_bands"):
         assert sum(1 for k in D._PERSIST_CACHE if k[0] == tag) == 1
+    assert not any(k[0] == "fuzzy_bands" for k in D._PERSIST_CACHE)
 
 
 def test_fuzzy_decontaminate_cache_survives_dead_session_entry(spark, duck):
@@ -91,10 +94,10 @@ def test_fuzzy_decontaminate_cache_survives_dead_session_entry(spark, duck):
             raise RuntimeError("SparkContext was shut down")
 
     D._PERSIST_CACHE.clear()
-    D._PERSIST_CACHE[("fuzzy_bands", "dead-app-id", "somewhere")] = DeadEntry()
+    D._PERSIST_CACHE[("lsh_bands", "dead-app-id", "somewhere")] = DeadEntry()
     df = D.dedup_decontaminate_fuzzy(spark, SF_DIR)
-    assert ("fuzzy_bands", "dead-app-id", "somewhere") not in D._PERSIST_CACHE
-    assert sum(1 for k in D._PERSIST_CACHE if k[0] == "fuzzy_bands") == 1
+    assert ("lsh_bands", "dead-app-id", "somewhere") not in D._PERSIST_CACHE
+    assert sum(1 for k in D._PERSIST_CACHE if k[0] == "lsh_bands") == 1
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(df, duck, QUERIES["dedup_decontaminate_fuzzy"].oracle)
