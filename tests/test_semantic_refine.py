@@ -109,3 +109,56 @@ def test_report_marks_skipped_cells_uninspected(cells):
     # totals conserve the corpus
     assert rep.n_vectors.sum() == 10
     assert (rep.n_dups + rep.n_kept == rep.n_vectors).all()
+
+
+def _pure_model(vecs: dict[int, list[float]], cap: int, stages: tuple):
+    """Reference implementation of the adaptive assignment (plain dicts)."""
+    def bits(v, n):
+        return "".join("1" if x >= 0 else "0" for x in v[:n])
+
+    out = {}
+    rest = dict(vecs)
+    for depth, n in enumerate(stages, start=1):
+        counts: dict[str, int] = {}
+        for v in rest.values():
+            counts[bits(v, n)] = counts.get(bits(v, n), 0) + 1
+        fit = {i: v for i, v in rest.items() if counts[bits(v, n)] <= cap}
+        for i, v in fit.items():
+            out[i] = (bits(v, n), depth, 0)
+        rest = {i: v for i, v in rest.items() if i not in fit}
+    for i, v in rest.items():
+        out[i] = (bits(v, stages[-1]), len(stages), 1)
+    return out
+
+
+@pytest.mark.parametrize("seed,cap", [(0, 1), (1, 2), (2, 4)])
+def test_assignment_matches_pure_model(spark, seed, cap):
+    """The one-pass stats/window implementation must agree with the
+    straightforward iterative-refinement model on random sign patterns."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vecs = {i: [float(x) for x in rng.randn(8)] for i in range(120)}
+    rows = [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    cells = df.select(
+        "vec_id",
+        "e",
+        *[
+            F.concat_ws(
+                "",
+                *[
+                    F.when(F.element_at("e", i + 1) >= 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    )
+                    for i in range(n)
+                ],
+            ).alias(f"_b{d + 1}")
+            for d, n in enumerate(STAGES)
+        ],
+    )
+    got = {
+        int(r.vec_id): (r.bucket, int(r.depth), int(r.skipped))
+        for r in semantic_bucket_assign(cells, cap, STAGES).collect()
+    }
+    assert got == _pure_model(vecs, cap, STAGES)
