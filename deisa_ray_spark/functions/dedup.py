@@ -163,6 +163,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: key for a tag evicts the tag's other entries; eviction tolerates
 #: entries whose SparkSession has been stopped.
 _PERSIST_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: keys whose persisted frame has been eagerly materialized. Tracked
+#: separately so a later eager=True caller hitting a lazily-persisted
+#: entry (tags are SHARED across queries — lsh_bands feeds both the LSH
+#: and fuzzy-decon queries, in either construction order) still gets
+#: its guaranteed single materialization pass instead of re-exposing
+#: the cold-cache double-compute race the eager flag exists to prevent.
+_EAGER_DONE: set[tuple[str, str, str]] = set()
 
 
 def _session_cached(
@@ -177,14 +184,16 @@ def _session_cached(
     if df is None:
         for k in [k for k in _PERSIST_CACHE if k[0] == tag and k != key]:
             old = _PERSIST_CACHE.pop(k)
+            _EAGER_DONE.discard(k)
             try:
                 old.unpersist()
             except Exception:
                 pass  # entry from an already-stopped SparkSession
         df = build().persist()
-        if eager:
-            df.count()
         _PERSIST_CACHE[key] = df
+    if eager and key not in _EAGER_DONE:
+        df.count()
+        _EAGER_DONE.add(key)
     return df
 
 
@@ -503,13 +512,19 @@ SEM_BITS_STAGES = (8, 16, 24)
 
 
 def _sem_bucket(e: Column, n_bits: int) -> Column:
-    """Sign-bit string of the first ``n_bits`` dims (JVM-side)."""
+    """Sign-bit string of the first ``n_bits`` dims (JVM-side).
+
+    Built from a SLICE, not per-index element_at: slice TRUNCATES at the
+    array length exactly like the oracle's ``[1:n]``, whereas
+    element_at past the end yields NULL → ``otherwise('0')`` padding —
+    a silent Spark/oracle bucket divergence the moment a regenerated
+    testdata drops the embedding dim below SEM_BITS_STAGES[-1]."""
     return F.concat_ws(
         "",
-        *[
-            F.when(F.element_at(e, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(n_bits)
-        ],
+        F.transform(
+            F.slice(e, 1, n_bits),
+            lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
     )
 
 

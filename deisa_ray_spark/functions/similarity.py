@@ -659,34 +659,19 @@ def mrl_prefix_table(
     embeddings (wrong shortlists, no loud failure). The build reads the
     source with a FRESH scan (bypassing the registry's pinned-listing
     table cache) so the bytes written always match the fingerprint even
-    if the data regenerated mid-session. Publication is
-    write-unique-dir + atomic rename, and publishing a new fingerprint
-    for a source EVICTS that source's superseded cache dirs — bounded
-    growth across rounds."""
+    if the data regenerated mid-session. Publication/eviction go
+    through the shared ``paths.publish_fingerprinted_dir`` protocol
+    (also the bench split-staging cache's)."""
     import hashlib
     import os
-    import shutil
-    import uuid
 
     from deisa_ray_spark import paths
 
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    stats = []
-    if os.path.isdir(src):
-        for root, _dirs, files in os.walk(src):
-            for fn in sorted(files):
-                st = os.stat(os.path.join(root, fn))
-                stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        stats.append(f"{st.st_size}:{st.st_mtime_ns}")
     src_key = hashlib.md5(f"{src}|{MRL_KEEP_DIMS}".encode()).hexdigest()[:12]
-    fp_key = hashlib.md5("|".join(stats).encode()).hexdigest()[:12]
-    root_dir = os.path.join(paths.scratch_root(scratch_root), "mrl_prefix")
-    os.makedirs(root_dir, exist_ok=True)
-    path = os.path.join(root_dir, f"{src_key}-{fp_key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
+    fp_key = paths.fingerprint_paths([("embeddings", src)])
+
+    def build(tmp: str) -> None:
         # fresh scan, NOT load_table: the registry cache pins its file
         # listing at first load, so after an in-place regeneration it
         # would serve the OLD snapshot while the fingerprint above
@@ -695,22 +680,18 @@ def mrl_prefix_table(
             F.col("vec_id").cast("bigint").alias("vec_id"),
             F.col("embedding").cast("array<double>").alias("e"),
         )
+        out = os.path.join(tmp, "data")
         (
             fresh.select("vec_id", F.slice("e", 1, MRL_KEEP_DIMS).alias("prefix"))
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(out)
         )
-        try:
-            os.rename(tmp, path)  # atomic publish; loser keeps its build
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # someone else won
-        # evict superseded fingerprints of the SAME source (regenerated
-        # data): keeps one live cache dir per source across rounds
-        if os.path.isdir(root_dir):
-            for d in os.listdir(root_dir):
-                if d.startswith(f"{src_key}-") and d != f"{src_key}-{fp_key}":
-                    shutil.rmtree(os.path.join(root_dir, d), ignore_errors=True)
-    return spark.read.parquet(path)
+        with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
+            f.write(fp_key)
+
+    root_dir = os.path.join(paths.scratch_root(scratch_root), "mrl_prefix")
+    path = paths.publish_fingerprinted_dir(root_dir, src_key, fp_key, build)
+    return spark.read.parquet(os.path.join(path, "data"))
 
 
 @query(

@@ -360,13 +360,13 @@ def stage_split_tables(
     The split is a pyarrow row-slice rewrite — SCHEMA-PRESERVING, no
     engine decode/re-encode, so physical quirks the loader contract
     pins (events' TIMESTAMP(NANOS)) survive. Staging is cached under
-    ``paths.scratch_root()/bench_split`` keyed by a size+mtime
-    fingerprint of the source (testdata regenerates in place between
-    rounds); publication is build-dir + atomic rename with superseded-
-    fingerprint eviction, the same protocol as the MRL prefix cache."""
+    ``paths.scratch_root()/bench_split`` keyed by the table SUBSET +
+    a size+mtime fingerprint of the sources (testdata regenerates in
+    place between rounds); publication/eviction go through the shared
+    ``paths.publish_fingerprinted_dir`` protocol (also the MRL prefix
+    cache's)."""
     import hashlib
     import shutil
-    import uuid
 
     import pyarrow.parquet as pq
 
@@ -375,27 +375,16 @@ def stage_split_tables(
 
     tables = list(tables or TABLES)
     src_dir = os.path.abspath(sf_dir)
-    stats = []
-    for name in tables:
-        p = os.path.join(src_dir, f"{name}.parquet")
-        if os.path.isdir(p):
-            for root, _d, files in os.walk(p):
-                for fn in sorted(files):
-                    st = os.stat(os.path.join(root, fn))
-                    stats.append(f"{name}/{fn}:{st.st_size}:{st.st_mtime_ns}")
-        elif os.path.exists(p):
-            st = os.stat(p)
-            stats.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    src_key = hashlib.md5(f"{src_dir}|{min_files}".encode()).hexdigest()[:12]
-    fp_key = hashlib.md5("|".join(stats).encode()).hexdigest()[:12]
-    root_dir = os.path.join(paths.scratch_root(scratch_root), "bench_split")
-    os.makedirs(root_dir, exist_ok=True)
-    out = os.path.join(root_dir, f"{src_key}-{fp_key}")
-    if not os.path.exists(os.path.join(out, "_STAGED_OK")):
-        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp, exist_ok=True)
-        for name in tables:
-            src = os.path.join(src_dir, f"{name}.parquet")
+    srcs = [(name, os.path.join(src_dir, f"{name}.parquet")) for name in tables]
+    # the table subset is part of the identity: two invocations staging
+    # different subsets must not share (and evict) each other's dirs
+    src_key = hashlib.md5(
+        f"{src_dir}|{min_files}|{','.join(sorted(tables))}".encode()
+    ).hexdigest()[:12]
+    fp_key = paths.fingerprint_paths(srcs)
+
+    def build(tmp: str) -> None:
+        for name, src in srcs:
             dst = os.path.join(tmp, f"{name}.parquet")
             if os.path.isdir(src) and len(_parquet_files(src)) >= min_files:
                 shutil.copytree(src, dst)  # already parallel enough
@@ -403,10 +392,13 @@ def stage_split_tables(
             tbl = pq.read_table(src)
             os.makedirs(dst, exist_ok=True)
             n = max(1, min(min_files, tbl.num_rows))
-            step = -(-tbl.num_rows // n)  # ceil — last slice may be short
+            step = max(1, -(-tbl.num_rows // n))  # ceil; >=1 so 0-row writes
             for i in range(n):
                 part = tbl.slice(i * step, step)
-                if part.num_rows == 0:
+                # a 0-row FIRST part still writes: an empty table must
+                # stage as one schema-bearing file, not an empty dir
+                # Spark cannot infer a schema from
+                if part.num_rows == 0 and i > 0:
                     break
                 pq.write_table(
                     part,
@@ -415,11 +407,6 @@ def stage_split_tables(
                 )
         with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
             f.write(fp_key)
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
-        for d in os.listdir(root_dir):
-            if d.startswith(f"{src_key}-") and d != f"{src_key}-{fp_key}":
-                shutil.rmtree(os.path.join(root_dir, d), ignore_errors=True)
-    return out
+
+    root_dir = os.path.join(paths.scratch_root(scratch_root), "bench_split")
+    return paths.publish_fingerprinted_dir(root_dir, src_key, fp_key, build)

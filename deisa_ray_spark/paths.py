@@ -43,3 +43,65 @@ def scratch_root(explicit: str | None = None) -> str:
     )
     os.makedirs(root, exist_ok=True)
     return root
+
+
+def publish_fingerprinted_dir(
+    root_dir: str,
+    src_key: str,
+    fp_key: str,
+    build: "callable",
+) -> str:
+    """Build-once cache-dir protocol shared by every staged artifact
+    (MRL stored-prefix table, bench table splits): the artifact for
+    ``(src_key, fp_key)`` lives at ``<root>/<src_key>-<fp_key>``;
+    ``build(tmp_dir)`` populates a fresh build dir which is atomically
+    renamed into place (a concurrent loser keeps the winner's copy),
+    and publishing a new fingerprint for a source EVICTS that source's
+    superseded dirs — bounded growth across data regenerations.
+
+    ``build`` must leave a ``_STAGED_OK`` marker file in the dir it is
+    given; its presence is the completed-publication check. Eviction
+    skips ``.build-`` work dirs: deleting a concurrent builder's
+    in-flight tmp dir would crash the loser instead of letting it fall
+    back to the winner."""
+    import shutil
+    import uuid
+
+    os.makedirs(root_dir, exist_ok=True)
+    out = os.path.join(root_dir, f"{src_key}-{fp_key}")
+    if not os.path.exists(os.path.join(out, "_STAGED_OK")):
+        tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        build(tmp)
+        if not os.path.exists(os.path.join(tmp, "_STAGED_OK")):
+            raise RuntimeError(f"build() left no _STAGED_OK marker in {tmp}")
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+        for d in os.listdir(root_dir):
+            if (
+                d.startswith(f"{src_key}-")
+                and d != f"{src_key}-{fp_key}"
+                and ".build-" not in d
+            ):
+                shutil.rmtree(os.path.join(root_dir, d), ignore_errors=True)
+    return out
+
+
+def fingerprint_paths(paths_and_names) -> str:
+    """Size+mtime fingerprint over (label, path) pairs — the data-version
+    key for staged artifacts (testdata regenerates in place)."""
+    import hashlib
+
+    stats = []
+    for label, p in paths_and_names:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    stats.append(f"{label}/{fn}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            stats.append(f"{label}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(stats).encode()).hexdigest()[:12]

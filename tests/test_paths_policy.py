@@ -48,3 +48,40 @@ def test_mrl_prefix_stages_under_scratch_root(spark, tmp_path, monkeypatch):
     other = tmp_path / "other"
     mrl_prefix_table(spark, SF_DIR, scratch_root=str(other))
     assert (other / "mrl_prefix").is_dir()
+
+
+def test_publish_eviction_spares_inflight_build_dirs(tmp_path):
+    """Superseded-fingerprint eviction must skip a concurrent builder's
+    `.build-` work dir: deleting it would crash the losing builder
+    mid-write instead of letting it fall back to the winner."""
+    root = str(tmp_path / "cache")
+
+    def build(tmp):
+        with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
+            f.write("x")
+
+    os.makedirs(root)
+    stale = os.path.join(root, "src1-oldfp")
+    os.makedirs(stale)
+    open(os.path.join(stale, "_STAGED_OK"), "w").close()
+    inflight = os.path.join(root, "src1-newfp.build-deadbeef")
+    os.makedirs(inflight)
+    open(os.path.join(inflight, "partial.parquet"), "w").close()
+
+    out = paths.publish_fingerprinted_dir(root, "src1", "newfp", build)
+    assert os.path.exists(os.path.join(out, "_STAGED_OK"))
+    assert not os.path.exists(stale)  # superseded fingerprint evicted
+    assert os.path.exists(inflight)  # in-flight builder untouched
+
+
+def test_stage_split_subsets_do_not_share_cache_identity(tmp_path, monkeypatch):
+    """Different table subsets must stage under different src_keys, so
+    one subset's eviction can never delete another's live dir."""
+    from deisa_ray_spark.maintenance import stage_split_tables
+
+    monkeypatch.setenv(paths.ENV_VAR, str(tmp_path / "scratch"))
+    a = stage_split_tables(SF_DIR, tables=["region"])
+    b = stage_split_tables(SF_DIR, tables=["nation"])
+    assert a != b
+    assert os.path.exists(os.path.join(a, "_STAGED_OK"))
+    assert os.path.exists(os.path.join(b, "_STAGED_OK"))

@@ -162,3 +162,14 @@ def test_assignment_matches_pure_model(spark, seed, cap):
         for r in semantic_bucket_assign(cells, cap, STAGES).collect()
     }
     assert got == _pure_model(vecs, cap, STAGES)
+
+
+def test_sem_bucket_truncates_not_pads_short_embeddings(spark):
+    """A vector shorter than the requested bit depth yields a
+    dim-length key (matching the oracle's [1:n] slice), never
+    zero-padding to a fixed width."""
+    from deisa_ray_spark.functions.dedup import _sem_bucket
+
+    df = spark.createDataFrame([(0, [1.0, -1.0, 1.0])], "vec_id long, e array<double>")
+    got = df.select(_sem_bucket(F.col("e"), 24).alias("b")).first().b
+    assert got == "101"
