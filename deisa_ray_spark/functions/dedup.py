@@ -824,10 +824,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is md5 of the cluster id — deterministic across engines, runs, and
 # cluster sizes, so re-running the pipeline never migrates a document.
 #
-# Scale shape: the edge list is the (tiny) verified near-dup pair output,
-# CC over it is diameter-bounded min-label propagation (see cc_labels);
-# the corpus-sized work is one left join of docs against the (small)
-# cluster map + a hash filter — broadcast at any realistic dup rate.
+# Scale shape: the edge list is the verified near-dup pair output, CC
+# over it is diameter-bounded min-label propagation (see cc_labels); the
+# corpus-sized work is one left equi-join of docs against the cluster
+# map + a hash filter. The join is deliberately NOT forced broadcast:
+# on web-scale corpora 30-50% of documents sit in near-dup clusters, so
+# the map can be corpus-order — AQE broadcasts when it is actually
+# small and sort-merges when it is not.
 # --------------------------------------------------------------------------
 VAL_HEX_LT = "29"  #: md5 first byte < 0x29 → 41/256 ≈ 16% validation
 
@@ -870,7 +873,7 @@ def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "comp"
     )
     cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
-    return docs.join(F.broadcast(comps), "doc_id", "left").select(
+    return docs.join(comps, "doc_id", "left").select(
         "doc_id",
         cluster.cast("bigint").alias("cluster_id"),
         F.when(F.col("comp").isNotNull(), 1).otherwise(0).cast("int").alias(
