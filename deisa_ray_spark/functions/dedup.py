@@ -730,8 +730,13 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
-    labels = labels.persist()
-    labels.count()
+    # localCheckpoint, NOT persist: each round's frame references the
+    # previous one twice (labels ∪ msgs(labels)), so an un-truncated
+    # logical plan DOUBLES per round — exponential in graph diameter,
+    # OOMing the driver on plan manipulation long before data size
+    # matters. Checkpointing materializes AND cuts lineage: the plan
+    # stays O(1) across rounds.
+    labels = labels.localCheckpoint(eager=True)
 
     for _ in range(MAX_CC_ITERS):
         msgs = edges.join(labels, edges.src == labels.id).select(
@@ -739,25 +744,21 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
         )
         new_labels = (
             labels.unionAll(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).persist()
-        new_labels.count()  # eager: lazy persist races its own branches
+        ).localCheckpoint(eager=True)
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "id")
             .filter(F.col("o.comp") != F.col("n.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
         raise RuntimeError(f"CC did not converge in {MAX_CC_ITERS} rounds")
 
-    out = labels.localCheckpoint(eager=True)
     edges.unpersist()
-    labels.unpersist()
-    return out
+    return labels
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
