@@ -115,3 +115,45 @@ def test_canonical_is_min_id_even_when_small_id_arrives_late(spark, tmp_path):
     assert _resolve_set(cc) == {(40, 40), (50, 40)}
     cc.process_batch(spark.createDataFrame([(10, 40)], "doc_a long, doc_b long"), 1)
     assert _resolve_set(cc) == {(10, 10), (40, 10), (50, 10)}
+
+
+def _pure_cc(edges):
+    """Reference union-find with min-id canonicals."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_graphs_match_union_find(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    nodes = rng.sample(range(1000), 40)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (rng.sample(nodes, 2) for _ in range(50))
+        }
+    )
+    rng.shuffle(edges)
+    shards = [edges[i::4] for i in range(4)]
+    cc = IncrementalCC(spark, str(tmp_path / f"s{seed}"))
+    for i, sh in enumerate(shards):
+        if sh:
+            cc.process_batch(
+                spark.createDataFrame(sh, "doc_a long, doc_b long"), i
+            )
+    assert _resolve_set(cc) == set(_pure_cc(edges).items())
