@@ -69,11 +69,11 @@ def band_rows_for(docs: DataFrame) -> DataFrame:
     )
 
 
-def neardup_flags_batch(docs: DataFrame, verify: bool = False) -> DataFrame:
-    """Batch twin: ``(doc_id, is_dup)`` with owner = global min doc_id
-    per band bucket; with ``verify`` a collision only flags when the
-    exact Jaccard against the colliding owner clears JACCARD_THRESHOLD.
-    Equals the incremental result for in-doc_id-order arrival."""
+def neardup_pairs_batch(docs: DataFrame, verify: bool = False) -> DataFrame:
+    """Batch candidate pairs ``(doc_id, owner)`` with owner = global min
+    doc_id per band bucket; with ``verify`` only pairs whose exact
+    Jaccard clears the threshold survive. The shared edge extraction
+    under both the flags and clusters batch twins."""
     from deisa_ray_spark.functions.dedup import JACCARD_THRESHOLD
 
     bands = band_rows_for(docs)
@@ -100,11 +100,32 @@ def neardup_flags_batch(docs: DataFrame, verify: bool = False) -> DataFrame:
         jac = n_common / (F.col("na") + F.col("nb") - n_common)
         cand = cand.join(a, "doc_id").join(b, "owner").filter(
             jac >= JACCARD_THRESHOLD
-        )
-    flags = cand.groupBy("doc_id").agg(F.lit(1).alias("_d"))
+        ).select("doc_id", "owner")
+    return cand
+
+
+def neardup_flags_batch(docs: DataFrame, verify: bool = False) -> DataFrame:
+    """Batch twin: ``(doc_id, is_dup)``. Equals the incremental result
+    for in-doc_id-order arrival."""
+    flags = neardup_pairs_batch(docs, verify).groupBy("doc_id").agg(
+        F.lit(1).alias("_d")
+    )
     return docs.select("doc_id").join(flags, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("_d") == 1, F.lit(False)).alias("is_dup")
     )
+
+
+def neardup_clusters_batch(docs: DataFrame, verify: bool = False) -> DataFrame:
+    """Batch twin of the gate→cluster composition: connected components
+    ``(node, comp)`` over the owner-collision pair graph — what the
+    streaming ``IncrementalNearDup(cluster=True)`` resolves to for
+    in-doc_id-order arrival."""
+    from deisa_ray_spark.functions.dedup import cc_labels
+
+    pairs = neardup_pairs_batch(docs, verify).select(
+        F.col("owner").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return cc_labels(pairs).select(F.col("id").alias("node"), "comp")
 
 
 class IncrementalNearDup:
@@ -128,12 +149,26 @@ class IncrementalNearDup:
         state_dir: str,
         out_dir: str,
         verify: bool = False,
+        cluster: bool = False,
     ) -> None:
         self.spark = spark
         self.owners_dir = os.path.join(state_dir, "band_owners")
         self.shingles_dir = os.path.join(state_dir, "owner_shingles")
         self.out_dir = out_dir
         self.verify = verify
+        #: gate→cluster composition: fold each batch's candidate pairs
+        #: into incremental connected components, so dedup CLUSTERS are
+        #: maintained alongside the flags (batch twin:
+        #: neardup_clusters_batch). CC folds happen LAST in the batch:
+        #: a crash before the fold retries the batch, recomputes the
+        #: same pairs (owners coalesce to the same values whether or
+        #: not claims landed), and converges (IncrementalCC retry
+        #: contract).
+        self.cc = None
+        if cluster:
+            from deisa_ray_spark.streaming.cc_incremental import IncrementalCC
+
+            self.cc = IncrementalCC(spark, os.path.join(state_dir, "clusters"))
 
     @staticmethod
     def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -236,6 +271,14 @@ class IncrementalNearDup:
             new_buckets.select("band_id", "band_key", "owner").write.mode(
                 "append"
             ).parquet(self.owners_dir)
+            if self.cc is not None:
+                self.cc.process_batch(
+                    cand.select(
+                        F.col("owner").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b"),
+                    ),
+                    batch_id,
+                )
         finally:
             bands.unpersist()
 
@@ -260,3 +303,10 @@ class IncrementalNearDup:
 
     def flags(self) -> DataFrame:
         return self.spark.read.parquet(self.out_dir)
+
+    def clusters(self) -> DataFrame:
+        """Current dedup-cluster assignment ``(node, comp)`` (requires
+        ``cluster=True``)."""
+        if self.cc is None:
+            raise ValueError("constructed without cluster=True")
+        return self.cc.resolve()

@@ -171,3 +171,33 @@ def test_verified_mode_equals_batch_twin_and_catches_planted(
     # only bucket-owning docs are stored, at most once each
     assert sh_store.select("doc_id").distinct().count() == sh_store.count()
     assert sh_store.count() <= all_docs.count()
+
+
+def test_streaming_clusters_equal_batch_twin(spark, tmp_path, nd_shard_dir):
+    """Gate→cluster composition: shards in doc_id order through
+    IncrementalNearDup(cluster=True) resolve to the SAME dedup clusters
+    as the batch twin (CC over the owner-collision pair graph) — and
+    every planted near-dup lands in a cluster with its original."""
+    from deisa_ray_spark.streaming.neardup import neardup_clusters_batch
+
+    src, planted = nd_shard_dir
+    proc = IncrementalNearDup(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        verify=True,
+        cluster=True,
+    )
+    proc.run_available(src, str(tmp_path / "ckpt"))
+    got = {(r.node, r.comp) for r in proc.clusters().collect()}
+    want = {
+        (r.node, r.comp)
+        for r in neardup_clusters_batch(_all_docs(spark, src), verify=True).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # each planted doc clusters with a smaller (original) id
+    by_node = dict(got)
+    clustered_planted = [d for d in planted if d in by_node]
+    assert clustered_planted, "planted dups never clustered — vacuous test"
+    assert all(by_node[d] < 10_000_000 for d in clustered_planted)
