@@ -310,3 +310,33 @@ class IncrementalNearDup:
         if self.cc is None:
             raise ValueError("constructed without cluster=True")
         return self.cc.resolve()
+
+    def split_assignment(self) -> DataFrame:
+        """Leakage-safe train/val split of every doc seen so far:
+        hash-split by CLUSTER (near-dups never straddle), singletons
+        self-clustered — the streaming read of
+        ``functions.dedup.dedup_split_leakage_safe``'s rule, against
+        the incrementally-maintained clusters. Stable as the stream
+        grows EXCEPT when a later shard merges a doc's cluster into one
+        with a smaller min-id (its comp, hence possibly its side,
+        changes with the new information — the same re-assignment a
+        batch re-run over the grown corpus would make)."""
+        from deisa_ray_spark.functions.dedup import VAL_HEX_LT
+
+        if self.cc is None:
+            raise ValueError("constructed without cluster=True")
+        docs = self.flags().select("doc_id").distinct()
+        comps = self.clusters().select(
+            F.col("node").alias("doc_id"), "comp"
+        )
+        cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+        return docs.join(comps, "doc_id", "left").select(
+            "doc_id",
+            cluster.cast("bigint").alias("cluster_id"),
+            F.when(
+                F.substring(F.md5(cluster.cast("string")), 1, 2) < VAL_HEX_LT,
+                "val",
+            )
+            .otherwise("train")
+            .alias("split"),
+        )

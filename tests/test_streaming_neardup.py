@@ -201,3 +201,32 @@ def test_streaming_clusters_equal_batch_twin(spark, tmp_path, nd_shard_dir):
     clustered_planted = [d for d in planted if d in by_node]
     assert clustered_planted, "planted dups never clustered — vacuous test"
     assert all(by_node[d] < 10_000_000 for d in clustered_planted)
+
+
+def test_streaming_split_assignment_is_leakage_safe(spark, tmp_path, nd_shard_dir):
+    """The streaming split: covers every streamed doc exactly once, and
+    no verified near-dup pair straddles train/val."""
+    from deisa_ray_spark.streaming.neardup import neardup_pairs_batch
+    import pyspark.sql.functions as F
+
+    src, _planted = nd_shard_dir
+    proc = IncrementalNearDup(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        verify=True,
+        cluster=True,
+    )
+    proc.run_available(src, str(tmp_path / "ckpt"))
+    split = proc.split_assignment()
+    n_docs = _all_docs(spark, src).select("doc_id").distinct().count()
+    assert split.count() == n_docs
+    pairs = neardup_pairs_batch(_all_docs(spark, src), verify=True)
+    sa = split.select(F.col("doc_id").alias("owner"), F.col("split").alias("sa"))
+    sb = split.select("doc_id", F.col("split").alias("sb"))
+    straddled = (
+        pairs.join(sa, "owner").join(sb, "doc_id")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddled == 0
