@@ -92,7 +92,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1") != "0":
         from deisa_ray_spark.maintenance import stage_split_tables
 
-        staged = stage_split_tables(sf_dir)
+        n_files = int(os.environ.get("SPARK_GRAFT_BENCH_SPLIT_FILES", "8"))
+        staged = stage_split_tables(sf_dir, min_files=n_files)
         print(f"# bench tables staged split at {staged}", file=sys.stderr)
         sf_dir = staged
 
