@@ -1187,3 +1187,65 @@ def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_score",
         F.when(F.col("_sel") == 1, 1).otherwise(0).cast("int").alias("selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_vocab_coverage — tokenizer-design analytics: what fraction of all
+# token OCCURRENCES the top-N token TYPES cover, for a ladder of vocab
+# sizes. The curve every vocabulary/tokenizer budget decision reads
+# (token frequencies are Zipfian; the answer is "how far down the tail
+# must the vocab reach").
+#
+# Scale shape: one vocabulary-sized partial-agg shuffle builds the
+# frequency table; each ladder rung is ORDER BY count LIMIT N →
+# TakeOrderedAndProject (per-partition top-N, no global sort or
+# single-partition rank window) + a scalar agg; the rung outputs are
+# single rows unioned driver-free. Ties at the rung boundary break by
+# token text, so the frontier is deterministic across engines.
+# --------------------------------------------------------------------------
+VOCAB_LADDER = (16, 64, 256)
+
+
+@query(
+    "txt_vocab_coverage",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT {n} AS top_n,
+           CAST((SELECT count(*) FROM (SELECT tok, count(*) AS c
+                 FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents) GROUP BY tok)) AS BIGINT) AS n_types,
+           round((SELECT sum(c) FROM (SELECT tok, count(*) AS c
+                  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents) GROUP BY tok
+                  ORDER BY c DESC, tok LIMIT {n})) * 1.0
+                 / (SELECT count(*)
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)), 6) AS coverage
+    """
+        for n in VOCAB_LADDER
+    ),
+)
+def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(
+        F.count(F.lit(1)).alias("n_types"), F.sum("c").alias("n_occ")
+    )
+    out = None
+    for n in VOCAB_LADDER:
+        top = (
+            freq.orderBy(F.col("c").desc(), "tok")
+            .limit(n)
+            .agg(F.sum("c").alias("top_occ"))
+        )
+        rung = (
+            top.crossJoin(F.broadcast(totals))
+            .select(
+                F.lit(n).alias("top_n"),
+                F.col("n_types").cast("bigint").alias("n_types"),
+                F.round(F.col("top_occ") / F.col("n_occ"), 6).alias("coverage"),
+            )
+        )
+        out = rung if out is None else out.unionAll(rung)
+    return out
