@@ -1,0 +1,119 @@
+"""The streaming gate→cluster composition as a declared, ORACLE-CHECKED
+query: documents staged as doc_id-ordered shards, fed through
+``IncrementalNearDup(verify=True, cluster=True)`` (MinHash-LSH owner
+gate → exact-Jaccard verify → incremental connected components), final
+``resolve()`` returned as the result.
+
+Why this is oracle-checkable at all: the composition's batch-equivalence
+contract (tests/test_streaming_neardup.py) says in-order shard arrival
+yields exactly the batch result — owner = global min doc_id per band
+bucket, clusters = CC over the verified owner-collision pairs. Every
+stage of THAT is portable SQL: the md5 minhash/band construction (the
+same CTEs as dedup_minhash_lsh's oracle) plus a recursive-CTE CC (the
+same shape as dedup_cluster_cc's). So a STATEFUL STREAMING operator
+lands under the driver's hash-checked gate, not just rows-only.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deisa_ray_spark.functions.dedup import (
+    _SQL_SHINGLES,
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_MINHASH,
+)
+from deisa_ray_spark.registry import query
+
+N_SHARDS = 3
+
+
+def _oracle() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    rows = N_MINHASH // N_BANDS
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    mh AS (SELECT doc_id, shingles, {mh} FROM sh),
+    sig AS (SELECT *, {bands} FROM mh),
+    bands AS ({band_rows}),
+    owners AS (
+      SELECT band_id, band_key, min(doc_id) AS owner
+      FROM bands GROUP BY band_id, band_key
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id, o.owner
+      FROM bands b JOIN owners o USING (band_id, band_key)
+      WHERE o.owner < b.doc_id
+    ),
+    verified AS (
+      SELECT c.owner AS doc_a, c.doc_id AS doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.owner
+      JOIN sh sb ON sb.doc_id = c.doc_id
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+            (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+    )
+    SELECT id AS node, CAST(min(comp) AS BIGINT) AS comp
+    FROM reach GROUP BY id
+    """
+
+
+@query("stream_cc_clusters", oracle=_oracle())
+def stream_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage documents into doc_id-ordered shards, stream them through
+    the composed gate→cluster processor, return the resolved clusters."""
+    from deisa_ray_spark.sources.registry import load_table
+    from deisa_ray_spark.streaming.neardup import IncrementalNearDup
+
+    work = tempfile.mkdtemp(prefix="stream_cc_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        pdf = docs.select("doc_id", "text", "lang", "source", "n_chars").toPandas()
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        step = -(-len(pdf) // N_SHARDS)
+        for i in range(N_SHARDS):
+            shard = pdf.iloc[i * step : (i + 1) * step]
+            if len(shard):
+                spark.createDataFrame(shard).coalesce(1).write.parquet(
+                    f"{work}/src/shard={i}"
+                )
+        proc = IncrementalNearDup(
+            spark,
+            f"{work}/state",
+            f"{work}/out",
+            verify=True,
+            cluster=True,
+        )
+        proc.run_available(f"{work}/src", f"{work}/ckpt")
+        # materialize before the temp state dir disappears
+        out = proc.clusters().collect()
+        return spark.createDataFrame(out or [], "node bigint, comp bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
