@@ -713,6 +713,21 @@ def dedup_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 25
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release a ``localCheckpoint(eager=True)`` frame's cached blocks.
+
+    The blocks belong to the checkpointed RDD inside the frame's
+    ``LogicalRDD`` root — NOT to any plan reachable via ``toRdd`` (the
+    checkpoint call maps a copy). The frame is UNUSABLE afterwards
+    (lineage was truncated; the data is gone) — only call on frames
+    that will never be referenced again. Best-effort: failures (e.g. a
+    stopped session) are swallowed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def cc_labels(pairs: DataFrame) -> DataFrame:
     """Connected components of an undirected pair graph by min-label
     propagation: (id, comp) with comp = min node id reachable from id.
@@ -727,15 +742,19 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     edges = edges.persist()
     edges.count()  # materialize: referenced every round from two branches
 
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
     )
     # localCheckpoint, NOT persist: each round's frame references the
     # previous one twice (labels ∪ msgs(labels)), so an un-truncated
     # logical plan DOUBLES per round — exponential in graph diameter,
     # OOMing the driver on plan manipulation long before data size
     # matters. Checkpointing materializes AND cuts lineage: the plan
-    # stays O(1) across rounds.
+    # stays O(1) across rounds. Superseded rounds' checkpoint blocks
+    # are freed explicitly (free_local_checkpoint) — they are otherwise
+    # held until JVM GC, accumulating one cached RDD per round.
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(MAX_CC_ITERS):
@@ -751,6 +770,7 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
             .filter(F.col("o.comp") != F.col("n.comp"))
             .count()
         )
+        free_local_checkpoint(labels)  # superseded — never referenced again
         labels = new_labels
         if changed == 0:
             break

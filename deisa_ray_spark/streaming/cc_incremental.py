@@ -82,7 +82,7 @@ class IncrementalCC:
 
     def process_batch(self, edges: DataFrame, batch_id: int) -> None:
         """Fold one edge micro-batch ``(doc_a, doc_b)`` into the forest."""
-        from deisa_ray_spark.functions.dedup import cc_labels
+        from deisa_ray_spark.functions.dedup import cc_labels, free_local_checkpoint
 
         edges = edges.select("doc_a", "doc_b").distinct().persist()
         try:
@@ -151,6 +151,10 @@ class IncrementalCC:
             )
             self._swap_remap(rewritten)
             new_nodes.unpersist()
+            # all consumers of the per-batch CC output have executed
+            # (claims append + remap swap) — release its checkpoint
+            # blocks instead of waiting on JVM GC
+            free_local_checkpoint(groups)
         finally:
             edges.unpersist()
 
