@@ -9,7 +9,10 @@ Subset choice: every events/timestamp query shape (session timezone is
 the classic silent-divergence risk), plus one text and one embedding
 representative. The full 143-query vanilla sweep was run green on
 2026-08-14; this pins the property against regressions at ~1/10 the
-cost.
+cost. (Round-5 re-sweep 2026-08-14: the five new/changed queries —
+dsir, split_leakage, vocab_coverage, stream_cc, semantic_buckets — all
+vanilla-green; stream_cc_clusters joins the pinned subset as the new
+most-environment-sensitive shape: streaming state + session caches.)
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ QUERIES = [
     "q12_latest_orders",
     "txt_token_stats",
     "emb_scalar_quantize",
+    "stream_cc_clusters",
 ]
 
 _SCRIPT = textwrap.dedent(
