@@ -154,3 +154,39 @@ def test_state_backend_golden_values(spark, tmp_path):
     )
     _run(engine, tmp_path)
     assert sums == {t: 40.0 * t for t in range(4)}
+
+
+def test_state_backend_over_live_sim_stream(spark, tmp_path):
+    """run_live (injected chunk stream, no files) with the state window
+    backend: sliding-window goldens identical to the file-drop path —
+    closes the backend × transport matrix."""
+    from deisa_ray_spark.sources.sim_source import batch_loader, register
+
+    register(spark)
+    opts = {"timesteps": "4"}
+    stream = (
+        spark.readStream.format("sim_grid")
+        .options(with_sentinel="true", **opts)
+        .load()
+    )
+    diffs = []
+
+    def cb(temperature):
+        if len(temperature) == 2:
+            older, newer = temperature
+            diffs.append(
+                float(newer.to_numpy().sum() - older.to_numpy().sum())
+            )
+
+    engine = InSituEngine(
+        spark,
+        chunk_dir=str(tmp_path / "unused"),
+        chunk_stream=stream,
+        chunk_loader=batch_loader(spark, **opts),
+        window_backend="state",
+    )
+    engine.register_callback(cb, ArrayWindow("temperature", size=2))
+    engine.run_live(str(tmp_path / "ckpt"))
+    assert engine.done
+    assert diffs == [40.0] * 3
+    assert engine._windows == {}  # deque store untouched in state mode
