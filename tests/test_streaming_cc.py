@@ -157,3 +157,30 @@ def test_random_graphs_match_union_find(spark, tmp_path, seed):
                 spark.createDataFrame(sh, "doc_a long, doc_b long"), i
             )
     assert _resolve_set(cc) == set(_pure_cc(edges).items())
+
+
+def test_crash_between_claims_and_remap_recovers_on_retry(spark, tmp_path):
+    """The documented crash window: labels claims appended, remap swap
+    never ran. Replaying the batch (what a checkpointed stream does)
+    must converge to the batch-CC resolution — no manual repair."""
+    cc = IncrementalCC(spark, str(tmp_path))
+    cc.process_batch(
+        spark.createDataFrame([(40, 50)], "doc_a long, doc_b long"), 0
+    )
+    crashing = spark.createDataFrame([(10, 40)], "doc_a long, doc_b long")
+
+    real_swap = cc._swap_remap
+    calls = {"n": 0}
+
+    def boom(remap):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before remap swap")
+
+    cc._swap_remap = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        cc.process_batch(crashing, 1)
+    assert calls["n"] == 1
+    # claims for node 10 may or may not have landed; remap did NOT.
+    cc._swap_remap = real_swap
+    cc.process_batch(crashing, 1)  # stream replays the batch
+    assert _resolve_set(cc) == {(10, 10), (40, 10), (50, 10)}
