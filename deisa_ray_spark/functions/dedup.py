@@ -268,7 +268,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join for candidates → exact-Jaccard verification of candidates only.
 # O(n) signature pass + O(candidates) verify; no quadratic stage.
 # --------------------------------------------------------------------------
-def _lsh_oracle() -> str:
+def lsh_oracle_cte_prefix() -> str:
+    """The shingle→minhash→band CTE chain (``sh``, ``mh``, ``sig``,
+    ``bands``) shared by every LSH-shaped oracle (dedup_minhash_lsh,
+    stream_cc_clusters) — ONE definition of the md5 signature/banding
+    scheme in SQL, mirroring the shared minhash_signature_df/
+    lsh_band_rows builders Spark-side, so the oracles cannot drift."""
     mh = ", ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
         for i in range(N_MINHASH)
@@ -281,11 +286,15 @@ def _lsh_oracle() -> str:
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sig" for b in range(N_BANDS)
     )
-    return f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    return f"""sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
     mh AS (SELECT doc_id, shingles, {mh} FROM sh),
     sig AS (SELECT *, {bands} FROM mh),
-    bands AS ({band_rows}),
+    bands AS ({band_rows})"""
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH {lsh_oracle_cte_prefix()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b

@@ -22,10 +22,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from deisa_ray_spark.functions.dedup import (
-    _SQL_SHINGLES,
     JACCARD_THRESHOLD,
-    N_BANDS,
-    N_MINHASH,
+    lsh_oracle_cte_prefix,
 )
 from deisa_ray_spark.registry import query
 
@@ -33,26 +31,8 @@ N_SHARDS = 3
 
 
 def _oracle() -> str:
-    mh = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh{i}"
-        for i in range(N_MINHASH)
-    )
-    rows = N_MINHASH // N_BANDS
-    bands = ", ".join(
-        "md5("
-        + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
-        + f") AS band{b}"
-        for b in range(N_BANDS)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sig"
-        for b in range(N_BANDS)
-    )
     return f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    mh AS (SELECT doc_id, shingles, {mh} FROM sh),
-    sig AS (SELECT *, {bands} FROM mh),
-    bands AS ({band_rows}),
+    WITH RECURSIVE {lsh_oracle_cte_prefix()},
     owners AS (
       SELECT band_id, band_key, min(doc_id) AS owner
       FROM bands GROUP BY band_id, band_key

@@ -17,32 +17,44 @@ State design (the union-find forest as two tables):
 - ``remap`` (comp, root) — FULLY PATH-COMPRESSED: every absorbed
   component id maps DIRECTLY to its current canonical root (never to
   another absorbed id), so resolution is labels ⟕ remap — exactly ONE
-  join hop, no iteration at read time. The table is rewritten
-  wholesale per batch (it is O(#merged components), orders smaller
-  than the corpus) via write-tmp + atomic swap.
+  join hop, no iteration at read time. It is wholesale-rewritten per
+  merging batch (O(#merged components), orders smaller than the
+  corpus) and published via ``state_io.publish_versioned``: new
+  version dir + atomic ``CURRENT``-pointer replace, so a crash at ANY
+  point leaves a complete version visible (old or new) — never a
+  missing table.
 
 Per batch: contract each edge's endpoints to their CURRENT roots (one
-join against the resolved labels), drop intra-component edges, run the
-diameter-bounded ``cc_labels`` on the remaining ROOT-level mini-graph
-(per-batch small — this is where incrementality wins: CC cost is
-O(batch), not O(history)), then append new nodes' claims and fold the
-root merges into the remap table.
+join against the resolved labels, persisted for the batch — the state
+table is O(history), so it must be scanned once per batch, not once
+per branch), drop intra-component edges, run the diameter-bounded
+``cc_labels`` on the remaining ROOT-level mini-graph (per-batch
+small — this is where incrementality wins: CC cost is O(batch), not
+O(history)), then append new nodes' claims and fold the root merges
+into the remap table.
 
-Crash/retry: labels appends may duplicate on a re-processed batch —
-``resolve()`` collapses them with a min-aggregate; the remap swap is
-atomic; re-running a batch against superset state recomputes the same
-(or already-applied) merges, so retries converge on the same
-resolution.
+Crash/retry: labels appends may duplicate or land PARTIALLY on a
+crashed batch — ``resolve()`` collapses duplicates with a
+min-aggregate, and the claims step covers every batch-touched new node
+even when its edges contract away against a partially-claimed peer
+(the replay hole a contracted-empty early-exit would leave). The remap
+publish is atomic; re-running a batch against superset state
+recomputes the same (or already-applied) merges, so retries converge
+on the same resolution.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from deisa_ray_spark.streaming.state_io import (
+    publish_versioned,
+    read_state_dir,
+    read_versioned,
+)
 
 LABELS_SCHEMA = "node bigint, comp bigint"
 REMAP_SCHEMA = "comp bigint, root bigint"
@@ -54,14 +66,7 @@ class IncrementalCC:
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
         self.spark = spark
         self.labels_dir = os.path.join(state_dir, "cc_labels")
-        self.remap_dir = os.path.join(state_dir, "cc_remap")
-
-    def _read(self, path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
-        ):
-            return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+        self.remap_root = os.path.join(state_dir, "cc_remap")
 
     # -- read side ---------------------------------------------------------
 
@@ -69,8 +74,8 @@ class IncrementalCC:
         """Current assignment ``(node, comp)`` with comp = min node id of
         the component — one join hop, duplicates from retried batches
         collapsed by the min-aggregate."""
-        labels = self._read(self.labels_dir, LABELS_SCHEMA)
-        remap = self._read(self.remap_dir, REMAP_SCHEMA)
+        labels = read_state_dir(self.spark, self.labels_dir, LABELS_SCHEMA)
+        remap = read_versioned(self.spark, self.remap_root, REMAP_SCHEMA)
         return (
             labels.join(remap, "comp", "left")
             .select("node", F.coalesce("root", "comp").alias("comp"))
@@ -85,84 +90,97 @@ class IncrementalCC:
         from deisa_ray_spark.functions.dedup import cc_labels, free_local_checkpoint
 
         edges = edges.select("doc_a", "doc_b").distinct().persist()
+        cur = None
+        new_nodes = None
+        groups = None
         try:
             if edges.head(1) == []:
                 return
-            cur = self.resolve()  # (node, comp) — current roots
-            ra = cur.select(
-                F.col("node").alias("doc_a"), F.col("comp").alias("_ra")
-            )
-            rb = cur.select(
-                F.col("node").alias("doc_b"), F.col("comp").alias("_rb")
-            )
-            contracted = (
+            # ONE materialized scan of the O(history) state per batch —
+            # it feeds three branches (ra, rb, the new-node anti-join)
+            cur = self.resolve().persist()
+            ra = cur.select(F.col("node").alias("doc_a"), F.col("comp").alias("_ra"))
+            rb = cur.select(F.col("node").alias("doc_b"), F.col("comp").alias("_rb"))
+            # every node this batch touches, contracted to its current
+            # root (own id when unseen)
+            touched = (
                 edges.join(ra, "doc_a", "left")
                 .join(rb, "doc_b", "left")
                 .select(
+                    F.col("doc_a").alias("na"),
+                    F.col("doc_b").alias("nb"),
                     F.coalesce("_ra", "doc_a").alias("ra"),
                     F.coalesce("_rb", "doc_b").alias("rb"),
                 )
-                .filter(F.col("ra") != F.col("rb"))
             )
+            node_roots = (
+                touched.select(F.col("na").alias("node"), F.col("ra").alias("root"))
+                .unionAll(
+                    touched.select(F.col("nb").alias("node"), F.col("rb").alias("root"))
+                )
+                .groupBy("node")
+                .agg(F.min("root").alias("root"))
+            )
+            contracted = touched.select("ra", "rb").filter(F.col("ra") != F.col("rb"))
             new_nodes = (
-                edges.select(F.col("doc_a").alias("node"))
-                .unionAll(edges.select(F.col("doc_b").alias("node")))
-                .distinct()
+                node_roots.select("node", "root")
                 .join(cur.select("node"), "node", "left_anti")
                 .persist()
             )
-            if contracted.head(1) == []:
-                # every edge connects two already-same-root nodes. A NEW
-                # node cannot occur here: its root is its own (unique)
-                # id, so any edge touching it contracts to a root merge.
-                new_nodes.unpersist()
-                return
-            # CC over the ROOT-level mini-graph (per-batch small)
-            groups = cc_labels(
-                contracted.select(
-                    F.col("ra").alias("doc_a"), F.col("rb").alias("doc_b")
-                )
-            )  # (id = old root, comp = new canonical root)
-            # new nodes: claim their final canonical id directly
-            claims = new_nodes.join(
-                groups, new_nodes.node == groups.id, "left"
-            ).select("node", F.coalesce("comp", "node").alias("comp"))
-            claims.write.mode("append").parquet(self.labels_dir)
-            # fold merges into the remap table, keeping it one-hop:
-            # every old entry pointing at an absorbed root re-targets
-            # the new canonical; absorbed roots gain direct entries
-            merges = groups.filter(F.col("id") != F.col("comp")).select(
-                F.col("id").alias("_old"), F.col("comp").alias("_new")
-            )
-            old_remap = self._read(self.remap_dir, REMAP_SCHEMA)
-            rewritten = (
-                old_remap.join(merges, old_remap.root == merges._old, "left")
-                .select("comp", F.coalesce("_new", "root").alias("root"))
-                .unionByName(
-                    merges.select(
-                        F.col("_old").alias("comp"), F.col("_new").alias("root")
+            if contracted.head(1) != []:
+                # CC over the ROOT-level mini-graph (per-batch small)
+                groups = cc_labels(
+                    contracted.select(
+                        F.col("ra").alias("doc_a"), F.col("rb").alias("doc_b")
                     )
+                )  # (id = old root, comp = new canonical root)
+                final = node_roots.join(
+                    groups, node_roots.root == groups.id, "left"
+                ).select("node", F.coalesce("comp", "root").alias("comp"))
+            else:
+                # no root merges — but batch-touched NEW nodes still
+                # need claims (e.g. a replay where a partial claims
+                # append made a new pair contract away, or a self-loop)
+                final = node_roots.select("node", F.col("root").alias("comp"))
+            claims = final.join(new_nodes.select("node"), "node", "left_semi")
+            if claims.head(1) != []:
+                claims.write.mode("append").parquet(self.labels_dir)
+            if groups is not None:
+                # fold merges into the remap table, keeping it one-hop:
+                # every old entry pointing at an absorbed root
+                # re-targets the new canonical; absorbed roots gain
+                # direct entries
+                merges = groups.filter(F.col("id") != F.col("comp")).select(
+                    F.col("id").alias("_old"), F.col("comp").alias("_new")
                 )
-                # a retried batch re-derives already-applied merges —
-                # keep one row per absorbed comp (min root is the
-                # canonical one by the min-merge invariant)
-                .groupBy("comp")
-                .agg(F.min("root").alias("root"))
-            )
-            self._swap_remap(rewritten)
-            new_nodes.unpersist()
-            # all consumers of the per-batch CC output have executed
-            # (claims append + remap swap) — release its checkpoint
-            # blocks instead of waiting on JVM GC
-            free_local_checkpoint(groups)
+                old_remap = read_versioned(
+                    self.spark, self.remap_root, REMAP_SCHEMA
+                )
+                rewritten = (
+                    old_remap.join(merges, old_remap.root == merges._old, "left")
+                    .select("comp", F.coalesce("_new", "root").alias("root"))
+                    .unionByName(
+                        merges.select(
+                            F.col("_old").alias("comp"), F.col("_new").alias("root")
+                        )
+                    )
+                    # a retried batch re-derives already-applied merges —
+                    # keep one row per absorbed comp (min root is the
+                    # canonical one by the min-merge invariant)
+                    .groupBy("comp")
+                    .agg(F.min("root").alias("root"))
+                )
+                self._swap_remap(rewritten)
         finally:
             edges.unpersist()
+            if cur is not None:
+                cur.unpersist()
+            if new_nodes is not None:
+                new_nodes.unpersist()
+            if groups is not None:
+                # all consumers executed (claims append + remap swap) —
+                # release the per-batch CC checkpoint blocks
+                free_local_checkpoint(groups)
 
     def _swap_remap(self, remap: DataFrame) -> None:
-        tmp = f"{self.remap_dir}.swap-{uuid.uuid4().hex[:8]}"
-        remap.write.mode("overwrite").parquet(tmp)
-        old = f"{self.remap_dir}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(self.remap_dir):
-            os.rename(self.remap_dir, old)
-        os.rename(tmp, self.remap_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        publish_versioned(remap, self.remap_root)

@@ -172,11 +172,9 @@ class IncrementalNearDup:
 
     @staticmethod
     def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
-        ):
-            return spark.read.schema(schema).parquet(path)
-        return spark.createDataFrame([], schema)
+        from deisa_ray_spark.streaming.state_io import read_state_dir
+
+        return read_state_dir(spark, path, schema)
 
     def _owners(self) -> DataFrame:
         return self._read_state(self.spark, self.owners_dir, OWNERS_SCHEMA)

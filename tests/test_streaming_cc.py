@@ -12,6 +12,7 @@ import pytest
 
 from deisa_ray_spark.functions.dedup import cc_labels
 from deisa_ray_spark.streaming.cc_incremental import REMAP_SCHEMA, IncrementalCC
+from deisa_ray_spark.streaming.state_io import CURRENT_MARKER, read_versioned
 
 # a graph that exercises chains, cross-shard merges, and late absorption
 # of a smaller id: (40,50) arrives before 10 connects to 40.
@@ -84,7 +85,7 @@ def test_remap_stays_one_hop(spark, tmp_path):
             cc.process_batch(
                 spark.createDataFrame(shard, "doc_a long, doc_b long"), i
             )
-    remap = cc._read(cc.remap_dir, REMAP_SCHEMA)
+    remap = read_versioned(spark, cc.remap_root, REMAP_SCHEMA)
     absorbed = {r.comp for r in remap.collect()}
     roots = {r.root for r in remap.collect()}
     assert not (roots & absorbed)
@@ -101,12 +102,13 @@ def test_intra_component_batch_is_a_noop(spark, tmp_path):
         spark.createDataFrame([(1, 3)], "doc_a long, doc_b long"), 1
     )
     assert _resolve_set(cc) == before
-    # the no-op batch must not have rewritten the remap table
-    mtimes_unchanged = os.path.getmtime(cc.remap_dir)
+    # the no-op batch must not have published a new remap version
+    marker = os.path.join(cc.remap_root, CURRENT_MARKER)
+    pointed_at = open(marker).read()
     cc.process_batch(
         spark.createDataFrame([(2, 3)], "doc_a long, doc_b long"), 2
     )
-    assert os.path.getmtime(cc.remap_dir) == mtimes_unchanged
+    assert open(marker).read() == pointed_at
 
 
 def test_canonical_is_min_id_even_when_small_id_arrives_late(spark, tmp_path):
@@ -183,4 +185,37 @@ def test_crash_between_claims_and_remap_recovers_on_retry(spark, tmp_path):
     # claims for node 10 may or may not have landed; remap did NOT.
     cc._swap_remap = real_swap
     cc.process_batch(crashing, 1)  # stream replays the batch
+    assert _resolve_set(cc) == {(10, 10), (40, 10), (50, 10)}
+
+
+def test_crash_inside_remap_publish_leaves_a_complete_table(spark, tmp_path):
+    """The swap itself is crash-atomic now: fail AFTER the new version
+    dir is written but BEFORE the CURRENT pointer moves — the old remap
+    stays fully visible, and replaying the batch converges."""
+    from deisa_ray_spark.streaming import state_io
+
+    cc = IncrementalCC(spark, str(tmp_path))
+    cc.process_batch(spark.createDataFrame([(40, 50)], "doc_a long, doc_b long"), 0)
+    before = _resolve_set(cc)
+    assert before == {(40, 40), (50, 40)}
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if os.path.basename(dst) == state_io.CURRENT_MARKER:
+            raise RuntimeError("injected crash mid-publish")
+        return real_replace(src, dst)
+
+    batch = spark.createDataFrame([(10, 40)], "doc_a long, doc_b long")
+    os.replace = boom
+    try:
+        with pytest.raises(RuntimeError, match="mid-publish"):
+            cc.process_batch(batch, 1)
+    finally:
+        os.replace = real_replace
+    # old remap version still fully readable — resolution did not lose
+    # the earlier merge, only the crashed batch's is missing
+    mid = dict(_resolve_set(cc))
+    assert mid[50] == 40  # pre-crash merge intact
+    cc.process_batch(batch, 1)  # stream replays
     assert _resolve_set(cc) == {(10, 10), (40, 10), (50, 10)}
