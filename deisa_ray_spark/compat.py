@@ -46,7 +46,11 @@ Timestep = Hashable
 #: (deisa/ray/errors.py). ContractError is this engine's own (same
 #: semantics); ConfigError mirrors the reference's
 #: mutated-after-lock config error for scripts that catch it.
-from deisa_ray_spark.errors import ContractError  # noqa: E402, F401
+from deisa_ray_spark.errors import (  # noqa: E402, F401
+    ConfigError,
+    ContractError,
+    default_exception_handler,
+)
 
 
 class ConfigError(RuntimeError):
@@ -105,20 +109,42 @@ class Deisa:
 
     # -- registration (reference window_handler.py:173-293) ---------------
 
-    def register(self, *specs: ArrayWindow | str, when: str = "AND"):
+    def register(
+        self,
+        *specs: ArrayWindow | str,
+        when: str = "AND",
+        exception_handler=None,
+    ):
         """Decorator form: ``@d.register("array")`` /
         ``@d.register(Window("a", 2), "b")``."""
 
         def deco(fn: Callable[..., None]) -> Callable[..., None]:
-            self.register_callback(fn, *specs, when=when)
+            self.register_callback(
+                fn, *specs, when=when, exception_handler=exception_handler
+            )
             return fn
 
         return deco
 
     def register_callback(
-        self, fn: Callable[..., None], *specs: ArrayWindow | str, when: str = "AND"
+        self,
+        fn: Callable[..., None],
+        *specs: ArrayWindow | str,
+        when: str = "AND",
+        exception_handler=None,
     ) -> Callable[..., None]:
-        self._pending.append(((fn, *specs), {"when": when}))
+        # reference default: print-and-continue (errors.py:27-42,
+        # window_handler.py:176) — a crashing migrated callback must not
+        # abort the run under compat. Timeout/Assertion still escalate
+        # (engine A10 policy runs before any handler). Pass an explicit
+        # handler to override; the NATIVE engine API keeps the stricter
+        # raise-by-default.
+        from deisa_ray_spark.errors import default_exception_handler
+
+        handler = exception_handler or default_exception_handler
+        self._pending.append(
+            ((fn, *specs), {"when": when, "exception_handler": handler})
+        )
         return fn
 
     # -- execution (reference window_handler.py:295-400) ------------------

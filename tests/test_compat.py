@@ -477,3 +477,50 @@ def test_cells_nd_distributed_surface(spark, tmp_path):
     d.execute_callbacks()
     assert out["n"] == 8 and out["sum"] == 28.0
     assert out["slabs"] == {0: 6.0, 1: 22.0}  # arange slabs 0-3 / 4-7
+
+
+def test_crashing_callback_prints_and_continues_under_compat(tmp_path, capfd):
+    """Reference default exception policy (errors.py:27-42,
+    window_handler.py:176): a callback raising an ordinary exception is
+    reported to stderr and the run CONTINUES — later timesteps still
+    dispatch. (The native engine API keeps raise-by-default; this is
+    compat-only.)"""
+    import numpy as np
+
+    from deisa_ray_spark import compat
+
+    transport = str(tmp_path / "transport")
+    md = {
+        "temperature": {
+            "global_shape": (2, 2),
+            "chunk_shape": (2, 2),
+            "chunk_position": (0, 0),
+        }
+    }
+    b = compat.Bridge(None, md, transport_dir=transport)
+    for t in range(3):
+        b.send("temperature", t * np.ones((2, 2)), t)
+    b.close(2)
+
+    seen = []
+
+    d = compat.Deisa(transport_dir=transport, checkpoint_dir=str(tmp_path / 'ck'))
+
+    @d.register("temperature")
+    def cb(temperature):
+        seen.append(temperature[-1].t)
+        if temperature[-1].t == 0:
+            raise ZeroDivisionError("boom at t=0")
+
+    d.execute_callbacks()
+    assert seen == [0, 1, 2]  # t=0 crashed, t=1/2 still ran
+    err = capfd.readouterr().err
+    assert "ZeroDivisionError" in err and "boom at t=0" in err
+
+
+def test_contract_error_message_attribute_matches_reference():
+    from deisa_ray_spark.compat import ConfigError, ContractError
+
+    e = ContractError()
+    assert e.message == "Contract not satisfied."
+    assert issubclass(ConfigError, RuntimeError)
