@@ -1354,3 +1354,70 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.sum((~F.col("is_exact")).cast("int")) * 0.01 + 1
         ).alias("bloom_fp_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_split_audit — the eval-integrity audit as DATA, not just a test:
+# count verified near-dup pairs by the (split_a, split_b) combination of
+# their endpoints under the leakage-safe assignment. The cross-split
+# rows (train,val) MUST be zero by construction — emitting the matrix
+# makes that provable to an auditor from the pipeline's own output (and
+# immediately flags any future regression in the assignment rule).
+#
+# Scale shape: the pair list is the (small) verified near-dup output;
+# two joins against the assignment on doc id + one tiny agg. Splits are
+# ordered (least, greatest) so the pair (train,val) cannot hide as
+# (val,train).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_split_audit",
+    oracle=f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    assign AS (
+      SELECT d.doc_id,
+             CASE WHEN substr(md5(cast(coalesce(c.comp, d.doc_id) AS VARCHAR)),
+                              1, 2) < '{VAL_HEX_LT}'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p
+    JOIN assign sa ON sa.doc_id = p.doc_a
+    JOIN assign sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = dedup_split_leakage_safe(spark, sf_dir).select("doc_id", "split")
+    pairs = _jaccard_pairs(spark, sf_dir)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
