@@ -618,3 +618,135 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_size",
         F.count(F.lit(1)).over(W.partitionBy("ahash_hi", "ahash_lo")).cast("bigint"),
     )
+
+
+# --------------------------------------------------------------------------
+# mm_keyframe_dedup — video-level near-dup audit by KEYFRAME hashes: the
+# composition video curation actually runs — scene-cut segmentation
+# picks keyframes (frame 0 + every cut), each keyframe gets an aHash,
+# and videos are compared by hash overlap. Re-encoded/trimmed copies of
+# a video share keyframe hashes without any frame-exact alignment —
+# the standard cheap video-dedup pass before embedding similarity.
+#
+# Scale shape: ONE Arrow-batched pass per video emits (media_id,
+# frame_idx, hash) rows — decode never leaves the Python batch; the
+# cross-video comparison is an equi-self-join on the 64-bit hash pair
+# (exact-dedup's fingerprint shuffle, no pairwise frame comparison).
+# --------------------------------------------------------------------------
+@query(
+    "mm_keyframe_dedup",
+    oracle="WITH " + _SQL_MEDIA + f"""
+    , diffs AS (
+      SELECT m.media_id, m.width, m.height, CAST(f.f AS INT) AS f,
+             avg(abs(
+               (m.media_id * 31 + f.f * m.width * m.height + p.p) % {FAKE_MOD}
+               - (m.media_id * 31 + (f.f - 1) * m.width * m.height + p.p)
+                 % {FAKE_MOD})) AS d
+      FROM media m
+      JOIN range(1, 8) f(f) ON f.f < m.n_frames
+      JOIN range(0, 4096) p(p) ON p.p < m.width * m.height
+      WHERE m.kind = 'video'
+      GROUP BY m.media_id, m.width, m.height, f.f
+    ),
+    kf AS (
+      SELECT media_id, width, height, 0 AS f
+      FROM media WHERE kind = 'video'
+      UNION ALL
+      SELECT media_id, width, height, f FROM diffs
+      WHERE d > {SCENE_CUT_THRESHOLD}
+    ),
+    samples AS (
+      SELECT k.media_id, k.f, i.i * 8 + j.j AS bit,
+             (k.media_id * 31 + k.f * k.width * k.height
+              + ((i.i * k.height) // 8) * k.width
+              + ((j.j * k.width) // 8)) % {FAKE_MOD} AS v
+      FROM kf k, range(0, 8) i(i), range(0, 8) j(j)
+    ),
+    mu AS (SELECT media_id, f, avg(v) AS mu FROM samples GROUP BY media_id, f),
+    hashes AS (
+      SELECT s.media_id, s.f,
+             CAST(sum(CASE WHEN s.bit < 32 AND s.v > mu.mu
+                           THEN power(2, s.bit) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN s.bit >= 32 AND s.v > mu.mu
+                           THEN power(2, s.bit - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM samples s JOIN mu USING (media_id, f)
+      GROUP BY s.media_id, s.f
+    ),
+    matches AS (
+      SELECT DISTINCT a.media_id, b.media_id AS other_id
+      FROM hashes a JOIN hashes b
+        ON a.hi = b.hi AND a.lo = b.lo AND a.media_id <> b.media_id
+    )
+    SELECT h.media_id,
+           CAST(count(*) AS BIGINT) AS n_keyframes,
+           CAST(count(DISTINCT (h.hi, h.lo)) AS BIGINT) AS n_distinct_hashes,
+           CAST((SELECT count(*) FROM matches mm
+                 WHERE mm.media_id = h.media_id) AS BIGINT) AS n_matched_videos
+    FROM hashes h
+    GROUP BY h.media_id
+    """,
+)
+def mm_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_df(spark).filter(F.col("kind") == "video")
+
+    def keyframe_hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, nf = r.meta["width"], r.meta["height"], r.meta["n_frames"]
+                vid = (
+                    np.frombuffer(r.payload, dtype=np.uint8)
+                    .reshape(nf, h, w)
+                    .astype(np.int32)
+                )
+                frames = [0] + [
+                    fi
+                    for fi in range(1, nf)
+                    if float(np.abs(vid[fi] - vid[fi - 1]).mean())
+                    > SCENE_CUT_THRESHOLD
+                ]
+                ri = (np.arange(8) * h) // 8
+                ci = (np.arange(8) * w) // 8
+                for fi in frames:
+                    s = vid[fi][np.ix_(ri, ci)].astype(np.float64)
+                    bits = (s > s.mean()).astype(np.int64).ravel()
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": fi,
+                            "lo": int((bits[:32] << np.arange(32, dtype=np.int64)).sum()),
+                            "hi": int((bits[32:] << np.arange(32, dtype=np.int64)).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    kf = media.mapInPandas(
+        keyframe_hashes,
+        schema="media_id bigint, frame_idx int, lo bigint, hi bigint",
+    )
+    a = kf.select("media_id", "hi", "lo")
+    b = kf.select(F.col("media_id").alias("other_id"), "hi", "lo")
+    matches = (
+        a.join(b, ["hi", "lo"])
+        .filter(F.col("media_id") != F.col("other_id"))
+        .select("media_id", "other_id")
+        .distinct()
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched_videos"))
+    )
+    return (
+        kf.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keyframes"),
+            F.countDistinct("hi", "lo").cast("bigint").alias("n_distinct_hashes"),
+        )
+        .join(matches, "media_id", "left")
+        .select(
+            "media_id",
+            "n_keyframes",
+            "n_distinct_hashes",
+            F.coalesce("n_matched_videos", F.lit(0)).cast("bigint").alias(
+                "n_matched_videos"
+            ),
+        )
+    )
