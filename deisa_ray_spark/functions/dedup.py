@@ -790,6 +790,34 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     return labels
 
 
+def cc_oracle_ctes() -> str:
+    """The verified-pair → recursive-CC CTE chain (``sh``, ``e``, ``p``,
+    ``edges``, ``nodes``, ``reach``, ``comps``) shared by every
+    clustering-shaped oracle (dedup_cluster_cc, dedup_split_leakage_safe,
+    dedup_split_audit) — ONE SQL definition of the pair extraction and
+    component computation, mirroring the shared _jaccard_pairs/cc_labels
+    builders Spark-side, so the oracles cannot drift."""
+    return f"""sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs ``(doc_a, doc_b)`` by shingle Jaccard ≥
     threshold — the shared edge list for clustering (dedup_cluster_cc)
@@ -816,26 +844,8 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_cc",
     oracle=f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
-             any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
-             >= {JACCARD_THRESHOLD}
-    ),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-              UNION SELECT doc_b, doc_a FROM p),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, comp) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
-    ),
-    comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id)
-    SELECT cluster_id, count(*) AS n_docs FROM comps GROUP BY cluster_id
+    WITH RECURSIVE {cc_oracle_ctes()}
+    SELECT comp AS cluster_id, count(*) AS n_docs FROM comps GROUP BY comp
     """,
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,25 +878,7 @@ VAL_HEX_LT = "29"  #: md5 first byte < 0x29 → 41/256 ≈ 16% validation
 @query(
     "dedup_split_leakage_safe",
     oracle=f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
-             any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
-             >= {JACCARD_THRESHOLD}
-    ),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-              UNION SELECT doc_b, doc_a FROM p),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, comp) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
-    ),
-    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+    WITH RECURSIVE {cc_oracle_ctes()}
     SELECT d.doc_id,
            CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
            CAST(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END AS INT)
@@ -1372,25 +1364,7 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_split_audit",
     oracle=f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
-             any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
-             >= {JACCARD_THRESHOLD}
-    ),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-              UNION SELECT doc_b, doc_a FROM p),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    reach(id, comp) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
-    ),
-    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    WITH RECURSIVE {cc_oracle_ctes()},
     assign AS (
       SELECT d.doc_id,
              CASE WHEN substr(md5(cast(coalesce(c.comp, d.doc_id) AS VARCHAR)),
@@ -1408,8 +1382,22 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    split = dedup_split_leakage_safe(spark, sf_dir).select("doc_id", "split")
-    pairs = _jaccard_pairs(spark, sf_dir)
+    # ONE materialization of the heavy pair extraction (checkpointed,
+    # lineage-truncated) feeds BOTH the cluster computation and the
+    # pair-level audit join — the shingle self-join is the dominant
+    # cost and must not run per branch.
+    pairs = _jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    comps = cc_labels(pairs).select(F.col("id").alias("doc_id"), "comp")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    split = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(cluster.cast("string")), 1, 2) < VAL_HEX_LT, "val"
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
     sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa"))
     sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb"))
     return (

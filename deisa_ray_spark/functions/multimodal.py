@@ -724,6 +724,10 @@ def mm_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyframe_hashes,
         schema="media_id bigint, frame_idx int, lo bigint, hi bigint",
     )
+    # kf feeds three branches (both self-join sides + the per-video
+    # agg): checkpoint so the decode+hash pass — the dominant cost —
+    # executes exactly once, honoring the one-Arrow-pass claim above
+    kf = kf.localCheckpoint(eager=True)
     a = kf.select("media_id", "hi", "lo")
     b = kf.select(F.col("media_id").alias("other_id"), "hi", "lo")
     matches = (
