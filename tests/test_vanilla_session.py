@@ -7,8 +7,8 @@ DuckDB oracles.
 
 Subset choice: every events/timestamp query shape (session timezone is
 the classic silent-divergence risk), plus one text and one embedding
-representative. The full 143-query vanilla sweep was run green on
-2026-08-14; this pins the property against regressions at ~1/10 the
+representative. The full vanilla sweep (150 queries at round-5 close) was run green
+on 2026-08-14; this pins the property against regressions at ~1/10 the
 cost. (Round-5 re-sweep 2026-08-14: the five new/changed queries —
 dsir, split_leakage, vocab_coverage, stream_cc, semantic_buckets — all
 vanilla-green; stream_cc_clusters joins the pinned subset as the new
