@@ -53,11 +53,9 @@ from deisa_ray_spark.errors import (  # noqa: E402, F401
 )
 
 
-class ConfigError(RuntimeError):
-    """Raised when configuration is mutated after it has been locked
-    (reference errors.py:20-23). This engine has no lockable global
-    config — the name exists so reference scripts' except clauses
-    continue to resolve."""
+# ConfigError (reference errors.py:20-23) is re-exported from errors.py
+# above — a single class, so except clauses catching either spelling
+# (compat.ConfigError / errors.ConfigError) see the same type.
 
 
 def _ambient_transport_dir(given: str | None) -> str:

@@ -16,8 +16,11 @@ lands under the driver's hash-checked gate, not just rows-only.
 
 from __future__ import annotations
 
+import glob
+import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,6 +31,36 @@ from deisa_ray_spark.functions.dedup import (
 from deisa_ray_spark.registry import query
 
 N_SHARDS = 3
+
+
+def stage_ordered_shards(docs: DataFrame, dest: str, n_shards: int) -> list[str]:
+    """Stage ``docs`` as ``n_shards`` doc_id-ordered parquet shard files
+    via a single DISTRIBUTED write — the corpus never touches the driver.
+
+    ``repartitionByRange(n, doc_id)`` range-partitions on the executors
+    (sampled boundaries; partition i holds strictly smaller doc_ids than
+    partition i+1), and the parquet writer emits one ``part-{i:05d}-*``
+    file per partition, so lexicographic file order IS doc_id-range
+    order. Batch-equivalence of the downstream processor holds for ANY
+    contiguous in-order sharding, so the sampled (non-deterministic)
+    boundaries are irrelevant to the oracle contract.
+
+    Spark's FileStreamSource delivers oldest-mtime-first; a single write
+    job can land all shard files inside one mtime granule, which on
+    coarse-clock filesystems would let two shards tie and arrive out of
+    order. Pin the contract explicitly: re-stamp each shard file with a
+    strictly increasing mtime in range order — O(n_shards) driver-side
+    METADATA calls, not data movement.
+
+    Returns the shard file paths in delivery order.
+    """
+    docs.repartitionByRange(n_shards, "doc_id").write.parquet(dest)
+    files = sorted(glob.glob(os.path.join(dest, "part-*")))
+    base = time.time()
+    for i, path in enumerate(files):
+        ts = base + i
+        os.utime(path, (ts, ts))
+    return files
 
 
 def _oracle() -> str:
@@ -74,16 +107,13 @@ def stream_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="stream_cc_")
     try:
-        docs = load_table(spark, sf_dir, "documents")
-        pdf = docs.select("doc_id", "text", "lang", "source", "n_chars").toPandas()
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        step = -(-len(pdf) // N_SHARDS)
-        for i in range(N_SHARDS):
-            shard = pdf.iloc[i * step : (i + 1) * step]
-            if len(shard):
-                spark.createDataFrame(shard).coalesce(1).write.parquet(
-                    f"{work}/src/shard={i}"
-                )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        # executor-side staging: one distributed range-partitioned write
+        # (the corpus never funnels through the driver), mtime-pinned
+        # shard delivery order
+        stage_ordered_shards(docs, f"{work}/src", N_SHARDS)
         proc = IncrementalNearDup(
             spark,
             f"{work}/state",
@@ -92,8 +122,10 @@ def stream_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cluster=True,
         )
         proc.run_available(f"{work}/src", f"{work}/ckpt")
-        # materialize before the temp state dir disappears
-        out = proc.clusters().collect()
-        return spark.createDataFrame(out or [], "node bigint, comp bigint")
+        # materialize EXECUTOR-side (localCheckpoint cuts the lineage to
+        # block-manager storage) before the temp state dir disappears —
+        # the driver never holds the rows; production runs would publish
+        # the state dir durably instead of tempdir+checkpoint
+        return proc.clusters().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

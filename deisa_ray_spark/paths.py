@@ -23,6 +23,7 @@ from __future__ import annotations
 import getpass
 import os
 import tempfile
+import time
 
 ENV_VAR = "SPARK_GRAFT_SCRATCH_DIR"
 
@@ -72,20 +73,37 @@ def publish_fingerprinted_dir(
     if not os.path.exists(os.path.join(out, "_STAGED_OK")):
         tmp = f"{out}.build-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp, exist_ok=True)
-        build(tmp)
-        if not os.path.exists(os.path.join(tmp, "_STAGED_OK")):
-            raise RuntimeError(f"build() left no _STAGED_OK marker in {tmp}")
+        try:
+            build(tmp)
+            if not os.path.exists(os.path.join(tmp, "_STAGED_OK")):
+                raise RuntimeError(
+                    f"build() left no _STAGED_OK marker in {tmp}"
+                )
+        except BaseException:
+            # a failed build must not leave an orphaned work dir behind
+            # (eviction deliberately skips live .build- dirs, so leaks
+            # here would accumulate unbounded)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, out)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+        now = time.time()
         for d in os.listdir(root_dir):
-            if (
-                d.startswith(f"{src_key}-")
-                and d != f"{src_key}-{fp_key}"
-                and ".build-" not in d
-            ):
-                shutil.rmtree(os.path.join(root_dir, d), ignore_errors=True)
+            full = os.path.join(root_dir, d)
+            if ".build-" in d:
+                # live concurrent builders are untouchable, but a
+                # crashed builder's dir (killed harder than an
+                # exception can catch) ages out after an hour
+                try:
+                    stale = now - os.path.getmtime(full) > 3600
+                except OSError:
+                    stale = False
+                if stale:
+                    shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith(f"{src_key}-") and d != f"{src_key}-{fp_key}":
+                shutil.rmtree(full, ignore_errors=True)
     return out
 
 

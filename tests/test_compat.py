@@ -524,3 +524,11 @@ def test_contract_error_message_attribute_matches_reference():
     e = ContractError()
     assert e.message == "Contract not satisfied."
     assert issubclass(ConfigError, RuntimeError)
+
+
+def test_config_error_is_one_class_across_modules():
+    # a local redefinition in compat would split the type — an except
+    # clause catching one spelling would miss raises of the other
+    from deisa_ray_spark import compat, errors
+
+    assert compat.ConfigError is errors.ConfigError

@@ -230,3 +230,42 @@ def test_streaming_split_assignment_is_leakage_safe(spark, tmp_path, nd_shard_di
         .count()
     )
     assert straddled == 0
+
+
+def test_stage_ordered_shards_is_distributed_and_ordered(spark, tmp_path):
+    """The stream_cc_clusters staging contract: (a) executor-side — the
+    query module contains no driver-funnel call (toPandas/collect in the
+    staging path); (b) shard files partition the corpus into contiguous
+    doc_id ranges in lexicographic file order; (c) mtimes strictly
+    increase in that order, so FileStreamSource's oldest-first delivery
+    cannot tie even on coarse-clock filesystems."""
+    import inspect
+
+    from deisa_ray_spark.operators import stream_cc_query
+    from deisa_ray_spark.operators.stream_cc_query import stage_ordered_shards
+
+    src = inspect.getsource(stream_cc_query)
+    assert "toPandas" not in src  # staging never funnels through the driver
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    dest = str(tmp_path / "shards")
+    files = stage_ordered_shards(docs, dest, 4)
+    assert len(files) >= 2
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    ranges = []
+    total = 0
+    for f in files:
+        part = spark.read.parquet(f)
+        n = part.count()
+        total += n
+        if n:
+            row = part.agg({"doc_id": "min"}).collect()[0][0], part.agg(
+                {"doc_id": "max"}
+            ).collect()[0][0]
+            ranges.append(row)
+    assert total == docs.count()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b  # contiguous, non-overlapping, ascending
