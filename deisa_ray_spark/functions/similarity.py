@@ -29,6 +29,8 @@ from deisa_ray_spark.sources.registry import load_table
 
 N_QUERIES = 5  #: vectors with vec_id < N_QUERIES are the query set
 TOP_K = 10
+IVF_PROBES = 4  #: coarse cells probed per query (multi-probe IVF)
+IVF_CELLS = 8  #: k for the learned (k-means) coarse quantizer
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,9 +87,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # sim_ivf_topk — IVF-style: per-cell centroid (cell = label), assign each
-# query to its nearest centroid, search ONLY that cell. Scan cost drops
-# from |corpus| to |cell| per query; recall vs brute force is the standard
-# IVF trade (verified in tests/test_similarity.py).
+# query to its IVF_PROBES nearest centroids (multi-probe), search only
+# those cells. Scan cost drops from |corpus| to P·|cell| per query;
+# P/n_cells is the recall-vs-scan dial (verified in
+# tests/test_similarity.py). Exact oracle: the probe set is
+# deterministic (rounded cosine, label tiebreak), so DuckDB reproduces
+# the full multi-probe result bit-for-bit.
 # --------------------------------------------------------------------------
 @query(
     "sim_ivf_topk",
@@ -112,7 +117,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY round(list_cosine_similarity(q.qe, cent.cvec), 6) DESC,
                           cent.label) AS rn
         FROM q CROSS JOIN cent
-      ) WHERE rn = 1
+      ) WHERE rn <= {IVF_PROBES}
     ),
     scored AS (
       SELECT a.qid, a.cell, c.vec_id AS neighbor_id,
@@ -149,7 +154,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= IVF_PROBES)
         .select("qid", "qe", F.col("label").alias("cell"))
     )
     scored = (
@@ -220,28 +225,53 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # kmeans_ivf_neighbors — real IVF: MLlib k-means learns the coarse
-# quantizer (k=8 cells, fixed seed), queries search only their nearest
-# cell. The declared twin `sim_kmeans_ivf_topk` wraps this in a recall
-# contract (the raw neighbor set depends on the fitted centroids, which
-# no SQL oracle can reproduce).
-# Scale: the fitted centroids are a broadcast table; assignment is a
-# narrow pass; per-query search scans |corpus|/k rows.
+# quantizer (k=8 cells, fixed seed); each query probes its IVF_PROBES
+# nearest cells (multi-probe — the standard recall lever: probe-1 on
+# near-uniform vectors measured ~0.36 recall@10, probe-4 ≥0.7). The
+# declared twin `sim_kmeans_ivf_topk` wraps this in a recall contract
+# (the raw neighbor set depends on the fitted centroids, which no SQL
+# oracle can reproduce).
+# Scale: the fitted centroids are a broadcast table (k rows — model
+# size, not data size); cell assignment of the corpus is one narrow
+# pass; per-query search scans ~|corpus|·P/k rows — P/k is the
+# recall-vs-scan dial, identical to FAISS nprobe.
 # --------------------------------------------------------------------------
-def kmeans_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_ivf_neighbors(
+    spark: SparkSession, sf_dir: str, n_probes: int = IVF_PROBES
+) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = _emb(spark, sf_dir)
     vecs = emb.withColumn("features", array_to_vector("e"))
-    km = KMeans(k=8, seed=42, maxIter=20).fit(vecs)
+    km = KMeans(k=IVF_CELLS, seed=42, maxIter=20).fit(vecs)
     assigned = km.transform(vecs).select("vec_id", "e", F.col("prediction").alias("cell"))
 
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("cell").alias("qcell")
+    # fitted centroids: k tiny rows — broadcast model state, so the
+    # probe ranking is a map-side cross of |Q| x k, never corpus-sized
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "pcell int, cvec array<double>",
     )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    # rank cells by the same metric k-means assigns with (squared L2),
+    # so probe-1 reproduces km.transform's assignment exactly
+    wp = W.partitionBy("qid").orderBy(
+        F.asc(_sq_dist(F.col("qe"), F.col("cvec"))), F.asc("pcell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probes)
+        .select("qid", "qe", "pcell")
+    )
+    # a neighbor lives in exactly one cell, so the probe equi-join
+    # yields each (qid, neighbor) at most once — no dedup stage needed
     scored = (
-        F.broadcast(q)
-        .join(assigned, (assigned.cell == q.qcell) & (assigned.vec_id != q.qid))
+        F.broadcast(probes)
+        .join(assigned, (assigned.cell == probes.pcell) & (assigned.vec_id != probes.qid))
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
@@ -370,7 +400,9 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 PQ_M = 8  #: subspaces
 PQ_K = 32  #: codes per subspace
-PQ_SHORTLIST = 50  #: ADC survivors re-ranked exactly
+PQ_SHORTLIST = 100  #: ADC survivors re-ranked exactly (re-rank depth
+#: is PQ's recall dial: 50 measured 0.60 recall@10 at sf0.1, 100
+#: measures 0.76 — still a bounded per-query shortlist at any corpus)
 PQ_TRAIN_N = 2000  #: bounded driver-side training sample
 
 
@@ -491,9 +523,10 @@ def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the quality contract as one hash-checkable row (the q42/q27
 # convention): every query answered, k results each, mean recall@k over
 # a pinned floor. The floors match tests/test_similarity_recall.py
-# (near-uniform embeddings are ANN's hardest case; measured means are
-# 0.36 IVF / 0.76 PQ at the driver's correctness SF — the floors hold
-# with 2-4× margin).
+# (near-uniform embeddings are ANN's hardest case; with IVF_PROBES=4
+# multi-probe and PQ_SHORTLIST=100, measured means across
+# sf0.001/0.01/0.1 are 0.92/0.86/0.74 IVF and 0.82/0.86/0.76 PQ — the
+# 0.6 floors hold with ≥1.2× margin at every SF).
 # --------------------------------------------------------------------------
 _RECALL_ORACLE = f"""
     SELECT count(*) AS n_queries, TRUE AS all_answered,
@@ -530,14 +563,14 @@ def _recall_contract(spark: SparkSession, sf_dir: str, approx: DataFrame,
 @query("sim_kmeans_ivf_topk", oracle=_RECALL_ORACLE)
 def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(
-        spark, sf_dir, kmeans_ivf_neighbors(spark, sf_dir), floor=0.1
+        spark, sf_dir, kmeans_ivf_neighbors(spark, sf_dir), floor=0.6
     )
 
 
 @query("sim_pq_topk", oracle=_RECALL_ORACLE)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(
-        spark, sf_dir, pq_adc_neighbors(spark, sf_dir), floor=0.2
+        spark, sf_dir, pq_adc_neighbors(spark, sf_dir), floor=0.6
     )
 
 

@@ -23,17 +23,36 @@ def _topk_sets(df, key="qid", val="neighbor_id"):
 
 
 def test_kmeans_ivf_recall_vs_bruteforce(spark):
+    from deisa_ray_spark.functions.similarity import IVF_PROBES
+
     exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
-    approx = _topk_sets(kmeans_ivf_neighbors(spark, SF_DIR))
+    ivf_df = kmeans_ivf_neighbors(spark, SF_DIR)
+    approx = _topk_sets(ivf_df)
     assert set(approx) == set(exact)  # every query answered
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     mean_recall = sum(recalls) / len(recalls)
     # embeddings are near-uniform (max cosine ~0.47) — the hardest case
-    # for IVF; searching 1 of 8 cells must still beat random (10/499)
-    assert mean_recall >= 0.1, f"mean recall {mean_recall:.3f}"
-    # and the scan was actually restricted to one cell
-    one = kmeans_ivf_neighbors(spark, SF_DIR).select("cell").distinct()
-    assert one.count() <= 5  # <= one cell per query
+    # for IVF; multi-probe (IVF_PROBES of 8 cells) measured 0.74-0.92
+    # across SFs, so 0.6 holds with margin
+    assert mean_recall >= 0.6, f"mean recall {mean_recall:.3f}"
+    # and the scan was actually restricted: each query's results come
+    # from at most IVF_PROBES distinct cells
+    import pyspark.sql.functions as F
+
+    per_q = (
+        ivf_df.groupBy("qid")
+        .agg(F.countDistinct("cell").alias("n_cells"))
+        .agg(F.max("n_cells"))
+        .collect()[0][0]
+    )
+    assert per_q <= IVF_PROBES
+
+    # probe-1 reproduces the classic single-cell IVF (the km.transform
+    # assignment): still answers every query and beats random
+    one = _topk_sets(kmeans_ivf_neighbors(spark, SF_DIR, n_probes=1))
+    assert set(one) == set(exact)
+    r1 = sum(len(exact[q] & one[q]) / len(exact[q]) for q in exact) / len(exact)
+    assert r1 >= 0.1, f"probe-1 recall {r1:.3f}"
 
 
 def test_rp_lsh_recall_vs_bruteforce(spark):
@@ -59,6 +78,6 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     assert all(len(v) == TOP_K for v in approx.values())
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     mean_recall = sum(recalls) / len(recalls)
-    # ADC shortlist (50 of ~500) + exact re-rank on near-uniform vectors:
-    # must decisively beat random draw of a shortlist (50/499 -> ~0.1)
-    assert mean_recall >= 0.2, f"mean recall {mean_recall:.3f}"
+    # ADC shortlist (PQ_SHORTLIST of the corpus) + exact re-rank on
+    # near-uniform vectors: measured 0.76-0.86 across SFs at depth 100
+    assert mean_recall >= 0.6, f"mean recall {mean_recall:.3f}"
