@@ -1,0 +1,248 @@
+"""Byte-pair-encoding tokenizer pair: ``txt_bpe_train`` (learn the
+top-K merge table from corpus pair frequencies) and ``txt_bpe_encode``
+(apply the merge table, per-document subword token stats). Subword
+tokenization is THE pre-training text primitive; these make it a
+first-class, oracle-checked operator rather than the whitespace
+approximation the rest of the txt_* family uses.
+
+Semantics: Sennrich-style BPE over word frequencies (public "Neural
+Machine Translation of Rare Words with Subword Units", 2016). Words are
+whitespace tokens restricted to ``^[a-z]+$`` of ``lower(text)`` (keeps
+the symbol alphabet clean so the \\x01 symbol separator can never occur
+inside a symbol); each word starts as its character sequence plus the
+``</w>`` end-of-word marker; each round merges the globally
+most-frequent adjacent symbol pair (count-weighted, ties broken by
+lexicographically smallest pair) simultaneously in every word, greedy
+left-to-right within a word.
+
+Oracle-expressibility: the merge rounds are deterministic, so K
+UNROLLED rounds are plain SQL. A word's symbol sequence is encoded as a
+single string with every symbol wrapped in \\x01 sentinels
+(``\\x01s1\\x01\\x01s2\\x01…``); one merge round is then a LITERAL
+``replace(s, ␁a␁␁b␁, ␁ab␁)`` — non-overlapping left-to-right literal
+replace has exactly BPE's greedy within-word semantics (a created
+symbol is strictly longer than its left part, so it can never re-match
+as the left element in the same pass), and the wrapping sentinels make
+a match align to whole symbols only. Both engines implement literal
+replace identically, so the oracle is exact. The DuckDB CTE chain is
+MATERIALIZED: each round references the previous one three times, and
+inlining would make the plan exponential in K.
+
+Scale: the corpus is touched exactly twice — one token-count pass
+(map-side partial agg) and one final encode join — while all K merge
+rounds run on the DISTINCT-WORD table (vocabulary grows sublinearly
+with corpus size; Heaps' law). Per round: one pair-explode + keyed agg
+over the vocab, one TakeOrdered(1) for the argmax, one broadcast of the
+1-row winner. Each round's vocab frame is localCheckpoint-ed (lineage
+otherwise triples per round — the cc_labels plan-doubling lesson) and
+the superseded round's blocks are freed. The encode join
+(corpus tokens ⋈ vocab) broadcasts the vocab below the threshold and
+falls back to a shuffle join with AQE skew-split above it — the same
+Zipf-skew posture as the TF-IDF/DSIR token joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.dedup import free_local_checkpoint
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+BPE_MERGES = 8  #: unrolled merge rounds (bounded: K ≪ distinct pairs)
+_SEP = "\x01"  #: symbol sentinel — impossible inside ^[a-z]+$ symbols
+_EOW = "</w>"  #: end-of-word marker symbol (Sennrich convention)
+WORD_RE = "^[a-z]+$"
+
+
+# --------------------------------------------------------------------------
+# shared oracle CTE chain
+# --------------------------------------------------------------------------
+def bpe_oracle_cte_prefix(k: int = BPE_MERGES) -> str:
+    """CTEs ``r0..r{k}`` (vocab with encoded symbol string per round)
+    and ``best1..best{k}`` (the round's winning pair). Caller wraps in
+    ``WITH {prefix} SELECT …``."""
+    rounds = []
+    for i in range(1, k + 1):
+        rounds.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT l[j] AS pa, l[j+1] AS pb, CAST(sum(cnt) AS BIGINT) AS pcnt
+      FROM (SELECT cnt, string_split(substring(s, 2, length(s)-2),
+                                     chr(1)||chr(1)) AS l FROM r{i-1}) t,
+           unnest(range(1, len(l))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    best{i} AS MATERIALIZED (
+      SELECT pa, pb, pcnt FROM p{i} ORDER BY pcnt DESC, pa, pb LIMIT 1
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT w, cnt,
+             replace(s,
+                     (SELECT chr(1)||pa||chr(1)||chr(1)||pb||chr(1)
+                      FROM best{i}),
+                     (SELECT chr(1)||pa||pb||chr(1) FROM best{i})) AS s
+      FROM r{i-1}
+    )""")
+    return (
+        """r0 AS MATERIALIZED (
+      SELECT w, cnt,
+             regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g')
+               || chr(1)||'</w>'||chr(1) AS s
+      FROM (SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)
+    ),"""
+        + ",".join(rounds)
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark implementation
+# --------------------------------------------------------------------------
+def _syms(s_col: str = "s"):
+    """Symbol array from the sentinel-wrapped string."""
+    return F.split(
+        F.expr(f"substring({s_col}, 2, length({s_col})-2)"), _SEP + _SEP
+    )
+
+
+def bpe_train_from_words(wf: DataFrame, k: int = BPE_MERGES):
+    """Run K merge rounds over a ``(w, cnt)`` word-frequency frame.
+    Returns ``(merges, vocab)``: the K-row merge table
+    ``(round, lhs, rhs, merged, pair_count)`` and the final vocab frame
+    ``(w, cnt, s)`` with each word's encoded symbol string."""
+    s0 = F.concat(
+        F.regexp_replace("w", "(.)", _SEP + "$1" + _SEP),
+        F.lit(_SEP + _EOW + _SEP),
+    )
+    cur = wf.select("w", "cnt", s0.alias("s")).localCheckpoint()
+    merges = None
+    for rnd in range(1, k + 1):
+        syms = _syms()
+        sz = F.size(syms)
+        pairs = (
+            cur.select(
+                "cnt",
+                F.slice(syms, 1, sz - 1).alias("la"),
+                F.slice(syms, 2, sz - 1).alias("lb"),
+            )
+            .select("cnt", F.explode(F.arrays_zip("la", "lb")).alias("p"))
+            .select(
+                "cnt", F.col("p.la").alias("pa"), F.col("p.lb").alias("pb")
+            )
+        )
+        best = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pa", "pb")
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("round"),
+                F.col("pa").alias("lhs"),
+                F.col("pb").alias("rhs"),
+                F.concat("pa", "pb").alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint()  # 1 row — the round's model update
+        )
+        merges = best if merges is None else merges.unionAll(best)
+        nxt = (
+            cur.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select(
+                "w",
+                "cnt",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(_SEP),
+                        F.col("lhs"),
+                        F.lit(_SEP + _SEP),
+                        F.col("rhs"),
+                        F.lit(_SEP),
+                    ),
+                    F.concat(
+                        F.lit(_SEP), F.col("lhs"), F.col("rhs"), F.lit(_SEP)
+                    ),
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+        free_local_checkpoint(cur)  # superseded round — never read again
+        cur = nxt
+    return merges, cur
+
+
+def _word_freq(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w").rlike(WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "txt_bpe_train",
+    oracle=f"""
+    WITH {bpe_oracle_cte_prefix()}
+    SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {i} AS round, pa AS lhs, pb AS rhs, pa||pb AS merged,"
+        f" pcnt AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    + ")",
+)
+def txt_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the BPE merge table: K rounds of count-weighted
+    most-frequent-adjacent-pair merging over the word-frequency table."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train_from_words(_word_freq(docs))
+    free_local_checkpoint(vocab)  # train only reports the merge table
+    return merges
+
+
+@query(
+    "txt_bpe_encode",
+    oracle=f"""
+    WITH {bpe_oracle_cte_prefix()},
+    enc AS (
+      SELECT w, len(string_split(substring(s, 2, length(s)-2),
+                                 chr(1)||chr(1))) AS n_tok
+      FROM r{BPE_MERGES}
+    ),
+    dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+           round(sum(n_tok) * 1.0 / count(*), 6) AS tokens_per_word
+    FROM dw JOIN enc USING (w)
+    GROUP BY doc_id
+    """,
+)
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table: per-document BPE token counts.
+    The vocab already carries each word's final symbol string, so
+    encoding is one broadcast join corpus-tokens ⋈ vocab — the corpus
+    is never re-scanned per merge round."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train_from_words(_word_freq(docs))
+    free_local_checkpoint(merges)  # encode only needs the vocab
+    enc = vocab.select("w", F.size(_syms()).alias("n_tok"))
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )

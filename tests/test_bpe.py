@@ -1,0 +1,111 @@
+"""BPE tokenizer semantics: the Spark merge rounds must equal a pure
+Python Sennrich-style reference (learn_bpe over word frequencies,
+greedy left-to-right within-word merge), including the edge cases the
+sentinel-replace encoding must get right (overlapping pairs, merged
+symbols re-matching as the RIGHT element but never the LEFT within a
+round, symbol-boundary alignment)."""
+
+from __future__ import annotations
+
+import re
+
+from deisa_ray_spark.functions.bpe import (
+    BPE_MERGES,
+    bpe_train_from_words,
+    txt_bpe_encode,
+    txt_bpe_train,
+)
+from deisa_ray_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+
+def _ref_bpe(word_freq: dict[str, int], k: int):
+    """Reference BPE: returns (merge list, final symbol lists)."""
+    words = {w: list(w) + ["</w>"] for w in word_freq}
+    merges = []
+    for rnd in range(1, k + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + word_freq[w]
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, a + b, c))
+        for w, syms in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges, words
+
+
+def _freq_df(spark, freqs: dict[str, int]):
+    return spark.createDataFrame(
+        [(w, c) for w, c in freqs.items()], "w string, cnt bigint"
+    )
+
+
+def _vocab_syms(vocab_df):
+    out = {}
+    for r in vocab_df.collect():
+        out[r["w"]] = r["s"].strip("\x01").split("\x01\x01")
+    return out
+
+
+def test_bpe_matches_reference_on_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    wf: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in r["text"].lower().split(" "):
+            if re.fullmatch(r"[a-z]+", w):
+                wf[w] = wf.get(w, 0) + 1
+    ref_merges, ref_words = _ref_bpe(wf, BPE_MERGES)
+
+    got = sorted(
+        tuple(r) for r in txt_bpe_train(spark, SF_DIR).collect()
+    )
+    assert got == sorted(ref_merges)
+
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in txt_bpe_encode(spark, SF_DIR).collect()
+    }
+    ref_ntok = {w: len(s) for w, s in ref_words.items()}
+    for r in docs.select("doc_id", "text").collect():
+        want = sum(
+            ref_ntok[w]
+            for w in r["text"].lower().split(" ")
+            if re.fullmatch(r"[a-z]+", w)
+        )
+        assert enc[r["doc_id"]] == want
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    # "aaaa" with dominant (a,a): greedy left-to-right gives [aa, aa],
+    # never the overlapping [a, aa, a] or a triple-merge
+    freqs = {"aaaa": 10, "ab": 1}
+    merges, vocab = bpe_train_from_words(_freq_df(spark, freqs), k=1)
+    m = merges.collect()[0]
+    assert (m["lhs"], m["rhs"], m["merged"]) == ("a", "a", "aa")
+    assert _vocab_syms(vocab)["aaaa"] == ["aa", "aa", "</w>"]
+
+
+def test_bpe_merged_symbol_matches_only_as_whole(spark):
+    # after (a,b)->ab, the 'a' inside "ab" must not re-match pair
+    # (a, x): sentinel wrapping aligns matches to whole symbols
+    freqs = {"aba": 10}
+    merges, vocab = bpe_train_from_words(_freq_df(spark, freqs), k=2)
+    got = [(m["lhs"], m["rhs"], m["merged"]) for m in merges.collect()]
+    ref, ref_words = _ref_bpe(freqs, 2)
+    assert got == [(a, b, ab) for _, a, b, ab, _ in ref]
+    assert _vocab_syms(vocab)["aba"] == ref_words["aba"]
+
+
+def test_bpe_tie_breaks_lexicographic(spark):
+    # equal counts: smallest (lhs, rhs) pair wins deterministically
+    freqs = {"xy": 3, "uv": 3}
+    merges, _ = bpe_train_from_words(_freq_df(spark, freqs), k=1)
+    m = merges.collect()[0]
+    assert (m["lhs"], m["rhs"]) == ("u", "v")
