@@ -46,6 +46,47 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and")
 
 
+#: head size for frequency-partitioned token joins (see
+#: hot_split_join) — top-K token types by corpus count; Zipf puts most
+#: occurrence MASS here while the head table itself stays tiny
+ZIPF_HOT_K = 1024
+
+
+def hot_split_join(
+    fact: DataFrame, dim: DataFrame, key: str, hot_by: str, n_hot: int | None = None
+) -> DataFrame:
+    """Frequency-partitioned inner equi-join for Zipf-skewed keys: the
+    top ``n_hot`` dim rows by ``hot_by`` (the head — where Zipf puts
+    most of the fact-side occurrence mass) join BROADCAST, so hot keys'
+    fact rows never enter a key shuffle; the remaining tail joins
+    normally over near-uniform keys.
+
+    Why not AQE skew-join: the dim side of every token join here is an
+    aggregation ON THE SAME KEY, so Catalyst co-partitions it with the
+    join — the dim side has no shuffle query stage, and
+    OptimizeSkewedJoin (which must split BOTH sides' shuffle stages)
+    can never fire on this shape, even with
+    ``forceOptimizeSkewedJoin`` (verified in tests/test_aqe_skew.py).
+    The split must be engineered, and frequency partitioning is the
+    classic fix: head = O(n_hot) broadcast rows, tail shuffle =
+    uniform by construction.
+
+    Exact for inner joins (head/tail partition the dim rows); the two
+    branches' union changes float summation order downstream, which the
+    round-to-6 discipline already absorbs."""
+    if n_hot is None:
+        n_hot = ZIPF_HOT_K
+    # dim is consumed three times (head TakeOrdered, anti-join, tail
+    # join) — materialize once instead of recomputing its upstream agg
+    # per consumer; vocab-sized, so the checkpoint is cheap at any SF.
+    # The fact side is deliberately NOT cached: two corpus scans are
+    # cheaper at scale than persisting the exploded token stream.
+    dim = dim.localCheckpoint()
+    hot = dim.orderBy(F.col(hot_by).desc(), key).limit(n_hot)
+    tail = dim.join(F.broadcast(hot.select(key)), key, "left_anti")
+    return fact.join(F.broadcast(hot), key).unionByName(fact.join(tail, key))
+
+
 def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
     """# tokens that are one of ``words`` (JVM-side filter on the array)."""
     arr = F.array(*[F.lit(w) for w in words])
@@ -315,13 +356,13 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
     dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    # No broadcast hint on df: the document-frequency table has
+    # No blanket broadcast hint on df: the document-frequency table has
     # vocabulary cardinality, which is unbounded on a 100 TB corpus.
-    # AQE picks broadcast when the measured size is small enough and
-    # falls back to a shuffle join when it isn't — the safe default.
+    # Instead the join is frequency-partitioned (hot_split_join): the
+    # top-ZIPF_HOT_K terms — where Zipf concentrates the tf rows —
+    # broadcast, the near-uniform tail shuffles.
     return (
-        tf.join(dl, "doc_id")
-        .join(df, "term")
+        hot_split_join(tf.join(dl, "doc_id"), df, "term", hot_by="df")
         .filter(F.col("doc_id") < 20)
         .select(
             "doc_id",
@@ -1108,11 +1149,13 @@ def txt_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: two vocabulary-sized partial-agg shuffles build the two
 # LMs (the raw LM covers the vocabulary, the target LM left-joins onto
-# it), AQE broadcasts the merged LM into the scoring join, and the
-# global top-K is ORDER BY+LIMIT → TakeOrderedAndProject (per-partition
-# top-K, no global sort), joined back broadcast. Selection is by ROUNDED
-# score with doc_id tiebreak, so the frontier is deterministic across
-# engines and partitionings.
+# it); the scoring join is frequency-partitioned (hot_split_join: the
+# Zipf head of the LM broadcasts, so hot tokens' occurrences never
+# enter a tok shuffle — AQE skew-split can't fire on this shape, see
+# the helper's docstring); the global top-K is ORDER BY+LIMIT →
+# TakeOrderedAndProject (per-partition top-K, no global sort), joined
+# back broadcast. Selection is by ROUNDED score with doc_id tiebreak,
+# so the frontier is deterministic across engines and partitionings.
 # --------------------------------------------------------------------------
 DSIR_TARGET_SOURCE = "src0"
 DSIR_SELECT_K = 60
@@ -1159,7 +1202,7 @@ def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt"), F.count(F.lit(1)).alias("v")
     )
     scored = (
-        toks.join(lm, "tok")
+        hot_split_join(toks, lm, "tok", hot_by="cr")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
