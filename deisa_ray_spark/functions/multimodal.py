@@ -754,3 +754,101 @@ def mm_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mm_caption_filter — image-text PAIR curation: the CLIP-score gate a
+# VLM data pipeline runs over (image, caption) pairs, composed with a
+# min-resolution gate from the media metadata, reported as per-source
+# yield. Pairing is by key (caption doc_id = media_id; image vector =
+# embeddings[media_id], caption vector = embeddings[media_id +
+# CAPTION_VEC_OFFSET]) — the row-aligned shape of a real pair table.
+#
+# Scale notes (100 TB): every join is a broadcast/equi join on the pair
+# key (media ⋈ captions ⋈ embeddings ×2) — never pairwise across the
+# corpus; the cosine is a JVM-side zip_with dot product; the yield
+# report is one partial-agg shuffle on source. The keep decision
+# compares the ROUNDED score (round-then-compare: both engines round
+# the same double, so the gate frontier is deterministic — the
+# dedup_embedding_cosine discipline).
+# --------------------------------------------------------------------------
+CAPTION_VEC_OFFSET = 100
+CLIP_MIN_SCORE = 0.0  #: keep pairs with rounded cosine >= this
+MIN_IMAGE_AREA = 128  #: and image width*height >= this
+
+
+@query(
+    "mm_caption_filter",
+    oracle="WITH " + _SQL_MEDIA + f"""
+    , pairs AS (
+      SELECT m.media_id, d.source,
+             m.width * m.height AS area,
+             round(list_cosine_similarity(iv.embedding::DOUBLE[],
+                                          cv.embedding::DOUBLE[]), 6)
+               AS clip_score
+      FROM media m
+      JOIN documents d ON d.doc_id = m.media_id
+      JOIN embeddings iv ON iv.vec_id = m.media_id
+      JOIN embeddings cv ON cv.vec_id = m.media_id + {CAPTION_VEC_OFFSET}
+      WHERE m.kind = 'image'
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN clip_score >= {CLIP_MIN_SCORE}
+                          AND area >= {MIN_IMAGE_AREA}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN clip_score >= {CLIP_MIN_SCORE}
+                           AND area >= {MIN_IMAGE_AREA}
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS kept_yield,
+           round(avg(clip_score), 6) AS avg_clip
+    FROM pairs GROUP BY source
+    """,
+)
+def mm_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style cross-modal curation: cosine-gate (image, caption)
+    pairs over stored embeddings + a metadata resolution gate, then the
+    per-source yield report a curation run is judged by."""
+    from deisa_ray_spark.functions.dedup import cosine_sim
+    from deisa_ray_spark.sources.registry import load_table
+
+    media = make_media_df(spark).filter(F.col("kind") == "image")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    iv = emb.select(F.col("vec_id").alias("media_id"), F.col("e").alias("ie"))
+    cv = emb.select(
+        (F.col("vec_id") - CAPTION_VEC_OFFSET).alias("media_id"),
+        F.col("e").alias("ce"),
+    )
+    pairs = (
+        F.broadcast(
+            media.select(
+                "media_id",
+                (F.col("meta.width") * F.col("meta.height")).alias("area"),
+            )
+        )
+        .join(docs, docs.doc_id == F.col("media_id"))
+        .join(iv, "media_id")
+        .join(cv, "media_id")
+        .select(
+            "media_id",
+            "source",
+            "area",
+            F.round(cosine_sim(F.col("ie"), F.col("ce")), 6).alias(
+                "clip_score"
+            ),
+        )
+    )
+    keep = (F.col("clip_score") >= CLIP_MIN_SCORE) & (
+        F.col("area") >= MIN_IMAGE_AREA
+    )
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+        F.round(F.sum(keep.cast("int")) / F.count(F.lit(1)), 6).alias(
+            "kept_yield"
+        ),
+        F.round(F.avg("clip_score"), 6).alias("avg_clip"),
+    )
