@@ -53,7 +53,12 @@ from deisa_ray_spark.sources.registry import load_table
 BPE_MERGES = 8  #: unrolled merge rounds (bounded: K ≪ distinct pairs)
 _SEP = "\x01"  #: symbol sentinel — impossible inside ^[a-z]+$ symbols
 _EOW = "</w>"  #: end-of-word marker symbol (Sennrich convention)
-WORD_RE = "^[a-z]+$"
+#: \A..\z, not ^..$: Java's $ (Spark rlike) matches before a trailing
+#: newline while RE2 (DuckDB) and re.fullmatch do not — a token
+#: "word\n" would otherwise enter the Spark-side vocab but not the
+#: oracle's. \A/\z mean end-of-TEXT in Java too, pinning the engines
+#: to identical acceptance.
+WORD_RE = r"\A[a-z]+\z"
 
 
 # --------------------------------------------------------------------------
@@ -77,11 +82,16 @@ def bpe_oracle_cte_prefix(k: int = BPE_MERGES) -> str:
       SELECT pa, pb, pcnt FROM p{i} ORDER BY pcnt DESC, pa, pb LIMIT 1
     ),
     r{i} AS MATERIALIZED (
+      -- CASE, not bare replace: an exhausted-pairs round has an empty
+      -- best{i}, whose scalar subqueries are NULL — the vocab must
+      -- pass through unchanged, not go NULL
       SELECT w, cnt,
-             replace(s,
-                     (SELECT chr(1)||pa||chr(1)||chr(1)||pb||chr(1)
-                      FROM best{i}),
-                     (SELECT chr(1)||pa||pb||chr(1) FROM best{i})) AS s
+             CASE WHEN EXISTS (SELECT 1 FROM best{i})
+                  THEN replace(s,
+                       (SELECT chr(1)||pa||chr(1)||chr(1)||pb||chr(1)
+                        FROM best{i}),
+                       (SELECT chr(1)||pa||pb||chr(1) FROM best{i}))
+                  ELSE s END AS s
       FROM r{i-1}
     )""")
     return (
@@ -148,24 +158,33 @@ def bpe_train_from_words(wf: DataFrame, k: int = BPE_MERGES):
             .localCheckpoint()  # 1 row — the round's model update
         )
         merges = best if merges is None else merges.unionAll(best)
+        # LEFT join on TRUE, not crossJoin: an exhausted-pairs round
+        # has an EMPTY best frame, and a cross join would annihilate
+        # the whole vocab — the left join keeps every word with NULL
+        # lhs/rhs, and the conditional passes s through unchanged
+        # (mirrors the oracle's CASE WHEN EXISTS)
         nxt = (
-            cur.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            cur.join(F.broadcast(best.select("lhs", "rhs")), F.lit(True), "left")
             .select(
                 "w",
                 "cnt",
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit(_SEP),
-                        F.col("lhs"),
-                        F.lit(_SEP + _SEP),
-                        F.col("rhs"),
-                        F.lit(_SEP),
-                    ),
-                    F.concat(
-                        F.lit(_SEP), F.col("lhs"), F.col("rhs"), F.lit(_SEP)
-                    ),
-                ).alias("s"),
+                F.when(F.col("lhs").isNull(), F.col("s"))
+                .otherwise(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(
+                            F.lit(_SEP),
+                            F.col("lhs"),
+                            F.lit(_SEP + _SEP),
+                            F.col("rhs"),
+                            F.lit(_SEP),
+                        ),
+                        F.concat(
+                            F.lit(_SEP), F.col("lhs"), F.col("rhs"), F.lit(_SEP)
+                        ),
+                    )
+                )
+                .alias("s"),
             )
             .localCheckpoint()
         )
@@ -228,15 +247,20 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vocab already carries each word's final symbol string, so
     encoding is one broadcast join corpus-tokens ⋈ vocab — the corpus
     is never re-scanned per merge round."""
+    from deisa_ray_spark.functions.text import hot_split_join
+
     docs = load_table(spark, sf_dir, "documents")
     merges, vocab = bpe_train_from_words(_word_freq(docs))
     free_local_checkpoint(merges)  # encode only needs the vocab
-    enc = vocab.select("w", F.size(_syms()).alias("n_tok"))
+    # frequency-partitioned join, not a blanket broadcast: the vocab is
+    # unbounded at corpus scale — the Zipf head (which carries most
+    # token occurrences) broadcasts, the near-uniform tail shuffles
+    enc = vocab.select("w", "cnt", F.size(_syms()).alias("n_tok"))
     dw = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
     return (
-        dw.join(F.broadcast(enc), "w")
+        hot_split_join(dw, enc, "w", hot_by="cnt")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

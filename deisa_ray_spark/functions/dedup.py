@@ -725,14 +725,20 @@ MAX_CC_ITERS = 25
 def free_local_checkpoint(df: DataFrame) -> None:
     """Release a ``localCheckpoint(eager=True)`` frame's cached blocks.
 
-    The blocks belong to the checkpointed RDD inside the frame's
-    ``LogicalRDD`` root — NOT to any plan reachable via ``toRdd`` (the
-    checkpoint call maps a copy). The frame is UNUSABLE afterwards
-    (lineage was truncated; the data is gone) — only call on frames
-    that will never be referenced again. Best-effort: failures (e.g. a
-    stopped session) are swallowed."""
+    The blocks belong to the checkpointed RDDs inside the frame's
+    ``LogicalRDD`` LEAVES — NOT to any plan reachable via ``toRdd``
+    (the checkpoint call maps a copy). Walking the leaves (rather than
+    assuming the root) also frees compositions of checkpointed frames,
+    e.g. a unionAll of per-round checkpoints. The frame is UNUSABLE
+    afterwards (lineage was truncated; the data is gone) — only call on
+    frames that will never be referenced again. Best-effort: failures
+    (e.g. a stopped session) are swallowed."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
     except Exception:
         pass
 

@@ -81,6 +81,12 @@ def hot_split_join(
     # per consumer; vocab-sized, so the checkpoint is cheap at any SF.
     # The fact side is deliberately NOT cached: two corpus scans are
     # cheaper at scale than persisting the exploded token stream.
+    # No deterministic free_local_checkpoint is possible here: the
+    # returned LAZY plan references these blocks, so they live until
+    # the caller's plan is dropped and the JVM GCs the RDD — acceptable
+    # because the footprint is one vocab-sized block set per call (the
+    # per-round BPE checkpoints, by contrast, are superseded IN the
+    # builder and freed there).
     dim = dim.localCheckpoint()
     hot = dim.orderBy(F.col(hot_by).desc(), key).limit(n_hot)
     tail = dim.join(F.broadcast(hot.select(key)), key, "left_anti")

@@ -46,6 +46,25 @@ def scratch_root(explicit: str | None = None) -> str:
     return root
 
 
+def _tree_newest_mtime(root: str) -> float:
+    """Newest mtime of ``root`` or anything under it; +inf (never
+    stale) when the tree vanishes or errors mid-walk — deletion must be
+    conservative."""
+    try:
+        newest = os.path.getmtime(root)
+        for dirpath, dirnames, filenames in os.walk(root):
+            for name in dirnames + filenames:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, name))
+                    )
+                except OSError:
+                    return float("inf")
+        return newest
+    except OSError:
+        return float("inf")
+
+
 def publish_fingerprinted_dir(
     root_dir: str,
     src_key: str,
@@ -95,12 +114,13 @@ def publish_fingerprinted_dir(
             if ".build-" in d:
                 # live concurrent builders are untouchable, but a
                 # crashed builder's dir (killed harder than an
-                # exception can catch) ages out after an hour
-                try:
-                    stale = now - os.path.getmtime(full) > 3600
-                except OSError:
-                    stale = False
-                if stale:
+                # exception can catch) ages out after an hour. Staleness
+                # is the NEWEST mtime anywhere in the tree: a builder
+                # writing into a nested subdir updates only that
+                # subdir's mtime, not the top dir's — keying on the top
+                # dir alone would rmtree a live long build out from
+                # under its builder.
+                if now - _tree_newest_mtime(full) > 3600:
                     shutil.rmtree(full, ignore_errors=True)
             elif d.startswith(f"{src_key}-") and d != f"{src_key}-{fp_key}":
                 shutil.rmtree(full, ignore_errors=True)

@@ -82,7 +82,6 @@ def test_token_join_skew_is_structural_not_aqe_fixable(spark, tmp_path):
     that structural fact so nobody "simplifies" hot_split_join away on
     the theory that AQE would handle it."""
     from deisa_ray_spark.sources.registry import load_table
-    import deisa_ray_spark.functions.text as T
 
     sf_dir = _zipf_docs(spark, tmp_path)
     old = {k: spark.conf.get(k, None) for k in _CONF}

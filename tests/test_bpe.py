@@ -109,3 +109,43 @@ def test_bpe_tie_breaks_lexicographic(spark):
     merges, _ = bpe_train_from_words(_freq_df(spark, freqs), k=1)
     m = merges.collect()[0]
     assert (m["lhs"], m["rhs"]) == ("u", "v")
+
+
+def test_bpe_survives_pair_exhaustion(spark):
+    # a vocab whose pairs run dry before k rounds: the empty best frame
+    # must pass the vocab through unchanged (a cross join would
+    # annihilate it), and train reports only the rounds that merged
+    freqs = {"ab": 5}
+    # round 1: (a,b) -> ab; round 2: (ab,</w>) -> ab</w>; round 3+: dry
+    merges, vocab = bpe_train_from_words(_freq_df(spark, freqs), k=5)
+    got = [(m["round"], m["merged"]) for m in merges.collect()]
+    assert got == [(1, "ab"), (2, "ab</w>")]
+    assert _vocab_syms(vocab)["ab"] == ["ab</w>"]
+
+
+def test_bpe_word_filter_rejects_trailing_newline(spark):
+    # Java's $ matches before a trailing \n (RE2/fullmatch do not);
+    # WORD_RE must pin Spark to the oracle's strict acceptance
+    freqs_df = spark.createDataFrame(
+        [("ab\n", 100), ("cd", 1)], "w string, cnt bigint"
+    )
+    from deisa_ray_spark.functions.bpe import WORD_RE
+    import pyspark.sql.functions as F
+
+    kept = [r["w"] for r in freqs_df.filter(F.col("w").rlike(WORD_RE)).collect()]
+    assert kept == ["cd"]
+
+
+def test_free_local_checkpoint_releases_union_of_checkpoints(spark):
+    from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    a = spark.range(10).localCheckpoint()
+    b = spark.range(20).localCheckpoint()
+    u = a.unionAll(b)
+    assert n_persistent() == base + 2
+    free_local_checkpoint(u)  # Union root: must walk to the leaves
+    assert n_persistent() == base
