@@ -236,37 +236,49 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pass; per-query search scans ~|corpus|·P/k rows — P/k is the
 # recall-vs-scan dial, identical to FAISS nprobe.
 # --------------------------------------------------------------------------
-def kmeans_ivf_neighbors(
-    spark: SparkSession, sf_dir: str, n_probes: int = IVF_PROBES
-) -> DataFrame:
+def _ivf_cells(spark: SparkSession, sf_dir: str):
+    """Fit the coarse quantizer; returns (assigned, cent): the corpus
+    with its cell assignment, and the fitted centroids as a tiny
+    broadcast-able frame (k rows — model state, not data size)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = _emb(spark, sf_dir)
     vecs = emb.withColumn("features", array_to_vector("e"))
     km = KMeans(k=IVF_CELLS, seed=42, maxIter=20).fit(vecs)
-    assigned = km.transform(vecs).select("vec_id", "e", F.col("prediction").alias("cell"))
-
-    # fitted centroids: k tiny rows — broadcast model state, so the
-    # probe ranking is a map-side cross of |Q| x k, never corpus-sized
+    assigned = km.transform(vecs).select(
+        "vec_id", "e", F.col("prediction").alias("cell")
+    )
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "pcell int, cvec array<double>",
     )
+    return assigned, cent
+
+
+def _ivf_probes(assigned: DataFrame, cent: DataFrame, n_probes: int) -> DataFrame:
+    """Per-query probe set ``(qid, qe, pcell)``: the n_probes nearest
+    cells by the same metric k-means assigns with (squared L2), so
+    probe-1 reproduces km.transform's assignment exactly."""
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
-    # rank cells by the same metric k-means assigns with (squared L2),
-    # so probe-1 reproduces km.transform's assignment exactly
     wp = W.partitionBy("qid").orderBy(
         F.asc(_sq_dist(F.col("qe"), F.col("cvec"))), F.asc("pcell")
     )
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cent))
         .withColumn("prn", F.row_number().over(wp))
         .filter(F.col("prn") <= n_probes)
         .select("qid", "qe", "pcell")
     )
+
+
+def kmeans_ivf_neighbors(
+    spark: SparkSession, sf_dir: str, n_probes: int = IVF_PROBES
+) -> DataFrame:
+    assigned, cent = _ivf_cells(spark, sf_dir)
+    probes = _ivf_probes(assigned, cent, n_probes)
     # a neighbor lives in exactly one cell, so the probe equi-join
     # yields each (qid, neighbor) at most once — no dedup stage needed
     scored = (
@@ -437,7 +449,13 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_neighbors(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
+    """PQ/ADC search. With ``cand`` (a ``(qid, vec_id)`` candidate
+    frame), ADC scoring is RESTRICTED to those pairs — the IVF+PQ
+    composition's hook (sim_ivf_pq_topk): the coarse quantizer bounds
+    the scan, PQ bounds the bytes per scanned row."""
     emb = _emb(spark, sf_dir)
     n_dim = len(emb.select("e").first()["e"])
     sub_dim = n_dim // PQ_M
@@ -481,12 +499,23 @@ def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtable = qsub.join(F.broadcast(cb), "m").select(
         "qid", "m", "code", _sq_dist(F.col("qsv"), F.col("cvec")).alias("pd")
     )
-    adc = (
-        codes.join(F.broadcast(dtable), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("pd").alias("adist"))
-    )
+    if cand is not None:
+        # IVF-restricted: pair candidates with their codes first, so
+        # ADC only ever touches |cand|·M code rows (never corpus × Q)
+        adc = (
+            cand.join(codes, "vec_id")
+            .join(F.broadcast(dtable), ["qid", "m", "code"])
+            .filter(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("pd").alias("adist"))
+        )
+    else:
+        adc = (
+            codes.join(F.broadcast(dtable), ["m", "code"])
+            .filter(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("pd").alias("adist"))
+        )
     wa = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("arank", F.row_number().over(wa))
@@ -571,6 +600,32 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(
         spark, sf_dir, pq_adc_neighbors(spark, sf_dir), floor=0.6
+    )
+
+
+def ivf_pq_neighbors(
+    spark: SparkSession, sf_dir: str, n_probes: int = IVF_PROBES
+) -> DataFrame:
+    """IVF+PQ composed — the FAISS-IVFPQ architecture and the actual
+    100 TB ANN serving shape: the learned coarse quantizer bounds WHICH
+    rows are scanned (~|corpus|·P/k), PQ codes bound the BYTES per
+    scanned row (M bytes vs d floats), ADC scores the candidates from a
+    broadcast distance table, and the exact re-rank touches only the
+    bounded shortlist."""
+    assigned, cent = _ivf_cells(spark, sf_dir)
+    probes = _ivf_probes(assigned, cent, n_probes)
+    cand = (
+        F.broadcast(probes.select("qid", "pcell"))
+        .join(assigned, assigned.cell == F.col("pcell"))
+        .select("qid", "vec_id")
+    )
+    return pq_adc_neighbors(spark, sf_dir, cand=cand)
+
+
+@query("sim_ivf_pq_topk", oracle=_RECALL_ORACLE)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_contract(
+        spark, sf_dir, ivf_pq_neighbors(spark, sf_dir), floor=0.5
     )
 
 
