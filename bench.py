@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "emb_whiten",
     "emb_cluster_stats",
     "mm_image_features",
+    "txt_bpe_encode",
+    "mm_caption_filter",
 ]
 
 
