@@ -685,8 +685,9 @@ def txt_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cheap stand-in for a KenLM-style perplexity filter.
 #
 # Scale shape: one explode + one (token) partial-agg shuffle builds the
-# LM (vocabulary-sized — AQE decides broadcast vs shuffle for the score
-# join, same policy as txt_tfidf), one (doc_id) agg scores. No Python.
+# LM (vocabulary-sized); the score join is frequency-partitioned
+# (hot_split_join — same Zipf posture as txt_tfidf/txt_dsir_weights),
+# one (doc_id) agg scores. No Python.
 # --------------------------------------------------------------------------
 @query(
     "txt_unigram_logprob",
@@ -708,7 +709,7 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = lm.agg(F.sum("c").alias("n"))
     return (
-        toks.join(lm, "tok")
+        hot_split_join(toks, lm, "tok", hot_by="c")
         .crossJoin(total)
         .groupBy("doc_id")
         .agg(
@@ -1197,13 +1198,16 @@ DSIR_SELECT_K = 60
 def txt_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "source", F.explode(_tokens()).alias("tok"))
-    lm_r = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
-    lm_t = (
-        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # both LMs in ONE keyed agg (conditional count), not two aggs + a
+    # left join: one corpus pass and one vocab shuffle instead of two
+    # of each — ct = 0 for raw-only tokens exactly as the join form's
+    # coalesce produced
+    lm = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, F.lit(1))
+        ).alias("ct"),
     )
-    lm = lm_r.join(lm_t, "tok", "left").fillna(0, ["ct"])
     tot = lm.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt"), F.count(F.lit(1)).alias("v")
     )
