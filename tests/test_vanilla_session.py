@@ -33,6 +33,11 @@ QUERIES = [
     "txt_token_stats",
     "emb_scalar_quantize",
     "stream_cc_clusters",
+    # round-6: eager per-round localCheckpoints + session-keyed model
+    # cache (bpe), and a recall contract over an MLlib-trained
+    # quantizer (ivf_pq) — the new most-environment-sensitive shapes
+    "txt_bpe_encode",
+    "sim_ivf_pq_topk",
 ]
 
 _SCRIPT = textwrap.dedent(
