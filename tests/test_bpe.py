@@ -28,6 +28,8 @@ def _ref_bpe(word_freq: dict[str, int], k: int):
         for w, syms in words.items():
             for a, b in zip(syms, syms[1:]):
                 pc[(a, b)] = pc.get((a, b), 0) + word_freq[w]
+        if not pc:  # every word fully merged — pairs exhausted
+            break
         (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((rnd, a, b, a + b, c))
         for w, syms in words.items():
@@ -134,6 +136,33 @@ def test_bpe_word_filter_rejects_trailing_newline(spark):
 
     kept = [r["w"] for r in freqs_df.filter(F.col("w").rlike(WORD_RE)).collect()]
     assert kept == ["cd"]
+
+
+def test_bpe_fuzz_matches_reference(spark):
+    """Property check: arbitrary word-frequency tables produce exactly
+    the reference merge table and final symbol sequences. Random-ish
+    but deterministic corpora (seeded), heavy on repeated substrings —
+    the regime where greedy-merge bugs hide."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abc"
+    for trial in range(6):
+        n_words = rng.randint(1, 12)
+        freqs = {}
+        for _ in range(n_words):
+            w = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 7))
+            )
+            freqs[w] = freqs.get(w, 0) + rng.randint(1, 9)
+        k = rng.randint(1, 6)
+        merges, vocab = bpe_train_from_words(_freq_df(spark, freqs), k=k)
+        ref_merges, ref_words = _ref_bpe(freqs, k)
+        got = sorted(tuple(m) for m in merges.collect())
+        assert got == sorted(ref_merges), (trial, freqs, got, ref_merges)
+        got_syms = _vocab_syms(vocab)
+        for w, syms in ref_words.items():
+            assert got_syms[w] == syms, (trial, w, freqs)
 
 
 def test_free_local_checkpoint_releases_union_of_checkpoints(spark):

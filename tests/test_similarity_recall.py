@@ -69,6 +69,25 @@ def test_ivf_pq_recall_vs_bruteforce(spark):
     assert mean_recall >= 0.5, f"mean recall {mean_recall:.3f}"
 
 
+def test_ivf_pq_probe_all_equals_plain_pq(spark):
+    """Consistency invariant of the composition: probing EVERY coarse
+    cell makes the IVF restriction a no-op, so the composed path must
+    reproduce plain PQ/ADC exactly (same shortlist, same re-ranked
+    rows) — pins the candidate-restricted ADC branch against the
+    unrestricted one."""
+    from deisa_ray_spark.functions.similarity import (
+        IVF_CELLS,
+        ivf_pq_neighbors,
+        pq_adc_neighbors,
+    )
+
+    full = sorted(
+        tuple(r) for r in ivf_pq_neighbors(spark, SF_DIR, n_probes=IVF_CELLS).collect()
+    )
+    plain = sorted(tuple(r) for r in pq_adc_neighbors(spark, SF_DIR).collect())
+    assert full == plain
+
+
 def test_rp_lsh_recall_vs_bruteforce(spark):
     exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
     approx = _topk_sets(QUERIES["sim_rp_lsh_topk"].fn(spark, SF_DIR))
