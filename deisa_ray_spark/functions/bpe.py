@@ -1,6 +1,7 @@
-"""Byte-pair-encoding tokenizer pair: ``txt_bpe_train`` (learn the
-top-K merge table from corpus pair frequencies) and ``txt_bpe_encode``
-(apply the merge table, per-document subword token stats). Subword
+"""Byte-pair-encoding tokenizer family: ``txt_bpe_train`` (learn the
+top-K merge table from corpus pair frequencies), ``txt_bpe_encode``
+(apply the merge table, per-document subword token stats), and
+``txt_bpe_vocab`` (the induced subword vocabulary artifact). Subword
 tokenization is THE pre-training text primitive; these make it a
 first-class, oracle-checked operator rather than the whitespace
 approximation the rest of the txt_* family uses.
@@ -36,9 +37,12 @@ over the vocab, one TakeOrdered(1) for the argmax, one broadcast of the
 1-row winner. Each round's vocab frame is localCheckpoint-ed (lineage
 otherwise triples per round — the cc_labels plan-doubling lesson) and
 the superseded round's blocks are freed. The encode join
-(corpus tokens ⋈ vocab) broadcasts the vocab below the threshold and
-falls back to a shuffle join with AQE skew-split above it — the same
-Zipf-skew posture as the TF-IDF/DSIR token joins.
+(corpus tokens ⋈ vocab) is frequency-partitioned (``hot_split_join``:
+Zipf head broadcast, near-uniform tail shuffled) — the same skew
+posture as the TF-IDF/DSIR token joins, because AQE's skew split
+cannot fire on agg-co-partitioned dim sides. The trained (merges,
+vocab) frames are cached per (session, sf_dir): a merge table is a
+model artifact a pipeline trains once and reuses.
 """
 
 from __future__ import annotations
@@ -289,5 +293,41 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias(
                 "tokens_per_word"
             ),
+        )
+    )
+
+
+@query(
+    "txt_bpe_vocab",
+    oracle=f"""
+    WITH {bpe_oracle_cte_prefix()},
+    syms AS (
+      SELECT w, cnt,
+             unnest(string_split(substring(s, 2, length(s)-2),
+                                 chr(1)||chr(1))) AS token
+      FROM r{BPE_MERGES}
+    )
+    SELECT token,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words_containing
+    FROM syms GROUP BY token
+    """,
+)
+def txt_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subword vocabulary the trained tokenizer induces: every
+    symbol surviving the K merges, with corpus occurrence counts and
+    word coverage — the exported artifact (vocab file) a training
+    pipeline consumes, and the input to tokenizer-budget decisions
+    (pairs with txt_vocab_coverage's Zipf ladder).
+
+    Scale: runs entirely on the cached trained vocab frame (word-level,
+    sublinear in corpus); one explode + one keyed partial agg."""
+    _merges, vocab = _bpe_trained(spark, sf_dir)
+    return (
+        vocab.select("w", "cnt", F.explode(_syms()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("w").cast("bigint").alias("n_words_containing"),
         )
     )
