@@ -1302,3 +1302,78 @@ def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rung if out is None else out.unionAll(rung)
     return out
+
+
+# --------------------------------------------------------------------------
+# txt_quality_classifier — model-based quality scoring: a hashed
+# bag-of-words LINEAR classifier (the fastText-style filter CCNet/LLaMA
+# pipelines run after the rule-based gates). Features are hashed token
+# ids (md5 → bucket, the same cross-engine hash idiom as samp_*);
+# weights are a FORMULA of the feature id (a deterministic stand-in for
+# trained weights — swap in a broadcast weight table for a real model),
+# so inference is a PURE MAP: explode → per-token weight expression →
+# per-doc agg → sigmoid. Zero joins, zero Python — the cheapest
+# possible 100 TB plan shape (one doc-key partial-agg shuffle), and the
+# keep decision is round-then-compare so the frontier is deterministic
+# across engines.
+# --------------------------------------------------------------------------
+QC_DIM = 4096  #: hashed feature space
+QC_MULT = 2654435761  #: Knuth multiplicative constant for the weights
+QC_MOD = 1000003
+QC_KEEP_PROB = 0.5
+
+
+@query(
+    "txt_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {QC_DIM}
+               AS fid
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, any_value(source) AS source,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             round(avg((fid * {QC_MULT}) % {QC_MOD}
+                       * 1.0 / {QC_MOD} - 0.5), 6) AS logit
+      FROM feats GROUP BY doc_id
+    )
+    SELECT doc_id, source, n_feats, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           CAST(round(1.0 / (1.0 + exp(-logit)), 6) >= {QC_KEEP_PROB}
+                AS INT) AS kept
+    FROM scored
+    """,
+)
+def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality-classifier inference over every document:
+    mean feature weight → sigmoid probability → keep gate. The logit is
+    ROUNDED before the sigmoid and the probability rounded before the
+    gate, so both engines make identical keep decisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    fid = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % QC_DIM
+    )
+    weight = (fid * QC_MULT) % QC_MOD / F.lit(float(QC_MOD)) - 0.5
+    scored = (
+        docs.select("doc_id", "source", F.explode(_tokens()).alias("tok"))
+        .select("doc_id", "source", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.round(F.avg("w"), 6).alias("logit"),
+        )
+    )
+    prob = F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 6)
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_feats",
+        "logit",
+        prob.alias("prob"),
+        (prob >= QC_KEEP_PROB).cast("int").alias("kept"),
+    )
