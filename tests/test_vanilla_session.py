@@ -7,12 +7,13 @@ DuckDB oracles.
 
 Subset choice: every events/timestamp query shape (session timezone is
 the classic silent-divergence risk), plus one text and one embedding
-representative. The full vanilla sweep (150 queries at round-5 close) was run green
-on 2026-08-14; this pins the property against regressions at ~1/10 the
-cost. (Round-5 re-sweep 2026-08-14: the five new/changed queries —
-dsir, split_leakage, vocab_coverage, stream_cc, semantic_buckets — all
-vanilla-green; stream_cc_clusters joins the pinned subset as the new
-most-environment-sensitive shape: streaming state + session caches.)
+representative. The full vanilla sweep (156 queries at round-6 close,
+every one value-exact against its oracle, zero rows-only) was run
+green on 2026-08-14; this pins the property against regressions at
+~1/10 the cost. (Round-6: txt_bpe_encode and sim_ivf_pq_topk join the
+pinned subset — eager per-round checkpoints + session model cache, and
+an MLlib-trained quantizer under a recall contract, are the new
+most-environment-sensitive shapes.)
 """
 
 from __future__ import annotations
