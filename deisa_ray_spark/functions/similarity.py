@@ -1057,3 +1057,174 @@ def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(F.avg(err * err), 9).alias("mse"))
     )
+
+
+# --------------------------------------------------------------------------
+# sim_hybrid_rrf_topk — hybrid retrieval: BM25 lexical search + dense
+# cosine search fused with reciprocal-rank fusion (the standard RAG
+# serving shape; RRF per Cormack et al. 2009). Query set = the first
+# N_QUERIES documents (their token sets), corpus = every document;
+# the dense side runs over the stored embeddings (id-aligned subset —
+# a realistic partially-covered dense index).
+#
+# Scale shape: the query term set is tiny → broadcast into the corpus
+# token stream (one equi-join + one (qid, doc) partial agg — BM25
+# never materializes a doc×doc product); df/dl are single partial-agg
+# shuffles; the dense side is the brute-force baseline (broadcast
+# queries × corpus scan; the IVF/PQ paths are the scale variants);
+# fusion full-outer-joins two TOP-K tables (bounded: Q×k rows each).
+# Every ranking key is ROUNDED with doc_id tiebreaks, so both engines
+# produce identical lists at every stage.
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+@query(
+    "sim_hybrid_rrf_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterms AS (SELECT DISTINCT doc_id AS qid, term FROM toks
+               WHERE doc_id < {N_QUERIES}),
+    bm25 AS (
+      SELECT q.qid, t.doc_id,
+             round(sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * t.tf * ({BM25_K1} + 1.0)
+                       / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                          + {BM25_B} * dl.dl / s.avgdl))), 6) AS bm25
+      FROM qterms q
+      JOIN tf t USING (term)
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.doc_id <> q.qid
+      GROUP BY q.qid, t.doc_id
+    ),
+    lex AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM bm25 QUALIFY lex_rank <= {TOP_K}
+    ),
+    dense AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, doc_id) AS dense_rank
+      FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 6)
+                 AS cosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) QUALIFY dense_rank <= {TOP_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.qid, d.qid) AS qid,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             CAST(l.lex_rank AS INT) AS lex_rank,
+             CAST(d.dense_rank AS INT) AS dense_rank,
+             round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+                   + coalesce(1.0 / ({RRF_K} + d.dense_rank), 0), 6)
+               AS rrf_score
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.qid = d.qid AND l.doc_id = d.doc_id
+    )
+    SELECT qid, doc_id, lex_rank, dense_rank, rrf_score,
+           CAST(fused_rank AS INT) AS fused_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf_score DESC, doc_id) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= {TOP_K}
+    """,
+)
+def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense-cosine retrieval with reciprocal-rank
+    fusion: per query, the top-k union of both modalities ranked by
+    summed reciprocal ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        toks.filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bm25 = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(dft, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    w_lex = W.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm25.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= TOP_K)
+        .select("qid", "doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    w_dense = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    dense = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+        .withColumn("dense_rank", F.row_number().over(w_dense))
+        .filter(F.col("dense_rank") <= TOP_K)
+        .select("qid", "doc_id", F.col("dense_rank").cast("int").alias("dense_rank"))
+    )
+    fused = (
+        lex.join(dense, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w_f = W.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "qid",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            "rrf_score",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )
