@@ -1228,3 +1228,100 @@ def sim_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("int").alias("fused_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# emb_mrl_recall_curve — Matryoshka serving-dimension analytics: for a
+# ladder of prefix dimensions, recall@k of prefix-cosine retrieval vs
+# the full-dimension exact top-k. The curve a serving-dim budget
+# decision reads (the MRL counterpart of txt_vocab_coverage's Zipf
+# ladder), and the measured justification for sim_mrl_rerank_topk's
+# coarse-to-fine split.
+#
+# Scale shape: each rung is the brute-force baseline restricted to the
+# first d components (broadcast queries × one corpus scan reading d/64
+# of the vector bytes when the prefix table is stored — see
+# mrl_prefix_table); the rung outputs are TOP-K tables (Q×k rows), so
+# the recall join is bounded. Ladder unions are independent branches.
+# Determinism: rounded cosines + vec_id tiebreaks at every rung.
+# --------------------------------------------------------------------------
+MRL_LADDER = (4, 8, 16, 32, 64)
+
+
+def _mrl_rung_oracle(d: int) -> str:
+    return f"""
+      SELECT {d} AS prefix_dim, qid, neighbor_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_cosine_similarity(
+                   (q.embedding::DOUBLE[])[1:{d}],
+                   (c.embedding::DOUBLE[])[1:{d}]), 6) DESC,
+                 c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rank <= {TOP_K}"""
+
+
+@query(
+    "emb_mrl_recall_curve",
+    oracle=f"""
+    WITH rungs AS ({" UNION ALL ".join(_mrl_rung_oracle(d) for d in MRL_LADDER)}),
+    exact AS (SELECT qid, neighbor_id FROM rungs WHERE prefix_dim = {MRL_LADDER[-1]})
+    SELECT prefix_dim,
+           CAST(count(DISTINCT r.qid) AS BIGINT) AS n_queries,
+           round(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / ({N_QUERIES} * {TOP_K}), 6) AS recall_at_k
+    FROM rungs r LEFT JOIN exact e
+      ON e.qid = r.qid AND e.neighbor_id = r.neighbor_id
+    GROUP BY prefix_dim
+    """,
+)
+def emb_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of prefix-dim cosine retrieval vs the full-dim exact
+    top-k, for each rung of the Matryoshka ladder."""
+    emb = _emb(spark, sf_dir)
+    rungs = None
+    for d in MRL_LADDER:
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.slice("e", 1, d).alias("qe")
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        rung = (
+            F.broadcast(q)
+            .crossJoin(emb)
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    cosine_sim(F.col("qe"), F.slice("e", 1, d)), 6
+                ).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(F.lit(d).alias("prefix_dim"), "qid", "neighbor_id")
+        )
+        rungs = rung if rungs is None else rungs.unionAll(rung)
+    # rename BOTH exact columns: rungs and exact share lineage (a
+    # self-join), so an un-renamed qid would resolve ambiguously and
+    # the post-join qid could be exact's (NULL on misses)
+    exact = rungs.filter(F.col("prefix_dim") == MRL_LADDER[-1]).select(
+        F.col("qid").alias("e_qid"), F.col("neighbor_id").alias("hit_id")
+    )
+    return (
+        rungs.join(
+            exact,
+            (F.col("qid") == F.col("e_qid"))
+            & (F.col("neighbor_id") == F.col("hit_id")),
+            "left",
+        )
+        .groupBy("prefix_dim")
+        .agg(
+            F.countDistinct("qid").cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.when(F.col("hit_id").isNotNull(), 1).otherwise(0))
+                / F.lit(float(N_QUERIES * TOP_K)),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
