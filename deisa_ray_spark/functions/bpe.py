@@ -331,3 +331,47 @@ def txt_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("w").cast("bigint").alias("n_words_containing"),
         )
     )
+
+
+@query(
+    "txt_bpe_fertility",
+    oracle=f"""
+    WITH {bpe_oracle_cte_prefix()},
+    enc AS (
+      SELECT w, len(string_split(substring(s, 2, length(s)-2),
+                                 chr(1)||chr(1))) AS n_tok
+      FROM r{BPE_MERGES}
+    ),
+    dw AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+           round(sum(n_tok) * 1.0 / count(*), 6) AS fertility
+    FROM dw JOIN enc USING (w)
+    GROUP BY lang
+    """,
+)
+def txt_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per word) BY LANGUAGE — the
+    standard multilingual tokenizer-fairness report: a vocab trained on
+    a skewed mix over-segments under-represented languages, and this is
+    the table that shows it. Same cached trained vocab + hot-split
+    encode join as txt_bpe_encode, aggregated on the lang key."""
+    from deisa_ray_spark.functions.text import hot_split_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = _bpe_trained(spark, sf_dir)
+    enc = vocab.select("w", "cnt", F.size(_syms()).alias("n_tok"))
+    dw = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    return (
+        hot_split_join(dw, enc, "w", hot_by="cnt")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias("fertility"),
+        )
+    )
