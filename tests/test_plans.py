@@ -581,3 +581,53 @@ def test_mrl_coarse_scan_reads_only_stored_prefix(spark):
     # the wide column is read by at most the two cheap roles
     emb_scans = [l for l in read_schemas if "embedding" in l]
     assert 1 <= len(emb_scans) <= 2, read_schemas
+
+
+def test_quality_classifier_pure_map_plan(spark):
+    """Model-based quality scoring is a PURE MAP + one doc-key agg:
+    zero joins, zero Python-eval nodes; exactly the two exchanges of a
+    partial→final aggregate."""
+    import re
+
+    plan = plan_of(spark, "txt_quality_classifier")
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    shuffles = re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.M)
+    assert len(shuffles) <= 1, f"classifier grew to {len(shuffles)} shuffles"
+
+
+def test_caption_filter_all_equi_broadcast(spark):
+    """Cross-modal pair curation joins by KEY only: broadcast hash
+    joins, never a nested-loop/cartesian pairwise stage."""
+    plan = plan_of(spark, "mm_caption_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hybrid_rrf_no_doc_by_doc_product(spark):
+    """BM25's lexical side must pair queries with candidates through the
+    TERM equi-join (query terms broadcast into the token stream) — the
+    only nested-loop allowed is the dense side's deliberate
+    broadcast-queries × corpus baseline scan and the 1-row stats cross."""
+    import re
+
+    plan = plan_of(spark, "sim_hybrid_rrf_topk")
+    assert "CartesianProduct" not in plan
+    # lexical path: hash joins keyed on term exist (formatted mode
+    # lists keys in the detail block, not on the node line)
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"Left keys \[1\]: \[term#", plan), "no term-keyed join"
+    # fused ranks come from bounded top-k inputs: WindowGroupLimit
+    # prunes each partition to k rows before the rank shuffles
+    assert "WindowGroupLimit" in plan
+
+
+def test_hot_split_join_plan_shape(spark):
+    """The frequency-partitioned token join: the head joins via
+    BroadcastHashJoin and the tail via a non-broadcast join, unioned —
+    pinned on txt_tfidf so a regression to a single unsplit join (or a
+    blanket broadcast of the unbounded dim) fails here."""
+    plan = plan_of(spark, "txt_tfidf")
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan
