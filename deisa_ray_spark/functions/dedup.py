@@ -1415,3 +1415,51 @@ def dedup_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_stats — the dedup-audit table operators actually read
+# before shipping a corpus: near-dup cluster-size distribution
+# (singletons included as size-1 clusters), with per-size doc counts
+# and corpus fractions. Answers "how much of the corpus is duplicated,
+# and is there a mega-cluster?" — the mega-cluster check is the classic
+# pre-dedup sanity gate (boilerplate pages collapse millions of docs
+# into one component and keep-one-per-cluster would delete them all).
+#
+# Scale shape: CC runs on the (tiny) verified-pair edge list; the
+# corpus-sized work is one left equi-join against the cluster map +
+# two keyed partial aggs. Output is bounded by the number of DISTINCT
+# cluster sizes (≤ a few hundred at any corpus size).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {cc_oracle_ctes()},
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+    ),
+    sizes AS (SELECT cluster, count(*) AS sz FROM assigned GROUP BY cluster)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           round(sum(sz) * 1.0 / (SELECT count(*) FROM documents), 6)
+             AS pct_of_corpus
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_total = docs.count()  # scalar corpus size, not a row collect
+    comps = cc_labels(_jaccard_pairs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "comp"
+    )
+    assigned = docs.join(comps, "doc_id", "left").select(
+        F.coalesce("comp", "doc_id").alias("cluster")
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.round(F.sum("sz") / F.lit(float(n_total)), 6).alias("pct_of_corpus"),
+    )
