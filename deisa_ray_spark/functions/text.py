@@ -18,6 +18,7 @@ skew); nothing collects to the driver.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from deisa_ray_spark.registry import query
@@ -716,6 +717,90 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("nll"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_ccnet_buckets — CCNet-style perplexity bucketing: per language,
+# split documents into head / middle / tail terciles of unigram-LM NLL
+# (head = most fluent) and report the per-bucket census — the table a
+# curation run reads to decide which perplexity band to keep per
+# language. Bucket assignment is INTEGER-EXACT (rn*3 vs n over the
+# (nll, doc_id) total order), so no engine quantile semantics are
+# involved and ties cannot diverge between engines.
+#
+# Scale shape: the LM build + doc scoring is txt_unigram_logprob's
+# shape (one vocab shuffle, hot-split token join, one doc agg); the
+# tercile needs a per-LANGUAGE ranking — a sort partitioned by the
+# handful of language keys. At 100 TB the documented swap is CCNet's
+# own: learn the two NLL cut points per language on a sample
+# (approx_percentile), then assign by comparison — one map-side pass,
+# no ranking. The report output is bounded (|langs| × 3 rows).
+# --------------------------------------------------------------------------
+@query(
+    "txt_ccnet_buckets",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT sum(c) AS n FROM lm),
+    scored AS (
+      SELECT toks.doc_id,
+             count(*) AS n_tokens,
+             round(avg(-ln(lm.c * 1.0 / total.n)), 6) AS nll
+      FROM toks JOIN lm USING (tok) CROSS JOIN total
+      GROUP BY toks.doc_id
+    ),
+    ranked AS (
+      SELECT d.lang, s.n_tokens, s.nll,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY s.nll, s.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS n
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(nll), 6) AS nll_min,
+           round(max(nll), 6) AS nll_max,
+           round(avg(nll), 6) AS nll_mean
+    FROM ranked GROUP BY lang, bucket
+    """,
+)
+def txt_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        hot_split_join(toks, lm, "tok", hot_by="c")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("nll"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy("nll", "doc_id")
+    ranked = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("lang")))
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.min("nll"), 6).alias("nll_min"),
+        F.round(F.max("nll"), 6).alias("nll_max"),
+        F.round(F.avg("nll"), 6).alias("nll_mean"),
     )
 
 
