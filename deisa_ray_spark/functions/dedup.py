@@ -1463,3 +1463,87 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("bigint").alias("n_docs"),
         F.round(F.sum("sz") / F.lit(float(n_total)), 6).alias("pct_of_corpus"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_source_overlap — cross-source contamination audit: for every pair
+# of sources, how much of their distinct word-3-gram shingle vocabulary is
+# shared (Jaccard + containment). This is the table a data-mixing run
+# reads BEFORE combining corpora — a high-containment pair means one
+# source is largely a re-crawl of the other and its mixture weight is
+# double-counting.
+#
+# Scale shape: shingle explode → ONE distinct-agg shuffle on
+# (source, shingle); the self-join keys on the shingle and each shingle
+# appears at most |sources| times after the distinct, so the join fan-out
+# is bounded by |sources|² per key — never O(docs²). Output is
+# |sources|² rows. The distinct projection is materialized once
+# (localCheckpoint) because both the per-source census and the pair join
+# consume it; at 100 TB the same move is writing it to a staging table,
+# exactly as _shingle_sets stages the per-doc shingle lists.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT d.source, unnest(sh.shingles) AS s
+        FROM sh JOIN documents d USING (doc_id))
+    ),
+    n AS (SELECT source, count(*) AS n_sh FROM e GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(na.n_sh AS BIGINT) AS n_a, CAST(nb.n_sh AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6)
+             AS jaccard,
+           round(n_common * 1.0 / least(na.n_sh, nb.n_sh), 6)
+             AS containment
+    FROM common
+    JOIN n na ON na.source = common.source_a
+    JOIN n nb ON nb.source = common.source_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        sh.join(docs, "doc_id")
+        .select("source", F.explode("shingles").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = e.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    common = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6).alias("jaccard"),
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+    )
