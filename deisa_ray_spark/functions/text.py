@@ -721,6 +721,69 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# txt_bigram_logprob — bigram-LM fluency scoring: fit c(w1 w2) / c(w1 ·)
+# on the corpus itself and report each document's mean bigram NLL — one
+# tier above txt_unigram_logprob (order-sensitive: scrambled text scores
+# high NLL that a unigram LM cannot see). No smoothing is needed because
+# the LM is fit on the corpus being scored, so every observed bigram has
+# c2 ≥ 1 — the KenLM-style held-out variant is this plan plus a backoff
+# CASE, same shape.
+#
+# Scale shape: bigrams come from two aligned slices zipped per row (no
+# window over a global token order — the per-doc sort a lead()-based
+# form would need); ONE vocab²-bounded agg shuffle builds the LM; the
+# context totals come from the LM table itself (vocab-side agg + join,
+# both bounded by distinct-bigram count, never corpus-sized); the
+# corpus-sized scoring join is hot-split (Zipf head broadcast + uniform
+# tail shuffle), exactly as the unigram family.
+# --------------------------------------------------------------------------
+@query(
+    "txt_bigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM t
+    ),
+    lm2 AS (SELECT bg, count(*) AS c2 FROM e GROUP BY bg),
+    lm1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+            FROM lm2 GROUP BY w1),
+    lm AS (SELECT bg, c2, c1
+           FROM lm2 JOIN lm1 ON string_split(lm2.bg, ' ')[1] = lm1.w1)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(c2 * 1.0 / c1)), 6) AS bigram_nll
+    FROM e JOIN lm USING (bg)
+    GROUP BY e.doc_id
+    """,
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    ln = F.greatest(F.size(toks) - 1, F.lit(0))
+    bgs = F.zip_with(
+        F.slice(toks, 1, ln),
+        F.slice(toks, 2, ln),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    e = docs.select("doc_id", F.explode(bgs).alias("bg"))
+    lm2 = e.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    lm1 = lm2.groupBy(w1.alias("w1")).agg(F.sum("c2").alias("c1"))
+    lm = lm2.withColumn("w1", w1).join(lm1, "w1").select("bg", "c2", "c1")
+    return (
+        hot_split_join(e, lm, "bg", hot_by="c2")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 6).alias("bigram_nll"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # txt_ccnet_buckets — CCNet-style perplexity bucketing: per language,
 # split documents into head / middle / tail terciles of unigram-LM NLL
 # (head = most fluent) and report the per-bucket census — the table a
