@@ -1547,3 +1547,99 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common") / F.least("n_a", "n_b"), 6).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_recall_audit — LSH tuning audit: bucket every shared-shingle
+# pair by its exact Jaccard decile and report what fraction of each decile
+# the banded MinHash candidate generation catches. This is the table that
+# justifies (or re-tunes) the N_MINHASH/N_BANDS choice before a full-corpus
+# run: recall should be ~1 above the threshold decile and fall off below
+# it (the LSH S-curve, measured rather than assumed).
+#
+# Decile assignment is INTEGER-EXACT: (10 * n_common) div (na + nb -
+# n_common) over integer counts, so no float boundary can diverge between
+# engines. The exact pairwise stage is the audit's ground truth — like
+# dedup_ngram_jaccard it is O(shared-shingle pairs) and meant for a
+# sampled audit slice at 100 TB, while the candidate side reuses the
+# banded O(n) pipeline (shared session-cached signature/band tables, so
+# the audit adds one left join over the pair set, not a recompute).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH {lsh_oracle_cte_prefix()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT (10 * t.n_common) // (t.na + t.nb - t.n_common) AS bucket,
+             c.doc_a IS NOT NULL AS caught
+      FROM truth t
+      LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           round(bucket / 10.0, 1) AS jaccard_lo,
+           CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           round(sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS recall
+    FROM marked GROUP BY bucket
+    """,
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
+    bands = _session_cached(
+        spark,
+        "lsh_bands",
+        sf_dir,
+        lambda: lsh_band_rows(
+            minhash_signature_df(
+                sh.select("doc_id", F.explode("shingles").alias("s"))
+            )
+        ),
+        eager=True,
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("caught", F.lit(True))
+    )
+    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
+    truth = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    marked = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.expr("10 * n_common div (na + nb - n_common)").alias("bucket"),
+        F.coalesce("caught", F.lit(False)).alias("caught"),
+    )
+    return marked.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.round(F.first("bucket") / 10.0, 1).alias("jaccard_lo"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum(F.when(F.col("caught"), 1).otherwise(0)).cast("bigint").alias("n_caught"),
+        F.round(
+            F.sum(F.when(F.col("caught"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )

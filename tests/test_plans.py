@@ -631,3 +631,47 @@ def test_hot_split_join_plan_shape(spark):
     plan = plan_of(spark, "txt_tfidf")
     assert "Union" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ccnet_buckets_hot_split_and_jvm_side(spark):
+    """Perplexity bucketing keeps the unigram family's scale shape: the
+    corpus-sized token join stays frequency-partitioned (Union of head
+    broadcast + tail shuffle) and the whole plan is JVM expressions —
+    the only nested-loop is the 1-row LM-total cross."""
+    plan = plan_of(spark, "txt_ccnet_buckets")
+    assert "Union" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_logprob_hot_split_and_jvm_side(spark):
+    """Bigram scoring: no window over a global token order (the zip-slice
+    form), hot-split corpus join, zero Python-eval, zero nested-loop."""
+    plan = plan_of(spark, "txt_bigram_logprob")
+    assert "Union" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the global-window anti-shape would appear as a partition-less Window
+    assert "Window" not in plan
+
+
+def test_source_overlap_equi_join_only(spark):
+    """Cross-source overlap: the pair stage keys on the SHINGLE (per-key
+    fan-out bounded by |sources|) — never a source×source document
+    product — and the census joins broadcast."""
+    plan = plan_of(spark, "dedup_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_recall_audit_equi_joins_only(spark):
+    """The recall audit composes three equi-keyed stages (band bucket
+    join, shared-shingle truth join, pair-key left join) — no pairwise
+    product anywhere, and no Python in the plan."""
+    plan = plan_of(spark, "dedup_lsh_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
