@@ -205,3 +205,94 @@ def samp_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
         F.round(F.min("keep_rate"), 6).alias("keep_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# samp_epoch_shuffle — deterministic per-epoch global shuffle order: the
+# training-delivery primitive ("give every worker a different, stable
+# permutation of the corpus each epoch"). The permutation key is
+# md5(epoch || '|' || doc_id), so the order is reproducible across runs
+# and cluster sizes and differs per epoch.
+#
+# Scale shape: NO global sort / global window. The key's first hex char
+# assigns one of 16 balanced shards; rank within (epoch, shard) is a
+# hash-partitioned window; global position = broadcast per-shard offset
+# + within-shard rank — the explicit form of what a distributed sort's
+# range partitioner does, with the offsets surfaced so delivery can
+# stream shard-by-shard. At 100 TB raise the shard fan-out to
+# O(executors) by keying on more hex chars; every stage stays
+# one-pass.
+# --------------------------------------------------------------------------
+EPOCHS = 2
+SHUFFLE_SHARDS = 16
+
+
+@query(
+    "samp_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(cast(e.epoch AS VARCHAR) || '|'
+                 || cast(d.doc_id AS VARCHAR)) AS k
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({EPOCHS})) AS epoch) e
+    ),
+    sharded AS (
+      SELECT epoch, doc_id, k,
+             instr('0123456789abcdef', substr(k, 1, 1)) - 1 AS shard_id
+      FROM keyed
+    ),
+    within AS (
+      SELECT epoch, doc_id, shard_id,
+             row_number() OVER (PARTITION BY epoch, shard_id
+                                ORDER BY k, doc_id) AS r
+      FROM sharded
+    ),
+    counts AS (SELECT epoch, shard_id, count(*) AS c
+               FROM sharded GROUP BY epoch, shard_id),
+    offsets AS (
+      SELECT epoch, shard_id,
+             sum(c) OVER (PARTITION BY epoch ORDER BY shard_id
+                          ROWS UNBOUNDED PRECEDING) - c AS off
+      FROM counts
+    )
+    SELECT CAST(w.epoch AS INT) AS epoch, w.doc_id,
+           CAST(w.shard_id AS BIGINT) AS shard_id,
+           CAST(o.off + w.r AS BIGINT) AS pos
+    FROM within w JOIN offsets o USING (epoch, shard_id)
+    """,
+)
+def samp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = spark.range(EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(ep)).withColumn(
+        "k",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit("|"), F.col("doc_id").cast("string")
+            )
+        ),
+    )
+    sharded = keyed.withColumn(
+        "shard_id", F.conv(F.substring("k", 1, 1), 16, 10).cast("bigint")
+    )
+    within = sharded.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("epoch", "shard_id").orderBy("k", "doc_id")
+        ),
+    )
+    counts = sharded.groupBy("epoch", "shard_id").agg(F.count(F.lit(1)).alias("c"))
+    offsets = counts.withColumn(
+        "off",
+        F.sum("c").over(
+            W.partitionBy("epoch").orderBy("shard_id").rowsBetween(W.unboundedPreceding, 0)
+        )
+        - F.col("c"),
+    ).select("epoch", "shard_id", "off")
+    return within.join(F.broadcast(offsets), ["epoch", "shard_id"]).select(
+        "epoch",
+        "doc_id",
+        "shard_id",
+        (F.col("off") + F.col("r")).cast("bigint").alias("pos"),
+    )

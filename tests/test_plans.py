@@ -675,3 +675,14 @@ def test_lsh_recall_audit_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """The epoch permutation must never serialize through one reducer:
+    the big window hash-partitions on (epoch, shard_id) and no stage
+    runs on SinglePartition; the only nested-loop is the bounded
+    2-row epoch broadcast."""
+    plan = plan_of(spark, "samp_epoch_shuffle")
+    assert "hashpartitioning(epoch" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
