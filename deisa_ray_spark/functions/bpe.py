@@ -211,8 +211,11 @@ def _word_freq(docs: DataFrame) -> DataFrame:
 #: trains it once and reuses it everywhere, so repeated constructions
 #: (train + encode declared queries, the bench's 3 builds per query)
 #: reuse one set of checkpointed frames instead of re-running the K
-#: training rounds. Publishing a new key evicts other entries and
-#: frees their checkpoint blocks.
+#: training rounds. Eviction only DROPS the cache's reference — earlier
+#: callers may still hold the returned frames, and (unlike unpersist on
+#: a lineage-recomputable persist) free_local_checkpoint would destroy
+#: them irrecoverably; the ContextCleaner reclaims the checkpoint
+#: blocks once the last reference is garbage-collected.
 _BPE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
@@ -221,9 +224,7 @@ def _bpe_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     hit = _BPE_CACHE.get(key)
     if hit is None:
         for k in [k for k in _BPE_CACHE if k != key]:
-            old_merges, old_vocab = _BPE_CACHE.pop(k)
-            free_local_checkpoint(old_merges)
-            free_local_checkpoint(old_vocab)
+            _BPE_CACHE.pop(k)
         docs = load_table(spark, sf_dir, "documents")
         hit = bpe_train_from_words(_word_freq(docs))
         _BPE_CACHE[key] = hit

@@ -224,6 +224,32 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(spark, "shingles", sf_dir, build, eager=True)
 
 
+def shared_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs sharing ≥1 shingle, with exact intersection
+    counts: ``(doc_a, doc_b, n_common, na, nb)``, doc_a < doc_b. The ONE
+    definition of the exact pairwise ground truth — consumed by
+    dedup_ngram_jaccard, the CC edge list (_jaccard_pairs), and the LSH
+    recall audit, so their pair semantics cannot drift."""
+    sh = _shingle_sets(spark, sf_dir)
+    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+
+
+def _jaccard_of_pair() -> Column:
+    return F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+
+
 # --------------------------------------------------------------------------
 # dedup_ngram_jaccard — exact pairwise Jaccard over word-3-gram shingle
 # sets, candidate pairs = docs sharing ≥1 shingle. This is the ground-truth
@@ -247,17 +273,8 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_sets(spark, sf_dir)
-    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
-    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
-    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"), F.first("na").alias("na"), F.first("nb").alias("nb"))
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    pairs = shared_shingle_pairs(spark, sf_dir)
+    jac = _jaccard_of_pair()
     return pairs.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
     )
@@ -828,21 +845,9 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs ``(doc_a, doc_b)`` by shingle Jaccard ≥
     threshold — the shared edge list for clustering (dedup_cluster_cc)
     and leakage-safe splitting (dedup_split_leakage_safe)."""
-    sh = _shingle_sets(spark, sf_dir)
-    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
-    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
-    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
-        .filter(jac >= JACCARD_THRESHOLD)
+        shared_shingle_pairs(spark, sf_dir)
+        .filter(_jaccard_of_pair() >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
 
@@ -1450,7 +1455,9 @@ def dedup_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n_total = docs.count()  # scalar corpus size, not a row collect
+    # corpus size as a lazy 1-row aggregate crossed in (the oracle's
+    # scalar subquery), not an eager driver-side count() at plan-build
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
     comps = cc_labels(_jaccard_pairs(spark, sf_dir)).select(
         F.col("id").alias("doc_id"), "comp"
     )
@@ -1458,10 +1465,19 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("comp", "doc_id").alias("cluster")
     )
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
-    return sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-        F.sum("sz").cast("bigint").alias("n_docs"),
-        F.round(F.sum("sz") / F.lit(float(n_total)), 6).alias("pct_of_corpus"),
+    return (
+        sizes.groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(total)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("pct_of_corpus"),
+        )
     )
 
 
@@ -1618,19 +1634,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("caught", F.lit(True))
     )
-    e = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("s"))
-    a = e.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "s")
-    b = e.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "s")
-    truth = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
-    )
+    truth = shared_shingle_pairs(spark, sf_dir)
     marked = truth.join(cand, ["doc_a", "doc_b"], "left").select(
         F.expr("10 * n_common div (na + nb - n_common)").alias("bucket"),
         F.coalesce("caught", F.lit(False)).alias("caught"),

@@ -236,10 +236,26 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pass; per-query search scans ~|corpus|·P/k rows — P/k is the
 # recall-vs-scan dial, identical to FAISS nprobe.
 # --------------------------------------------------------------------------
+#: session-keyed trained-quantizer cache (the _BPE_CACHE discipline): a
+#: fitted coarse quantizer is a MODEL artifact a pipeline trains once —
+#: without the cache each construction of sim_kmeans_ivf_topk /
+#: sim_ivf_pq_topk (3× per bench query, plus recall tests) re-runs the
+#: eager 20-iteration k-means fit. Eviction only drops the reference;
+#: the frames stay usable to earlier callers.
+_IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _ivf_cells(spark: SparkSession, sf_dir: str):
-    """Fit the coarse quantizer; returns (assigned, cent): the corpus
-    with its cell assignment, and the fitted centroids as a tiny
-    broadcast-able frame (k rows — model state, not data size)."""
+    """Fit (or fetch the session-cached) coarse quantizer; returns
+    (assigned, cent): the corpus with its cell assignment, and the
+    fitted centroids as a tiny broadcast-able frame (k rows — model
+    state, not data size)."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _IVF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _IVF_CACHE if k != key]:
+        _IVF_CACHE.pop(k)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -253,6 +269,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str):
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "pcell int, cvec array<double>",
     )
+    _IVF_CACHE[key] = (assigned, cent)
     return assigned, cent
 
 

@@ -178,3 +178,36 @@ def test_free_local_checkpoint_releases_union_of_checkpoints(spark):
     assert n_persistent() == base + 2
     free_local_checkpoint(u)  # Union root: must walk to the leaves
     assert n_persistent() == base
+
+
+def test_bpe_cache_eviction_keeps_returned_frames_usable(spark):
+    """Eviction on a new sf_dir key must only drop the cache's own
+    reference — frames already handed to callers stay collectable (a
+    free_local_checkpoint there would destroy them irrecoverably)."""
+    from deisa_ray_spark.functions import bpe
+
+    from .conftest import SF_DIR
+
+    other = (
+        "/root/testdata/sf0.01"
+        if SF_DIR.rstrip("/").endswith("0.001")
+        else "/root/testdata/sf0.001"
+    )
+    merges_a, vocab_a = bpe._bpe_trained(spark, SF_DIR)
+    n_merges, n_vocab = merges_a.count(), vocab_a.count()
+    bpe._bpe_trained(spark, other)  # evicts the SF_DIR entry
+    assert merges_a.count() == n_merges
+    assert vocab_a.count() == n_vocab
+
+
+def test_ivf_quantizer_fit_once_per_session_and_sf(spark):
+    """The fitted coarse quantizer is a session-cached model artifact:
+    repeated constructions reuse the same frames instead of re-running
+    the eager k-means fit."""
+    from deisa_ray_spark.functions import similarity
+
+    from .conftest import SF_DIR
+
+    a = similarity._ivf_cells(spark, SF_DIR)
+    b = similarity._ivf_cells(spark, SF_DIR)
+    assert a[0] is b[0] and a[1] is b[1]
