@@ -286,7 +286,7 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
     return (
-        hot_split_join(dw, enc, "w", hot_by="cnt")
+        hot_split_join(dw, enc, "w", hot_by="cnt", cache_tag="bpe_enc", sf_dir=sf_dir)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
@@ -368,7 +368,7 @@ def txt_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
     return (
-        hot_split_join(dw, enc, "w", hot_by="cnt")
+        hot_split_join(dw, enc, "w", hot_by="cnt", cache_tag="bpe_enc", sf_dir=sf_dir)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

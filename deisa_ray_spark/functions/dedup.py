@@ -748,8 +748,13 @@ def free_local_checkpoint(df: DataFrame) -> None:
     assuming the root) also frees compositions of checkpointed frames,
     e.g. a unionAll of per-round checkpoints. The frame is UNUSABLE
     afterwards (lineage was truncated; the data is gone) — only call on
-    frames that will never be referenced again. Best-effort: failures
-    (e.g. a stopped session) are swallowed."""
+    frames that will never be referenced again, and EVERY LogicalRDD
+    leaf in the plan must be exclusively owned by the caller: a frame
+    composed with a SHARED checkpointed/cached input (e.g. a
+    ``_session_cached`` frame joined in before checkpointing) would have
+    that shared input's blocks destroyed for all its other consumers.
+    Current callers pass pure per-round checkpoints. Best-effort:
+    failures (e.g. a stopped session) are swallowed."""
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         for i in range(leaves.size()):

@@ -56,9 +56,12 @@ def stage_ordered_shards(docs: DataFrame, dest: str, n_shards: int) -> list[str]
     """
     docs.repartitionByRange(n_shards, "doc_id").write.parquet(dest)
     files = sorted(glob.glob(os.path.join(dest, "part-*")))
+    # Stamp BACKWARDS from now so every pinned mtime stays in the past
+    # (future timestamps confuse mtime-based tooling) while preserving
+    # the strictly increasing range order.
     base = time.time()
     for i, path in enumerate(files):
-        ts = base + i
+        ts = base - (len(files) - i)
         os.utime(path, (ts, ts))
     return files
 

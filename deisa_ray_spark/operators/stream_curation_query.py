@@ -98,7 +98,12 @@ def stream_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        kept = spark.read.parquet(f"{work}/out")
+        # Explicit schema: if the gate keeps zero documents no part files
+        # exist, and schema inference on an empty dir would raise where
+        # the oracle legitimately returns an empty census.
+        kept = spark.read.schema(
+            "doc_id bigint, source string, lang string, fp string, n_words bigint"
+        ).parquet(f"{work}/out")
         census = kept.groupBy(
             F.expr(f"n_words div {BUCKET_WORDS}").alias("bucket")
         ).agg(
