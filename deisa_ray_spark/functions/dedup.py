@@ -1652,3 +1652,68 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("caught"), 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best — canonical-document selection: for each near-dup
+# cluster keep the HIGHEST-QUALITY member, not the arbitrary min-id one.
+# This is the policy real pipelines want from fuzzy dedup (RefinedWeb /
+# FineWeb keep the best-scoring capture of a page); min-id is only a
+# stand-in when no quality signal exists. Composes the shared verified
+# pair graph (_jaccard_pairs) + cc_labels clustering with the shared
+# composite quality score (functions/text.quality_col).
+#
+# Determinism: the argmax compares the ROUNDED quality (round-to-6 is
+# what both engines reproduce bit-identically — comparing the raw float
+# could rank-flip on a last-ulp difference), ties broken by min doc_id.
+#
+# Scale notes (100 TB): the cluster table is the (tiny) verified-pair
+# component output, not the corpus; quality is computed corpus-side
+# map-only and joined on doc_id (equi-join, broadcast-able cluster
+# side); the per-cluster argmax is one window over cluster-partitioned
+# rows. No pairwise stage beyond the LSH-bounded pair extraction.
+# --------------------------------------------------------------------------
+from deisa_ray_spark.functions.text import QUALITY_SQL_CTE  # noqa: E402  (no cycle: text.py only imports dedup lazily)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {cc_oracle_ctes()},
+    {QUALITY_SQL_CTE},
+    ranked AS (
+      SELECT c.comp, c.id, q.quality,
+             row_number() OVER (PARTITION BY c.comp
+                                ORDER BY q.quality DESC, c.id) AS rn,
+             count(*) OVER (PARTITION BY c.comp) AS n_members
+      FROM comps c JOIN q ON q.doc_id = c.id
+    )
+    SELECT CAST(comp AS BIGINT) AS cluster,
+           CAST(id AS BIGINT) AS keep_doc,
+           quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.text import quality_col
+
+    comps = cc_labels(_jaccard_pairs(spark, sf_dir))  # (id, comp) — clustered docs only
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id"), F.round(quality_col(), 6).alias("quality")
+    )
+    scored = comps.join(q, comps.id == q.doc_id).select("comp", "id", "quality")
+    w = W.partitionBy("comp").orderBy(F.desc("quality"), F.asc("id"))
+    wc = W.partitionBy("comp")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("comp").cast("bigint").alias("cluster"),
+            F.col("id").cast("bigint").alias("keep_doc"),
+            "quality",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

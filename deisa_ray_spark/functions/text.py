@@ -242,6 +242,39 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_col() -> Column:
+    """The UNROUNDED composite quality score over ``text`` — the ONE
+    Spark-side definition, consumed by txt_quality_score and by
+    dedup_keep_best's per-cluster argmax (which compares the ROUNDED
+    value: rounding-to-6 is what both engines reproduce bit-identically,
+    so it is the safe cross-engine selection key). Mirrors the quality
+    expression in txt_quality_score's oracle SQL — keep the two in
+    lockstep (same sub-expression order; float ops are not associative)."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    stop_ratio = _count_in(toks, STOPWORDS) / n_tokens
+    length_score = F.when((n_tokens >= 20) & (n_tokens <= 100), F.lit(1.0)).otherwise(
+        n_tokens / F.lit(100.0)
+    )
+    return 0.4 * length_score + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)) + 0.3 * ttr
+
+
+#: the quality expression as a DuckDB CTE ``q(doc_id, quality)`` — the SQL
+#: twin of :func:`quality_col`, composed into oracles that select by
+#: quality (dedup_keep_best). Sub-expression order matches txt_quality_score's
+#: oracle exactly.
+QUALITY_SQL_CTE = """q AS (
+      SELECT doc_id,
+             round(0.4 * (CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0
+                               ELSE len(toks) / 100.0 END)
+                 + 0.3 * least(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) / len(toks) * 10, 1.0)
+                 + 0.3 * len(list_distinct(toks)) / len(toks), 6) AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )"""
+
+
+
 # --------------------------------------------------------------------------
 # txt_quality_score — composite filter score: length band + stopword ratio
 # + repetition penalty (1 - TTR), with a keep/drop flag. The shape every
@@ -277,10 +310,7 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) / n_tokens
     stop_ratio = _count_in(toks, STOPWORDS) / n_tokens
-    length_score = F.when((n_tokens >= 20) & (n_tokens <= 100), F.lit(1.0)).otherwise(
-        n_tokens / F.lit(100.0)
-    )
-    quality = 0.4 * length_score + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)) + 0.3 * ttr
+    quality = quality_col()
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
