@@ -1717,3 +1717,60 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_containment — partial-duplication detection by set CONTAINMENT:
+# C(A,B) = |A∩B| / min(|A|,|B|) over word-3-gram shingle sets. Jaccard
+# misses asymmetric overlap (a short doc quoted verbatim inside a long
+# one scores |A|/|B| ≈ 0 Jaccard but 1.0 containment) — containment is
+# the standard companion metric (Broder's resemblance vs containment)
+# and the signal quote/boilerplate removal needs. `jaccard_missed`
+# flags the pairs the Jaccard operator would NOT have caught.
+#
+# Determinism: containment and jaccard are single IEEE divisions of the
+# same integers in both engines (bit-identical), so thresholding and
+# rounding agree.
+#
+# Scale notes (100 TB): ground truth via the shared shingle equi-join
+# (shared_shingle_pairs — one shuffle on shingle, partial-agg'd); the
+# scale path is LSH over the MIN-side: bucket on minhashes of each
+# doc's shingle sample exactly as dedup_minhash_lsh does, then verify
+# only candidates — containment verification reuses the same
+# (n_common, na, nb) counts, so the banded pipeline carries over
+# unchanged. Never all-pairs.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(n_common / least(na, nb), 6) AS containment,
+           round(n_common / (na + nb - n_common), 6) AS jaccard,
+           n_common / (na + nb - n_common) < {JACCARD_THRESHOLD} AS jaccard_missed
+    FROM p
+    WHERE n_common / least(na, nb) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shared_shingle_pairs(spark, sf_dir)
+    containment = F.col("n_common") / F.least("na", "nb")
+    return pairs.filter(containment >= CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(containment, 6).alias("containment"),
+        F.round(_jaccard_of_pair(), 6).alias("jaccard"),
+        (_jaccard_of_pair() < JACCARD_THRESHOLD).alias("jaccard_missed"),
+    )
