@@ -1,0 +1,167 @@
+"""End-to-end corpus-curation FUNNEL — the composed pipeline a
+pretraining data build actually runs, as ONE declared query with an
+exact oracle: raw → quality gate → exact dedup → fuzzy dedup (verified
+near-dup clusters, keep-one) → benchmark decontamination, reporting the
+per-stage yield (docs + tokens surviving each stage).
+
+Every stage reuses the engine's single source of truth for its
+semantics — the txt_quality_score gate, md5 exact-dedup keep-min,
+_jaccard_pairs + cc_labels clustering, and dedup_decontaminate's
+benchmark slice — so the funnel cannot drift from the per-stage
+operators it composes (reference parity: the per-op counterparts cite
+the reference's own test queries; this file is the composition layer).
+
+Scale notes (100 TB): the corpus-wide frames (base, s1..s4) are narrow
+(doc_id + 3 ints) projections — the text column is dropped before any
+shuffle; shingle work rides the session-cached shingle table exactly as
+the standalone dedup ops do; the cluster-drop and contamination sets
+are tiny (pair-graph members / contaminated ids) and broadcast into
+anti-joins. The five stage aggregates are partial-agg'd counts over the
+shared persisted base — one narrow pass each, no corpus re-scan of the
+raw parquet. No pairwise stage beyond the LSH-bounded pair extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+from deisa_ray_spark.functions.dedup import (
+    _SQL_SHINGLES,
+    JACCARD_THRESHOLD,
+    _jaccard_pairs,
+    _session_cached,
+    _shingle_sets,
+    cc_labels,
+)
+
+#: benchmark slice for the decontamination stage — mirrors
+#: dedup_decontaminate (doc_id % 97 == 0 stands in for the held-out set)
+BENCH_MOD = 97
+
+_FUNNEL_ORACLE = f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks, md5(text) AS fp
+            FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n_tokens,
+                    len(list_distinct(toks)) / len(toks) AS ttr, fp
+             FROM tok),
+    s1 AS (SELECT * FROM base WHERE n_tokens >= 10 AND ttr >= 0.2),
+    k2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY fp),
+    s2 AS (SELECT b.* FROM s1 b JOIN k2 USING (doc_id)),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    p2 AS (SELECT * FROM p
+           WHERE doc_a IN (SELECT doc_id FROM s2)
+             AND doc_b IN (SELECT doc_id FROM s2)),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p2
+              UNION SELECT doc_b, doc_a FROM p2),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+    s3 AS (SELECT * FROM s2
+           WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> comp)),
+    bench AS (SELECT DISTINCT s FROM e WHERE doc_id % {BENCH_MOD} = 0),
+    cont AS (SELECT DISTINCT doc_id FROM e
+             WHERE doc_id % {BENCH_MOD} <> 0 AND s IN (SELECT s FROM bench)),
+    s4 AS (SELECT * FROM s3
+           WHERE doc_id % {BENCH_MOD} <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM cont)),
+    funnel AS (
+      SELECT 0 AS stage_ord, 'raw' AS stage,
+             count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM base
+      UNION ALL SELECT 1, 'quality', count(*), sum(n_tokens) FROM s1
+      UNION ALL SELECT 2, 'exact_dedup', count(*), sum(n_tokens) FROM s2
+      UNION ALL SELECT 3, 'fuzzy_dedup', count(*), sum(n_tokens) FROM s3
+      UNION ALL SELECT 4, 'decontaminated', count(*), sum(n_tokens) FROM s4
+    )
+    SELECT CAST(stage_ord AS INT) AS stage_ord, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM funnel
+    """
+
+
+@query("pipeline_funnel", oracle=_FUNNEL_ORACLE)
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = F.split("text", " ")
+        return docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+            F.md5("text").alias("fp"),
+        )
+
+    base = _session_cached(spark, "funnel_base", sf_dir, build, eager=True)
+    s1 = base.filter((F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.2))
+    k2 = s1.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(k2.select("doc_id"), "doc_id", "left_semi")
+
+    # fuzzy stage: verified pair graph restricted to exact-dedup
+    # survivors, clustered, keep the min-id member of each cluster
+    s2_ids = s2.select("doc_id")
+    pairs = (
+        _jaccard_pairs(spark, sf_dir)
+        .join(s2_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(s2_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    comps = cc_labels(pairs)
+    drop3 = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    s3 = s2.join(drop3, "doc_id", "left_anti")
+
+    # decontamination: drop the benchmark slice itself, then every
+    # survivor sharing a shingle with it (broadcast benchmark shingles)
+    e = _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    bench_sh = (
+        e.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    )
+    cont = (
+        e.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_sh), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = s3.filter(F.col("doc_id") % BENCH_MOD != 0).join(
+        cont, "doc_id", "left_anti"
+    )
+
+    stages = [
+        (0, "raw", base),
+        (1, "quality", s1),
+        (2, "exact_dedup", s2),
+        (3, "fuzzy_dedup", s3),
+        (4, "decontaminated", s4),
+    ]
+    rows = [
+        df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        for ord_, name, df in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
