@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from deisa_ray_spark.functions.dedup import cosine_sim
+from deisa_ray_spark.functions.dedup import MAX_COSINE_BLOCK, cosine_sim
 from deisa_ray_spark.registry import query
 from deisa_ray_spark.sources.registry import load_table
 
@@ -1341,4 +1341,74 @@ def emb_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall_at_k"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_knn_graph — k-nearest-neighbor GRAPH construction over the corpus
+# embeddings: every vector's top-K neighbors by cosine, blocked by label
+# with the same MAX_COSINE_BLOCK cap discipline as dedup_embedding_cosine
+# (oversized blocks route through the LSH/IVF candidate path at scale —
+# per-block work stays ≤ B² with B fixed, so the graph build is O(n)
+# blocks, never corpus-quadratic). The kNN graph is the input artifact
+# for SemDeDup-style pruning, graph-based clustering, and diversity
+# sampling over a training corpus.
+#
+# Ranking discipline: order by ROUNDED cosine (round-to-6 is what both
+# engines reproduce bit-identically), neighbor_id tie-break.
+# --------------------------------------------------------------------------
+KNN_K = 5
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH sized AS (
+      SELECT label FROM embeddings
+      GROUP BY label HAVING count(*) <= {MAX_COSINE_BLOCK}
+    ),
+    emb AS (SELECT e.* FROM embeddings e JOIN sized USING (label)),
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cosine
+      FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, label, CAST(rank AS INT) AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= {KNN_K}
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sized = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= MAX_COSINE_BLOCK)
+        .select("label")
+    )
+    emb = emb.join(sized, "label", "left_semi")
+    a = emb.select("vec_id", "label", F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("e").alias("eb"))
+    scored = (
+        a.join(b, "label")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "label",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "label", "rank", "neighbor_id", "cosine")
     )
