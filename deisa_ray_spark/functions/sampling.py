@@ -296,3 +296,55 @@ def samp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         (F.col("off") + F.col("r")).cast("bigint").alias("pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# samp_weighted_topk — weighted sampling WITHOUT replacement
+# (Efraimidis–Spirakis A-Res): each row draws a deterministic uniform
+# u ∈ (0,1] from md5(doc_id) and scores key = ln(u)/w; the top-K keys
+# ARE a weight-proportional sample without replacement (ordering by
+# ln(u)/w ≡ ordering by u^(1/w)). The primitive behind weighted corpus
+# subsampling — pick K docs proportional to length/quality/DSIR weight
+# in ONE pass, no per-stratum bookkeeping.
+#
+# Scale notes (100 TB): key derivation is a pure map; top-K is Spark's
+# TakeOrderedAndProject (per-partition heap + driver merge of K×parts
+# rows) — no global sort, no shuffle of the corpus. Ranking compares the
+# ROUNDED key (both engines reproduce round-to-6 bit-identically),
+# doc_id tie-break.
+# --------------------------------------------------------------------------
+ES_TOP_K = 100
+
+
+@query(
+    "samp_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln((('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       + 1) / 4294967296.0) / n_chars, 6) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {ES_TOP_K}
+    """,
+)
+def samp_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (v + F.lit(1)) / F.lit(4294967296.0)
+    es_key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(ES_TOP_K)
+    )
