@@ -33,7 +33,9 @@ from deisa_ray_spark.registry import query
 N_SHARDS = 3
 
 
-def stage_ordered_shards(docs: DataFrame, dest: str, n_shards: int) -> list[str]:
+def stage_ordered_shards(
+    docs: DataFrame, dest: str, n_shards: int, order_col: str = "doc_id"
+) -> list[str]:
     """Stage ``docs`` as ``n_shards`` doc_id-ordered parquet shard files
     via a single DISTRIBUTED write — the corpus never touches the driver.
 
@@ -54,7 +56,7 @@ def stage_ordered_shards(docs: DataFrame, dest: str, n_shards: int) -> list[str]
 
     Returns the shard file paths in delivery order.
     """
-    docs.repartitionByRange(n_shards, "doc_id").write.parquet(dest)
+    docs.repartitionByRange(n_shards, order_col).write.parquet(dest)
     files = sorted(glob.glob(os.path.join(dest, "part-*")))
     # Stamp BACKWARDS from now so every pinned mtime stays in the past
     # (future timestamps confuse mtime-based tooling) while preserving
