@@ -686,3 +686,51 @@ def test_epoch_shuffle_no_global_sort(spark):
     assert "hashpartitioning(epoch" in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_keep_best_no_pairwise_no_python(spark):
+    """Canonical selection: cluster table ⋈ quality is an equi-join,
+    the argmax is one cluster-partitioned window — no doc×doc product,
+    no Python-eval in the plan."""
+    plan = plan_of(spark, "dedup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_containment_equi_join_only(spark):
+    """Containment pairs ride the shared shingle equi-join — never a
+    pairwise document product."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_graph_blocked_not_cartesian(spark):
+    """kNN graph: the self-join keys on the label block (equi-join) and
+    the per-node top-K is a window with group-limit pushdown — no
+    corpus-quadratic product, no Python."""
+    plan = plan_of(spark, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_topk_take_ordered(spark):
+    """Efraimidis-Spirakis top-K must be TakeOrderedAndProject (per-
+    partition heaps + driver merge of K rows), never a global sort."""
+    plan = plan_of(spark, "samp_weighted_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pipeline_funnel_narrow_and_reused(spark):
+    """The funnel's five stage aggregates read the narrow session-cached
+    base (InMemoryTableScan), never re-scan raw text per stage, and the
+    drop/contamination sets enter as broadcast anti-joins."""
+    plan = plan_of(spark, "pipeline_funnel")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
