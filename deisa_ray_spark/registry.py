@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
     import deisa_ray_spark.operators.stream_cc_query  # noqa: F401
     import deisa_ray_spark.operators.stream_curation_query  # noqa: F401
     import deisa_ray_spark.operators.stream_window_query  # noqa: F401
+    import deisa_ray_spark.operators.stream_session_query  # noqa: F401
     import deisa_ray_spark.functions.text  # noqa: F401
     import deisa_ray_spark.functions.bpe  # noqa: F401
     import deisa_ray_spark.functions.dedup  # noqa: F401
