@@ -1774,3 +1774,90 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_jaccard_of_pair(), 6).alias("jaccard"),
         (_jaccard_of_pair() < JACCARD_THRESHOLD).alias("jaccard_missed"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_graph_triangles — structure audit of the verified near-dup graph:
+# per-node degree, triangle count, and local clustering coefficient.
+# Near-dup components are expected to be near-CLIQUES (every capture of a
+# page resembles every other); a high-degree node with few triangles is
+# the classic signature of a TEMPLATE hub (boilerplate gluing unrelated
+# docs together) — exactly the pathology that makes naive fuzzy dedup
+# delete whole sites. This is the diagnostic pipelines run before
+# trusting cluster-level keep-one deletion.
+#
+# Spark path: the standard sorted-edge triangle join — edges are oriented
+# doc_a < doc_b, so each triangle (a<b<c) is counted exactly once by
+# joining (a,b)⋈(b,c)⋈(a,c). All equi-joins on node ids; the edge list
+# is the (tiny) verified-pair output, never the corpus. All metrics are
+# integers (coefficient = integer ratio, one deterministic division).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_graph_triangles",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
+             >= {JACCARD_THRESHOLD}
+    ),
+    tri AS (
+      SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+      FROM p ab
+      JOIN p bc ON bc.doc_a = ab.doc_b
+      JOIN p ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+    ),
+    tn AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT doc_a AS node FROM p UNION ALL SELECT doc_b FROM p
+      ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(tn.n_triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering_coef
+    FROM deg d LEFT JOIN tn USING (node)
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    ab = p.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = p.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = p.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        p.select(F.col("doc_a").alias("node"))
+        .unionAll(p.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    d = F.col("degree")
+    return deg.join(tn, "node", "left").select(
+        "node",
+        d.cast("bigint").alias("degree"),
+        t.cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(d >= 2, 2.0 * t / (d * (d - 1))).otherwise(F.lit(0.0)), 6
+        ).alias("clustering_coef"),
+    )
