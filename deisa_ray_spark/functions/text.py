@@ -1576,3 +1576,82 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob.alias("prob"),
         (prob >= QC_KEEP_PROB).cast("int").alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_span_scrub — span-level dedup APPLIED: per-document count of tokens
+# covered by any cross-document duplicated word-8-gram span (the removal
+# step of Lee et al. 2022 on top of dedup_shared_spans' detection step).
+# A token is scrubbed iff at least one of the ≤8 spans covering it occurs
+# in ≥2 distinct documents; overlapping duplicated spans merge via the
+# DISTINCT covered-position set, so the count is the exact length of the
+# union of removal intervals — what the cleaned corpus would keep.
+#
+# Scale shape: one explode to (doc, pos, span-hash), one partial-agg
+# shuffle on the span hash to find duplicated spans, a semi-join back
+# (hash-keyed), then a bounded 8× position fan-out of HIT spans only.
+# Never pairwise; the fan-out is proportional to duplicated text, not
+# the corpus.
+# --------------------------------------------------------------------------
+from deisa_ray_spark.functions.dedup import SPAN_K, _span_hashes  # noqa: E402  (safe: dedup's import of text resolves before this line runs)
+
+
+@query(
+    "txt_span_scrub",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')) AS h
+      FROM toks, unnest(range(1, len(w) - {SPAN_K - 2})) AS t(i)
+    ),
+    dup AS (SELECT h FROM spans GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT s.doc_id, x.cp
+      FROM spans s JOIN dup USING (h),
+           unnest(range(s.pos, s.pos + {SPAN_K})) AS x(cp)
+    ),
+    percov AS (SELECT doc_id, count(*) AS n_scrubbed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+           CAST(len(w) - coalesce(p.n_scrubbed, 0) AS BIGINT) AS n_kept,
+           round(coalesce(p.n_scrubbed, 0) / len(w), 6) AS scrub_ratio
+    FROM toks t LEFT JOIN percov p USING (doc_id)
+    """,
+)
+def txt_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _K = SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.posexplode(_span_hashes()).alias("pos", "h")
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        spans.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_K - 1))).alias("cp"),
+        )
+        .distinct()
+    )
+    percov = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_scrubbed"))
+    n_tokens = F.size(F.split("text", " "))
+    scrub = F.coalesce(F.col("n_scrubbed"), F.lit(0))
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(percov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            scrub.cast("bigint").alias("n_scrubbed"),
+            (F.col("n_tokens") - scrub).cast("bigint").alias("n_kept"),
+            F.round(scrub / F.col("n_tokens"), 6).alias("scrub_ratio"),
+        )
+    )
