@@ -925,6 +925,11 @@ def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: benchmark-slice modulus shared by every decontamination-shaped op
+#: (dedup_decontaminate/_fuzzy/_bloom and pipeline_funnel's stage 4) —
+#: ONE definition so the composed funnel cannot drift from the operators
+BENCH_MOD = 97
+
 # --------------------------------------------------------------------------
 # dedup_decontaminate — benchmark decontamination: drop training docs
 # sharing ANY word-3-gram shingle with a benchmark set (here: the
@@ -942,23 +947,23 @@ def dedup_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_decontaminate",
     oracle=f"""
     WITH sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
-    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
     cont AS (SELECT DISTINCT doc_id FROM sh
-             WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+             WHERE doc_id % {BENCH_MOD} <> 0 AND s IN (SELECT s FROM bench))
     SELECT source,
            count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
                AS n_removed,
            count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM cont))
                AS n_kept
     FROM documents
-    WHERE doc_id % 97 <> 0
+    WHERE doc_id % {BENCH_MOD} <> 0
     GROUP BY source
     """,
 )
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
-    is_bench = F.col("doc_id") % 97 == 0
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_sh = sh.filter(is_bench).select("s").distinct()
     cont = (
         sh.filter(~is_bench)
@@ -1251,9 +1256,9 @@ def _pow2_masks():
     "dedup_decontaminate_bloom",
     oracle=f"""
     WITH sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
-    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
     cont AS (SELECT DISTINCT doc_id FROM sh
-             WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bench))
+             WHERE doc_id % {BENCH_MOD} <> 0 AND s IN (SELECT s FROM bench))
     SELECT source,
            count(*) AS n_docs,
            count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
@@ -1261,7 +1266,7 @@ def _pow2_masks():
            TRUE AS bloom_no_false_negatives,
            TRUE AS bloom_fp_ok
     FROM documents
-    WHERE doc_id % 97 <> 0
+    WHERE doc_id % {BENCH_MOD} <> 0
     GROUP BY source
     """,
 )
@@ -1274,7 +1279,7 @@ def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_sets(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("s")
     )
-    is_bench = F.col("doc_id") % 97 == 0
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_sh = sh.filter(is_bench).select("s").distinct()
 
     # -- build: bench shingles → k bit positions → packed longs → one row
@@ -1673,7 +1678,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side); the per-cluster argmax is one window over cluster-partitioned
 # rows. No pairwise stage beyond the LSH-bounded pair extraction.
 # --------------------------------------------------------------------------
-from deisa_ray_spark.functions.text import QUALITY_SQL_CTE  # noqa: E402  (no cycle: text.py only imports dedup lazily)
+from deisa_ray_spark.functions.quality import QUALITY_SQL_CTE  # noqa: E402  (leaf module — text.py imports dedup module-level, so dedup must not import text)
 
 
 @query(
@@ -1696,7 +1701,7 @@ from deisa_ray_spark.functions.text import QUALITY_SQL_CTE  # noqa: E402  (no cy
     """,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deisa_ray_spark.functions.text import quality_col
+    from deisa_ray_spark.functions.quality import quality_col
 
     comps = cc_labels(_jaccard_pairs(spark, sf_dir))  # (id, comp) — clustered docs only
     docs = load_table(spark, sf_dir, "documents")

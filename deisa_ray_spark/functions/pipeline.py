@@ -30,16 +30,13 @@ from deisa_ray_spark.registry import query
 from deisa_ray_spark.sources.registry import load_table
 from deisa_ray_spark.functions.dedup import (
     _SQL_SHINGLES,
+    BENCH_MOD,
     JACCARD_THRESHOLD,
     _jaccard_pairs,
     _session_cached,
     _shingle_sets,
     cc_labels,
 )
-
-#: benchmark slice for the decontamination stage — mirrors
-#: dedup_decontaminate (doc_id % 97 == 0 stands in for the held-out set)
-BENCH_MOD = 97
 
 _FUNNEL_ORACLE = f"""
     WITH RECURSIVE

@@ -24,9 +24,16 @@ from pyspark.sql import functions as F
 from deisa_ray_spark.registry import query
 from deisa_ray_spark.sources.registry import load_table
 
-#: Whitespace tokens of the raw text.
-def _tokens(col: str = "text") -> Column:
-    return F.split(F.col(col), " ")
+# Shared quality/token helpers live in the LEAF module functions.quality
+# (this module module-level imports dedup for the span helpers, and dedup
+# needs the quality definitions — the leaf breaks the would-be cycle).
+from deisa_ray_spark.functions.quality import (  # noqa: E402
+    QUALITY_SQL_CTE,
+    STOPWORDS,
+    _count_in,
+    _tokens,
+    quality_col,
+)
 
 
 #: BPE-ish tokenizer: word pieces OR single non-word-non-space symbols —
@@ -43,8 +50,6 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "es": ("data", "table", "value"),
     "zh": ("window", "stream", "batch"),
 }
-
-STOPWORDS = ("the", "a", "of", "and")
 
 
 #: head size for frequency-partitioned token joins (see
@@ -115,10 +120,6 @@ def hot_split_join(
     return fact.join(F.broadcast(hot), key).unionByName(fact.join(tail, key))
 
 
-def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
-    """# tokens that are one of ``words`` (JVM-side filter on the array)."""
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -240,39 +241,6 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_lang",
         "pred_score",
     )
-
-
-def quality_col() -> Column:
-    """The UNROUNDED composite quality score over ``text`` — the ONE
-    Spark-side definition, consumed by txt_quality_score and by
-    dedup_keep_best's per-cluster argmax (which compares the ROUNDED
-    value: rounding-to-6 is what both engines reproduce bit-identically,
-    so it is the safe cross-engine selection key). Mirrors the quality
-    expression in txt_quality_score's oracle SQL — keep the two in
-    lockstep (same sub-expression order; float ops are not associative)."""
-    toks = _tokens()
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / n_tokens
-    stop_ratio = _count_in(toks, STOPWORDS) / n_tokens
-    length_score = F.when((n_tokens >= 20) & (n_tokens <= 100), F.lit(1.0)).otherwise(
-        n_tokens / F.lit(100.0)
-    )
-    return 0.4 * length_score + 0.3 * F.least(stop_ratio * 10, F.lit(1.0)) + 0.3 * ttr
-
-
-#: the quality expression as a DuckDB CTE ``q(doc_id, quality)`` — the SQL
-#: twin of :func:`quality_col`, composed into oracles that select by
-#: quality (dedup_keep_best). Sub-expression order matches txt_quality_score's
-#: oracle exactly.
-QUALITY_SQL_CTE = """q AS (
-      SELECT doc_id,
-             round(0.4 * (CASE WHEN len(toks) BETWEEN 20 AND 100 THEN 1.0
-                               ELSE len(toks) / 100.0 END)
-                 + 0.3 * least(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and'))) / len(toks) * 10, 1.0)
-                 + 0.3 * len(list_distinct(toks)) / len(toks), 6) AS quality
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    )"""
-
 
 
 # --------------------------------------------------------------------------

@@ -61,7 +61,11 @@ _ORACLE = f"""
     SELECT user_id, session_start_us, session_end_us,
            CAST(n_events AS BIGINT) AS n_events
     FROM agg, wm
-    WHERE session_end_us // 1000 <= wm_ms
+    -- Spark evicts on the EXACT microsecond session end vs the ms-
+    -- granular watermark (wm_ms * 1000 us); flooring the session end to
+    -- ms first would admit sessions ending up to 999 us past the
+    -- watermark
+    WHERE session_end_us <= wm_ms * 1000
     """
 
 

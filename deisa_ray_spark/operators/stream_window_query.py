@@ -39,7 +39,11 @@ _EVENT_SCHEMA = (
 
 _ORACLE = """
     WITH finalized AS (
-      SELECT CAST(epoch(max(ts)) - 3600 AS BIGINT) AS wm
+      -- Spark's watermark is max event time TRUNCATED to ms minus the
+      -- delay; epoch_ms truncates (epoch() returns a fractional DOUBLE
+      -- and a double->BIGINT cast ROUNDS, which would admit a window one
+      -- second early when max(ts) has >=500ms of sub-second part)
+      SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms
       FROM events
     )
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
@@ -47,8 +51,8 @@ _ORACLE = """
            count(*) AS n_events,
            count(*) FILTER (WHERE value >= 0.5) AS n_hi
     FROM events, finalized
-    GROUP BY 1, 2, wm
-    HAVING window_start + 3600 <= wm
+    GROUP BY 1, 2, wm_ms
+    HAVING (window_start + 3600) * 1000 <= wm_ms
     """
 
 
