@@ -70,6 +70,14 @@ BENCH_QUERIES = [
     "mm_image_features",
     "txt_bpe_encode",
     "mm_caption_filter",
+    # round-7 headline additions (streaming window queries deliberately
+    # NOT benched: their wall-clock is micro-batch scheduling + tempdir
+    # staging, not query execution, so DuckDB comparison is unfair in
+    # both directions — they stay fully oracle-checked)
+    "dedup_keep_best",
+    "txt_span_scrub",
+    "sim_knn_graph",
+    "samp_weighted_topk",
 ]
 
 
