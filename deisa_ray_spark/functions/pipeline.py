@@ -32,10 +32,10 @@ from deisa_ray_spark.functions.dedup import (
     _SQL_SHINGLES,
     BENCH_MOD,
     JACCARD_THRESHOLD,
-    _jaccard_pairs,
     _session_cached,
     _shingle_sets,
     cc_labels,
+    cc_pairs,
 )
 
 _FUNNEL_ORACLE = f"""
@@ -114,7 +114,7 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors, clustered, keep the min-id member of each cluster
     s2_ids = s2.select("doc_id")
     pairs = (
-        _jaccard_pairs(spark, sf_dir)
+        cc_pairs(spark, sf_dir)
         .join(s2_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(s2_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )

@@ -1595,14 +1595,21 @@ def txt_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = docs.select(
         "doc_id", F.posexplode(_span_hashes()).alias("pos", "h")
     )
-    dup = (
-        spans.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
+    # Single pass over the (expensive) explode+md5: pre-agg to one row per
+    # (h, doc_id) with that doc's positions, then a window COUNT over h —
+    # rows per h-partition = distinct docs containing the span, so
+    # nd >= 2 is exactly countDistinct(doc_id) >= 2 without a second scan
+    # (the agg/semi-join formulation computes the span hashes twice: the
+    # two DAG branches shuffle different subtrees, so ReuseExchange never
+    # fires). Positions per (h, doc) are bounded by within-doc repeats;
+    # the h window only counts rows (no per-row set), so a boilerplate
+    # span shared by millions of docs costs a count, not a collect.
+    grouped = spans.groupBy("h", "doc_id").agg(F.collect_list("pos").alias("ps"))
+    nd = F.count(F.lit(1)).over(W.partitionBy("h"))
     cov = (
-        spans.join(dup, "h", "left_semi")
+        grouped.withColumn("nd", nd)
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("ps").alias("pos"))
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (_K - 1))).alias("cp"),
