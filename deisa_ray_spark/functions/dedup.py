@@ -1898,3 +1898,126 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d >= 2, 2.0 * t / (d * (d - 1))).otherwise(F.lit(0.0)), 6
         ).alias("clustering_coef"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_pagerank — PageRank centrality over the verified near-dup graph,
+# with per-cluster hub ranking. The most-central member of a near-dup
+# component is the best canonical-capture candidate when no quality
+# signal exists (it resembles the most other captures), and a component
+# whose PageRank mass concentrates in one low-triangle hub is the
+# template-page pathology dedup_graph_triangles flags — PageRank gives
+# the same audit a principled score.
+#
+# Determinism: the classic float formulation is NOT cross-engine
+# reproducible — each round sums neighbor contributions in whatever
+# order the shuffle delivers, and float addition does not commute in
+# the last ulp, compounding over rounds. This implementation runs the
+# whole iteration in INTEGER fixed-point (scale 10^12): contributions
+# are `pr div deg`, the damping update is `(15*SCALE) div (100*N) +
+# (85*sum) div 100` — integer sums are order-independent and integer
+# division is exact in both engines, so a fixed K=10 rounds yields
+# BIT-IDENTICAL ranks everywhere (same trick as the md5-keyed samplers:
+# move the nondeterminism out of the arithmetic, not under a round()).
+#
+# Scale shape: the graph is the (tiny) verified-pair output, never the
+# corpus. Each round is one equi-join (pr ⋈ edges) + one keyed partial
+# agg — the Pregel shape, diameter-independent fixed cost, K jobs total.
+# Per-round localCheckpoint keeps the plan O(1) (the cc_labels lesson);
+# the 1-row node-count frame rides a broadcast cross (sanctioned 1-row
+# totals pattern). Oracle: K unrolled MATERIALIZED CTEs (inlining a
+# round chain re-evaluates it exponentially — the BPE lesson).
+# --------------------------------------------------------------------------
+PAGERANK_SCALE = 10**12
+PAGERANK_ROUNDS = 10
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    for i in range(1, PAGERANK_ROUNDS + 1):
+        rounds.append(f"""pr{i} AS MATERIALIZED (
+      SELECT d.id, (15 * {PAGERANK_SCALE}) // (100 * (SELECT n FROM nt))
+             + (85 * coalesce(i{i}.s, 0)) // 100 AS pr
+      FROM deg d LEFT JOIN (
+        SELECT e2.dst AS id, sum(p.pr // d2.deg) AS s
+        FROM pr{i - 1} p JOIN deg d2 ON d2.id = p.id
+        JOIN edges e2 ON e2.src = p.id
+        GROUP BY e2.dst) i{i} ON i{i}.id = d.id
+    )""")
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH RECURSIVE {cc_oracle_ctes()},
+    deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+    nt AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS MATERIALIZED (
+      SELECT id, {PAGERANK_SCALE} // (SELECT n FROM nt) AS pr FROM nodes
+    ),
+    {chain}
+    SELECT p.id AS node,
+           CAST(c.comp AS BIGINT) AS comp,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(p.pr AS BIGINT) AS pr_fixed,
+           round(CAST(p.pr AS DOUBLE) / {PAGERANK_SCALE}, 6) AS pagerank,
+           CAST(row_number() OVER (PARTITION BY c.comp
+                                   ORDER BY p.pr DESC, p.id) AS INT) AS hub_rank
+    FROM pr{PAGERANK_ROUNDS} p
+    JOIN deg d ON d.id = p.id
+    JOIN comps c ON c.id = p.id
+    """
+
+
+@query("dedup_pagerank", oracle=_pagerank_oracle())
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = cc_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ntot = deg.agg(F.count(F.lit(1)).alias("n"))
+    # (id, deg, n) — the static per-node frame every round reads; one
+    # materialization, lineage-truncated so round plans stay flat
+    static = deg.join(F.broadcast(ntot), F.lit(True)).localCheckpoint(eager=True)
+
+    pr = static.select(
+        "id", F.expr(f"{PAGERANK_SCALE} div n").alias("pr")
+    ).localCheckpoint(eager=True)
+    for _ in range(PAGERANK_ROUNDS):
+        contrib = pr.join(static, "id").select(
+            "id", F.expr("pr div deg").alias("c")
+        )
+        inc = (
+            contrib.join(edges, contrib.id == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            static.join(inc, "id", "left")
+            .select(
+                "id",
+                (
+                    F.expr(f"(15 * {PAGERANK_SCALE}) div (100 * n)")
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(pr)  # superseded round — never read again
+        pr = nxt
+
+    comps = cc_comps(spark, sf_dir)
+    w = W.partitionBy("comp").orderBy(F.desc("pr"), F.asc("id"))
+    return (
+        pr.join(static, "id")
+        .join(comps, "id")
+        .withColumn("hub_rank", F.row_number().over(w))
+        .select(
+            F.col("id").alias("node"),
+            F.col("comp").cast("bigint").alias("comp"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("pr").cast("bigint").alias("pr_fixed"),
+            F.round(F.col("pr").cast("double") / PAGERANK_SCALE, 6).alias("pagerank"),
+            F.col("hub_rank").cast("int").alias("hub_rank"),
+        )
+    )

@@ -698,6 +698,18 @@ def test_keep_best_no_pairwise_no_python(spark):
     assert "Window" in plan
 
 
+def test_pagerank_no_pairwise_no_python(spark):
+    """PageRank output: checkpointed per-round results join the cluster
+    map by equi-join; hub ranking is one component-partitioned window.
+    The iteration itself runs at construction (eager checkpoints), so
+    the visible plan must be flat — no round-chain lineage, no doc×doc
+    product, no Python-eval."""
+    plan = plan_of(spark, "dedup_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
 def test_containment_equi_join_only(spark):
     """Containment pairs ride the shared shingle equi-join — never a
     pairwise document product."""
