@@ -1426,3 +1426,142 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("vec_id", "label", "rank", "neighbor_id", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# sim_binary_hamming_topk — binary-quantized ANN: each vector is packed
+# into ONE bit per dimension (sign test), candidates are shortlisted by
+# Hamming distance over the packed codes, and only the shortlist is
+# re-ranked with exact cosine. This is the memory-floor scale path
+# (64 B/vector → 8 B/vector here; 32× at production dims) modern vector
+# stores ship alongside PQ — and unlike IVF/PQ it needs NO training, so
+# the whole pipeline is exactly SQL-expressible and this query carries a
+# full exact oracle (not just a recall contract).
+#
+# Layout: bits are packed into two NON-NEGATIVE 32-bit halves (lo =
+# dims 1-32, hi = dims 33-64) instead of one 64-bit word — the 64th bit
+# would land on the bigint sign bit, whose literal (1<<63) overflows and
+# whose negative-value arithmetic differs subtly across engines; two
+# positive halves sidestep the whole class. hamming = bit_count(lo⊕lo')
+# + bit_count(hi⊕hi') — pure integer ops, bit-identical everywhere.
+#
+# Scale shape: the Hamming scan shuffles ONLY (qid, neighbor_id, 2×int)
+# rows — the vectors never ride the candidate shuffle; full embeddings
+# are joined back (equi-join on vec_id) for the bounded per-query
+# shortlist re-rank alone. Queries are a broadcast set, ranking is the
+# WindowGroupLimit top-k.
+# --------------------------------------------------------------------------
+BQ_DIM = 64  #: embedding width the bit-packing unrolls over (synthetic table)
+BQ_SHORTLIST = 200  #: Hamming survivors re-ranked exactly per query —
+#: the recall dial (64 packed bits rank coarsely, so the re-rank budget
+#: does the precision work): 50 measured 0.38 recall@10 vs brute force
+#: at sf0.1, 100 → 0.60, 200 → 0.82, 400 → 0.92. Still a bounded
+#: per-query shortlist at any corpus size.
+
+
+def _bq_halves(e: Column) -> "tuple[Column, Column]":
+    lo = sum(
+        [F.when(F.element_at(e, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
+        F.lit(0),
+    ).cast("bigint")
+    hi = sum(
+        [
+            F.when(F.element_at(e, j + 1) > 0, F.lit(1 << (j - 32))).otherwise(F.lit(0))
+            for j in range(32, BQ_DIM)
+        ],
+        F.lit(0),
+    ).cast("bigint")
+    return lo, hi
+
+
+def _bq_halves_sql() -> "tuple[str, str]":
+    lo = " + ".join(
+        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+    )
+    hi = " + ".join(
+        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << (j - 32)} ELSE 0 END"
+        for j in range(32, BQ_DIM)
+    )
+    return lo, hi
+
+
+_BQ_LO_SQL, _BQ_HI_SQL = _bq_halves_sql()
+
+
+@query(
+    "sim_binary_hamming_topk",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             CAST({_BQ_LO_SQL} AS BIGINT) AS lo,
+             CAST({_BQ_HI_SQL} AS BIGINT) AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, lo AS qlo, hi AS qhi
+          FROM s WHERE vec_id < {N_QUERIES}),
+    h AS (
+      SELECT q.qid, s.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.qlo, s.lo))
+                  + bit_count(xor(q.qhi, s.hi)) AS INT) AS hamming
+      FROM q JOIN s ON s.vec_id <> q.qid
+    ),
+    short AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY hamming, neighbor_id) AS hrk
+      FROM h
+    ),
+    rr AS (
+      SELECT t.qid, t.neighbor_id, t.hamming,
+             round(list_cosine_similarity(q.qe, s.e), 6) AS cosine
+      FROM short t JOIN q ON q.qid = t.qid JOIN s ON s.vec_id = t.neighbor_id
+      WHERE t.hrk <= {BQ_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rr
+    )
+    SELECT qid, neighbor_id, hamming, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    lo, hi = _bq_halves(F.col("e"))
+    sigs = emb.select("vec_id", lo.alias("lo"), hi.alias("hi"))
+    q_sig = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    hamming = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ).cast("int")
+    h = (
+        F.broadcast(q_sig)
+        .crossJoin(sigs)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), hamming.alias("hamming"))
+    )
+    wh = W.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    short = h.withColumn("hrk", F.row_number().over(wh)).filter(
+        F.col("hrk") <= BQ_SHORTLIST
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    rr = (
+        short.join(emb.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id")
+        .join(F.broadcast(qe), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "hamming", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

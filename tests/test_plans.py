@@ -730,6 +730,22 @@ def test_knn_graph_blocked_not_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_binary_hamming_slim_scan_no_python(spark):
+    """Binary-quantized ANN: the Hamming candidate scan is the broadcast
+    query set against PACKED CODES only (the embedding arrays must not
+    ride the candidate shuffle — they join back for the bounded shortlist
+    re-rank by equi-join), top-k is window group-limit, all JVM-side."""
+    plan = plan_of(spark, "sim_binary_hamming_topk")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the vectors join back via hash equi-joins, never a nested loop:
+    # the only NLJ is the sanctioned bounded broadcast query-set cross
+    # (formatted plans print each node twice: tree line + detail block)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_weighted_topk_take_ordered(spark):
     """Efraimidis-Spirakis top-K must be TakeOrderedAndProject (per-
     partition heaps + driver merge of K rows), never a global sort."""
