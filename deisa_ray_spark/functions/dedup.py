@@ -832,13 +832,13 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     return labels
 
 
-def cc_oracle_ctes() -> str:
-    """The verified-pair → recursive-CC CTE chain (``sh``, ``e``, ``p``,
-    ``edges``, ``nodes``, ``reach``, ``comps``) shared by every
-    clustering-shaped oracle (dedup_cluster_cc, dedup_split_leakage_safe,
-    dedup_split_audit) — ONE SQL definition of the pair extraction and
-    component computation, mirroring the shared _jaccard_pairs/cc_labels
-    builders Spark-side, so the oracles cannot drift."""
+def verified_pairs_ctes() -> str:
+    """The verified-pair extraction CTE chain (``sh``, ``e``, ``p``) —
+    the ONE SQL definition of "near-dup pair above the Jaccard
+    threshold", mirroring :func:`_jaccard_pairs` Spark-side. Every
+    oracle that consumes the pair graph (clustering, splits, audits,
+    triangles, the funnel) composes THIS fragment so the pair semantics
+    cannot drift between oracles."""
     return f"""sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
     e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
     p AS (
@@ -848,7 +848,17 @@ def cc_oracle_ctes() -> str:
       GROUP BY a.doc_id, b.doc_id
       HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
              >= {JACCARD_THRESHOLD}
-    ),
+    )"""
+
+
+def cc_oracle_ctes() -> str:
+    """The verified-pair → recursive-CC CTE chain (``sh``, ``e``, ``p``,
+    ``edges``, ``nodes``, ``reach``, ``comps``) shared by every
+    clustering-shaped oracle (dedup_cluster_cc, dedup_split_leakage_safe,
+    dedup_split_audit) — ONE SQL definition of the pair extraction and
+    component computation, mirroring the shared _jaccard_pairs/cc_labels
+    builders Spark-side, so the oracles cannot drift."""
+    return f"""{verified_pairs_ctes()},
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
               UNION SELECT doc_b, doc_a FROM p),
     nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -977,6 +987,26 @@ BENCH_MOD = 97
 # corpus, zero corpus shuffle. The per-source aggregate is the only
 # exchange.
 # --------------------------------------------------------------------------
+def contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-benchmark ``doc_id``s sharing ≥1 shingle with the benchmark
+    slice (``doc_id % BENCH_MOD == 0``) — the ONE definition of
+    exact-overlap contamination, consumed by both dedup_decontaminate
+    and pipeline_funnel's decontamination stage so the two cannot
+    drift. Benchmark shingles broadcast (the bench slice is a fixed,
+    corpus-independent fraction of a bounded eval set at production)."""
+    e = _shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_sh = e.filter(is_bench).select("s").distinct()
+    return (
+        e.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 @query(
     "dedup_decontaminate",
     oracle=f"""
@@ -996,16 +1026,8 @@ BENCH_MOD = 97
 )
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bench_sh = sh.filter(is_bench).select("s").distinct()
-    cont = (
-        sh.filter(~is_bench)
-        .join(F.broadcast(bench_sh), "s", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_cont", F.lit(1))
-    )
+    cont = contaminated_ids(spark, sf_dir).withColumn("is_cont", F.lit(1))
     return (
         docs.filter(~is_bench)
         .join(cont, "doc_id", "left")
@@ -1832,16 +1854,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_graph_triangles",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
-             any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
-             >= {JACCARD_THRESHOLD}
-    ),
+    WITH {verified_pairs_ctes()},
     tri AS (
       SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
       FROM p ab

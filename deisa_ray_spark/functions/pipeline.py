@@ -29,13 +29,12 @@ from pyspark.sql import functions as F
 from deisa_ray_spark.registry import query
 from deisa_ray_spark.sources.registry import load_table
 from deisa_ray_spark.functions.dedup import (
-    _SQL_SHINGLES,
     BENCH_MOD,
-    JACCARD_THRESHOLD,
     _session_cached,
-    _shingle_sets,
     cc_labels,
     cc_pairs,
+    contaminated_ids,
+    verified_pairs_ctes,
 )
 
 _FUNNEL_ORACLE = f"""
@@ -48,16 +47,7 @@ _FUNNEL_ORACLE = f"""
     s1 AS (SELECT * FROM base WHERE n_tokens >= 10 AND ttr >= 0.2),
     k2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY fp),
     s2 AS (SELECT b.* FROM s1 b JOIN k2 USING (doc_id)),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
-             any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
-             >= {JACCARD_THRESHOLD}
-    ),
+    {verified_pairs_ctes()},
     p2 AS (SELECT * FROM p
            WHERE doc_a IN (SELECT doc_id FROM s2)
              AND doc_b IN (SELECT doc_id FROM s2)),
@@ -125,21 +115,10 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.join(drop3, "doc_id", "left_anti")
 
     # decontamination: drop the benchmark slice itself, then every
-    # survivor sharing a shingle with it (broadcast benchmark shingles)
-    e = _shingle_sets(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
-    bench_sh = (
-        e.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
-    )
-    cont = (
-        e.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(bench_sh), "s")
-        .select("doc_id")
-        .distinct()
-    )
+    # survivor sharing a shingle with it — the shared contaminated_ids
+    # definition (same single source of truth as dedup_decontaminate)
     s4 = s3.filter(F.col("doc_id") % BENCH_MOD != 0).join(
-        cont, "doc_id", "left_anti"
+        contaminated_ids(spark, sf_dir), "doc_id", "left_anti"
     )
 
     stages = [

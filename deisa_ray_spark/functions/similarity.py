@@ -1386,9 +1386,7 @@ KNN_K = 5
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.functions.dedup import dot_agg, norm_agg
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
+    emb = _emb(spark, sf_dir)
     sized = (
         emb.groupBy("label")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -7,7 +7,10 @@ this exercises the other half of Spark's windowed-state machinery.
 Oracle closure: with availableNow over ts-ordered shards, append emits
 exactly the sessions finalized by the final watermark. A session is the
 classic gap-island: per user, a new island starts when the gap to the
-previous event is ≥ GAP; its window is [min ts, max ts + GAP). Both the
+previous event EXCEEDS GAP (an event exactly GAP after its predecessor
+still merges — Spark's per-event window is the half-open
+[ts, ts + GAP), and session_window merges windows that merely TOUCH,
+verified live on 4.1.2); its window is [min ts, max ts + GAP). Both the
 island assignment (integer microsecond comparisons) and the
 finalization cutoff (session end ≤ max event time − delay, compared at
 Spark's millisecond watermark granularity — epoch_ms truncates in both
@@ -40,8 +43,10 @@ _ORACLE = f"""
     WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
     marked AS (
       SELECT user_id, tus,
+             -- STRICTLY greater: Spark merges windows that touch, so an
+             -- event exactly GAP after its predecessor extends the session
              CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
-                       >= {GAP_US}
+                       > {GAP_US}
                   THEN 1 ELSE 0 END AS new_s
       FROM ev
     ),

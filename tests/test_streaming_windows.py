@@ -111,6 +111,27 @@ def test_session_windows_gap_close(spark, tmp_path):
     ]
 
 
+def test_session_window_exact_gap_merges(spark, tmp_path):
+    """An event landing EXACTLY gap after its predecessor extends the
+    session: the per-event window is half-open [ts, ts+gap) and Spark's
+    session_window merges windows that merely touch. Pins the boundary
+    the stream_session_counts oracle mirrors with a STRICT `>` island
+    rule — a `>=` twin would split this pair and hash-mismatch."""
+    src = str(tmp_path / "events")
+    _write_batch(src, 0, [("08:00", 1, "a", 0.0), ("08:30", 1, "a", 0.0),
+                          ("13:00", 9, "flush", 0.0)])
+    events = sw.stream_events(spark, src)
+    agg = sw.session_counts(events, gap="30 minutes", watermark="0 seconds")
+    sw.run_to_memory(agg, str(tmp_path / "ckpt"), "sessions_exact", output_mode="append")
+
+    rows = sorted(
+        (r["user_id"], r["s_start"].strftime("%H:%M"), r["s_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.table("sessions_exact").collect()
+        if r["user_id"] != 9
+    )
+    assert rows == [(1, "08:00", "09:00", 2)]
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Re-delivered events (same event_id) inside the watermark horizon
     are dropped; distinct events all survive."""
