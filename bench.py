@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "txt_span_scrub",
     "sim_knn_graph",
     "samp_weighted_topk",
+    "dedup_pagerank",
+    "sim_binary_hamming_topk",
 ]
 
 

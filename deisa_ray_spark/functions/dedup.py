@@ -883,9 +883,10 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached materialization of :func:`_jaccard_pairs`: the
-    verified edge list feeds six queries (clustering, splits, audit,
-    keep-best, triangles), each referencing it from multiple join
-    branches — one persisted copy per (session, sf_dir) instead of
+    verified edge list feeds eight queries (clustering, splits, audit,
+    keep-best, triangles, pagerank, the funnel), each referencing it
+    from multiple join branches — one persisted copy per (session,
+    sf_dir) instead of
     re-running the shingle self-join per query and per bench build. At
     corpus scale this is writing the verified-pair table out once —
     standard pipeline staging."""
