@@ -39,6 +39,11 @@ QUERIES = [
     # quantizer (ivf_pq) — the new most-environment-sensitive shapes
     "txt_bpe_encode",
     "sim_ivf_pq_topk",
+    # round-7: streaming session windows (watermark + merging state
+    # under a vanilla timezone), and the session-cached fixed-point
+    # PageRank iteration (eager checkpoints + integer div arithmetic)
+    "stream_session_counts",
+    "dedup_pagerank",
 ]
 
 _SCRIPT = textwrap.dedent(
