@@ -7,13 +7,14 @@ DuckDB oracles.
 
 Subset choice: every events/timestamp query shape (session timezone is
 the classic silent-divergence risk), plus one text and one embedding
-representative. The full vanilla sweep (156 queries at round-6 close,
+representative. The full vanilla sweep (177 queries mid round-7,
 every one value-exact against its oracle, zero rows-only) was run
-green on 2026-08-14; this pins the property against regressions at
-~1/10 the cost. (Round-6: txt_bpe_encode and sim_ivf_pq_topk join the
-pinned subset — eager per-round checkpoints + session model cache, and
-an MLlib-trained quantizer under a recall contract, are the new
-most-environment-sensitive shapes.)
+green on 2026-08-15 (236 s, default-config session, fresh process);
+this pins the property against regressions at ~1/10 the cost.
+(Round-6: txt_bpe_encode and sim_ivf_pq_topk joined the pinned subset —
+eager per-round checkpoints + session model cache, and an MLlib-trained
+quantizer under a recall contract. Round-7: stream_session_counts and
+dedup_pagerank — see below.)
 """
 
 from __future__ import annotations
