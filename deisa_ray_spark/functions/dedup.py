@@ -1980,6 +1980,52 @@ def _pagerank_oracle() -> str:
     """
 
 
+def pagerank_fixed_point(pairs: DataFrame, rounds: int = PAGERANK_ROUNDS) -> DataFrame:
+    """Run the integer fixed-point PageRank iteration over an undirected
+    ``(doc_a, doc_b)`` pair frame; returns ``(id, deg, pr)``. Pure
+    function of the edge list — fuzzed against a pure-Python twin in
+    tests/test_pagerank.py."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ntot = deg.agg(F.count(F.lit(1)).alias("n"))
+    # (id, deg, n) — the static per-node frame every round reads; one
+    # materialization, lineage-truncated so round plans stay flat
+    static = deg.join(F.broadcast(ntot), F.lit(True)).localCheckpoint(eager=True)
+
+    pr = static.select(
+        "id", F.expr(f"{PAGERANK_SCALE} div n").alias("pr")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        contrib = pr.join(static, "id").select(
+            "id", F.expr("pr div deg").alias("c")
+        )
+        inc = (
+            contrib.join(edges, contrib.id == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            static.join(inc, "id", "left")
+            .select(
+                "id",
+                (
+                    F.expr(f"(15 * {PAGERANK_SCALE}) div (100 * n)")
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(pr)  # superseded round — never read again
+        pr = nxt
+    return pr.join(static, "id").select("id", "deg", "pr")
+
+
 def _pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached ``(id, deg, pr)`` fixed-point PageRank scores over
     the verified near-dup graph. The scores are a MODEL artifact (a
@@ -1987,50 +2033,13 @@ def _pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-table discipline), so repeated constructions (the bench's 3
     builds per query) reuse one materialized frame instead of re-running
     the K eager iteration rounds."""
-
-    def build() -> DataFrame:
-        pairs = cc_pairs(spark, sf_dir)
-        edges = pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).unionAll(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        deg = edges.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("deg")
-        )
-        ntot = deg.agg(F.count(F.lit(1)).alias("n"))
-        # (id, deg, n) — the static per-node frame every round reads; one
-        # materialization, lineage-truncated so round plans stay flat
-        static = deg.join(F.broadcast(ntot), F.lit(True)).localCheckpoint(eager=True)
-
-        pr = static.select(
-            "id", F.expr(f"{PAGERANK_SCALE} div n").alias("pr")
-        ).localCheckpoint(eager=True)
-        for _ in range(PAGERANK_ROUNDS):
-            contrib = pr.join(static, "id").select(
-                "id", F.expr("pr div deg").alias("c")
-            )
-            inc = (
-                contrib.join(edges, contrib.id == edges.src)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum("c").alias("s"))
-            )
-            nxt = (
-                static.join(inc, "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.expr(f"(15 * {PAGERANK_SCALE}) div (100 * n)")
-                        + F.expr("(85 * coalesce(s, 0)) div 100")
-                    ).alias("pr"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            free_local_checkpoint(pr)  # superseded round — never read again
-            pr = nxt
-        return pr.join(static, "id").select("id", "deg", "pr")
-
-    return _session_cached(spark, "pagerank", sf_dir, build, eager=True)
+    return _session_cached(
+        spark,
+        "pagerank",
+        sf_dir,
+        lambda: pagerank_fixed_point(cc_pairs(spark, sf_dir)),
+        eager=True,
+    )
 
 
 @query("dedup_pagerank", oracle=_pagerank_oracle())
