@@ -268,3 +268,62 @@ def test_available_now_trigger_drains_backlog_and_stops(spark, tmp_path):
         for r in spark.sql("select * from catchup").collect()
     }
     assert got == {("08:00", "view", 3)}
+
+
+def test_tumbling_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart durability for the watermarked windowed agg: run
+    the availableNow drain over the early shards, stop, land more shards,
+    restart from the SAME checkpoint + output path. The checkpoint
+    restores the watermark and window state, so the final appended set
+    must equal one uninterrupted run — every finalized window emitted
+    exactly once, none lost, none duplicated."""
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain() -> None:
+        events = sw.stream_events(spark, src, max_files_per_trigger=1)
+        agg = sw.tumbling_counts(events, window="1 hour", watermark="0 seconds")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read_out() -> dict:
+        df = spark.read.schema(
+            "w_start timestamp, w_end timestamp, event_type string, "
+            "n bigint, sum_value double"
+        ).parquet(out)
+        rows = [r for r in df.collect() if r["event_type"] != "flush"]
+        got = {}
+        for r in rows:
+            key = (r["w_start"].hour, r["event_type"])
+            assert key not in got, f"window {key} emitted twice across restart"
+            got[key] = (r["n"], r["sum_value"])
+        return got
+
+    # run 1: 08:xx and 09:xx events; the 10:00 row advances the watermark
+    # to 10:00 at drain end, finalizing the 08:00 and 09:00 windows
+    _write_batch(src, 0, [("08:10", 1, "click", 1.0), ("08:40", 1, "click", 2.0)])
+    _write_batch(src, 1, [("09:10", 2, "view", 3.0), ("10:00", 8, "mark", 0.0)])
+    drain()
+    first = read_out()
+    assert set(first) == {(8, "click"), (9, "view")}
+
+    # run 2: later shards land after the "crash"; the restart must resume
+    # from the checkpointed watermark (not re-emit 08/09) and finalize
+    # 10:00 (the mark) and 11:xx once the 13:00 flusher advances time
+    _write_batch(src, 2, [("11:30", 3, "click", 5.0)])
+    _write_batch(src, 3, [("13:00", 9, "flush", 0.0)])
+    drain()
+    got = {k: v for k, v in read_out().items() if k[1] != "mark"}
+    assert got == {
+        (8, "click"): (2, 3.0),
+        (9, "view"): (1, 3.0),
+        (11, "click"): (1, 5.0),
+    }
