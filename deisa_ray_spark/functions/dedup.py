@@ -2059,3 +2059,71 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hub_rank").cast("int").alias("hub_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_decontaminate_semantic — EMBEDDING-space benchmark
+# decontamination, completing the decontamination family: exact
+# (shingle semi-join), fuzzy (MinHash-LSH), bloom (bit-set probe) catch
+# lexical leakage; this catches REWRITTEN/translated leakage by cosine
+# against the benchmark's embeddings (the "semantic decontamination"
+# step modern pre-training pipelines run after the lexical passes).
+# A corpus vector is contaminated when its max cosine against ANY
+# benchmark vector reaches the threshold.
+#
+# Determinism: each pair cosine is rounded to 6 BEFORE the per-vector
+# max and the threshold compare, so both engines take max/compare over
+# identical doubles.
+#
+# Threshold note: the synthetic embeddings are near-orthogonal (max
+# observed benchmark cosine ≈ 0.50 at sf0.1), so the exhibit threshold
+# sits in the observed tail to exercise both outcomes at every SF; a
+# production pipeline sets ~0.9+ against a real encoder.
+#
+# Scale shape: the benchmark slice is a BOUNDED eval set (vec_id %
+# BENCH_MOD — ~1% here, fixed-size in production) broadcast once; the
+# corpus side is one map-side scan × |bench| partial-agg'd max, then a
+# per-label count agg. No corpus×corpus stage, nothing driver-side.
+# --------------------------------------------------------------------------
+SEM_DECON_THRESHOLD = 0.35
+
+
+@query(
+    "dedup_decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT v FROM e WHERE vec_id % {BENCH_MOD} = 0),
+    m AS (
+      SELECT e.vec_id, e.label,
+             max(round(list_cosine_similarity(e.v, b.v), 6)) AS max_cos
+      FROM e JOIN b ON TRUE
+      WHERE e.vec_id % {BENCH_MOD} <> 0
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT label,
+           CAST(count(*) FILTER (WHERE max_cos >= {SEM_DECON_THRESHOLD})
+                AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE max_cos < {SEM_DECON_THRESHOLD})
+                AS BIGINT) AS n_kept,
+           max(max_cos) AS top_bench_cosine
+    FROM m GROUP BY label
+    """,
+)
+def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_bench = F.col("vec_id") % BENCH_MOD == 0
+    bench = emb.filter(is_bench).select(F.col("v").alias("bv"))
+    m = (
+        emb.filter(~is_bench)
+        .join(F.broadcast(bench), F.lit(True))
+        .groupBy("vec_id", "label")
+        .agg(F.max(F.round(cosine_sim(F.col("v"), F.col("bv")), 6)).alias("max_cos"))
+    )
+    contaminated = F.col("max_cos") >= SEM_DECON_THRESHOLD
+    return m.groupBy("label").agg(
+        F.sum(F.when(contaminated, 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.sum(F.when(~contaminated, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.max("max_cos").alias("top_bench_cosine"),
+    )

@@ -730,6 +730,19 @@ def test_knn_graph_blocked_not_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semantic_decon_bounded_broadcast_no_python(spark):
+    """Semantic decontamination: the ONLY nested loop is the bounded
+    broadcast benchmark slice crossed into the corpus scan (the
+    sanctioned decontamination shape); the per-vector max and per-label
+    census are hash partial aggs, all JVM-side."""
+    plan = plan_of(spark, "dedup_decontaminate_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one NLJ node (tree line + detail block in formatted output)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "HashAggregate" in plan
+
+
 def test_binary_hamming_slim_scan_no_python(spark):
     """Binary-quantized ANN: the Hamming candidate scan is the broadcast
     query set against PACKED CODES only (the embedding arrays must not
