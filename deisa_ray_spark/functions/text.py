@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from deisa_ray_spark.registry import query
 from deisa_ray_spark.sources.registry import load_table
+from deisa_ray_spark.functions import dedup as _dedup  # noqa: E402  (leaf-ward: dedup never imports text)
 
 # Shared quality/token helpers live in the LEAF module functions.quality
 # (this module module-level imports dedup for the span helpers, and dedup
@@ -1629,4 +1630,121 @@ def txt_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") - scrub).cast("bigint").alias("n_kept"),
             F.round(scrub / F.col("n_tokens"), 6).alias("scrub_ratio"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_effective_mixture — the EFFECTIVE per-source training mixture: the
+# sampling weights a trainer actually uses are computed over the tokens
+# that SURVIVE curation, not the raw crawl, and dedup/decontamination
+# remove very different fractions per source (boilerplate-heavy sources
+# collapse under exact dedup; benchmark-adjacent sources lose to
+# decontamination). Reports, per source: raw and surviving docs/tokens,
+# and the raw vs effective mixture weights — the before/after
+# composition table every data card publishes.
+#
+# Single sources of truth: the exact-dedup keep rule is dedup_exact's
+# (md5(lower(trim(text))) fingerprint, min-doc_id canonical), the
+# contamination set is contaminated_ids() / the shared benchmark slice.
+#
+# Determinism: counts are integers; each weight is ONE IEEE division of
+# two exact bigints (< 2^53), identical in both engines, rounded after.
+#
+# Scale shape: one fingerprint window (equi-shuffle on fp), one
+# broadcast anti-join against the contamination set, two per-source
+# partial aggs; the weight normalization is a window over the
+# per-source frame (≤ #sources rows). Text never rides a shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "txt_effective_mixture",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             md5(lower(trim(text))) AS fp
+      FROM documents
+    ),
+    canon AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM tok
+    ),
+    shx AS (SELECT doc_id, unnest({_dedup._SQL_SHINGLES}) AS s FROM documents),
+    bench AS (SELECT DISTINCT s FROM shx WHERE doc_id % {_dedup.BENCH_MOD} = 0),
+    cont AS (SELECT DISTINCT doc_id FROM shx
+             WHERE doc_id % {_dedup.BENCH_MOD} <> 0 AND s IN (SELECT s FROM bench)),
+    kept AS (
+      SELECT * FROM canon
+      WHERE doc_id = canonical_id
+        AND doc_id % {_dedup.BENCH_MOD} <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    raw AS (SELECT source, count(*) AS n_docs_raw,
+                   sum(n_tokens) AS n_tokens_raw
+            FROM tok GROUP BY source),
+    eff AS (SELECT source, count(*) AS n_docs_kept,
+                   sum(n_tokens) AS n_tokens_kept
+            FROM kept GROUP BY source)
+    SELECT r.source,
+           CAST(r.n_docs_raw AS BIGINT) AS n_docs_raw,
+           CAST(r.n_tokens_raw AS BIGINT) AS n_tokens_raw,
+           CAST(coalesce(e.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(coalesce(e.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           round(CAST(r.n_tokens_raw AS DOUBLE)
+                 / sum(r.n_tokens_raw) OVER (), 6) AS weight_raw,
+           round(CAST(coalesce(e.n_tokens_kept, 0) AS DOUBLE)
+                 / sum(coalesce(e.n_tokens_kept, 0)) OVER (), 6)
+             AS weight_effective
+    FROM raw r LEFT JOIN eff e ON e.source = r.source
+    """,
+)
+def txt_effective_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.dedup import BENCH_MOD, contaminated_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    canon = tok.withColumn(
+        "canonical_id", F.min("doc_id").over(W.partitionBy("fp"))
+    )
+    kept = (
+        canon.filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("doc_id") % BENCH_MOD != 0)
+        )
+        .join(contaminated_ids(spark, sf_dir), "doc_id", "left_anti")
+    )
+    raw = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_raw"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_raw"),
+    )
+    eff = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+    )
+    wall = W.partitionBy()
+    out = raw.join(eff, "source", "left").select(
+        "source",
+        "n_docs_raw",
+        "n_tokens_raw",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias("n_docs_kept"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+    )
+    return out.select(
+        "source",
+        "n_docs_raw",
+        "n_tokens_raw",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.round(
+            F.col("n_tokens_raw").cast("double")
+            / F.sum("n_tokens_raw").over(wall),
+            6,
+        ).alias("weight_raw"),
+        F.round(
+            F.col("n_tokens_kept").cast("double")
+            / F.sum("n_tokens_kept").over(wall),
+            6,
+        ).alias("weight_effective"),
     )

@@ -730,6 +730,17 @@ def test_knn_graph_blocked_not_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_effective_mixture_no_pairwise_no_python(spark):
+    """Effective-mixture report: fingerprint window + broadcast
+    contamination anti-join + per-source aggs — no doc×doc product, no
+    Python-eval; the weight normalization windows run over the tiny
+    per-source frame."""
+    plan = plan_of(spark, "txt_effective_mixture")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
 def test_semantic_decon_bounded_broadcast_no_python(spark):
     """Semantic decontamination: the ONLY nested loop is the bounded
     broadcast benchmark slice crossed into the corpus scan (the
