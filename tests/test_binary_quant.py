@@ -1,0 +1,56 @@
+"""Property tests for the binary-quantization bit packing: the Spark
+expression tree in _bq_halves must agree with a pure-Python packer on
+random vectors (including zeros and exact sign boundaries), and the
+Hamming expression must equal popcount of the packed XOR.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.similarity import BQ_DIM, _bq_halves
+
+
+def _py_halves(vec: list[float]) -> tuple[int, int]:
+    lo = sum(1 << j for j in range(32) if vec[j] > 0)
+    hi = sum(1 << (j - 32) for j in range(32, BQ_DIM) if vec[j] > 0)
+    return lo, hi
+
+
+def test_packing_matches_python(spark):
+    rng = random.Random(3)
+    vecs = []
+    for _ in range(20):
+        v = [rng.uniform(-1, 1) for _ in range(BQ_DIM)]
+        # exact boundary values: 0.0 must pack as NOT set (> 0, not >=)
+        v[rng.randrange(BQ_DIM)] = 0.0
+        vecs.append(v)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i int, e array<double>"
+    )
+    lo, hi = _bq_halves(F.col("e"))
+    got = {
+        r["i"]: (r["lo"], r["hi"])
+        for r in df.select("i", lo.alias("lo"), hi.alias("hi")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == _py_halves(v), f"vector {i} packed wrong"
+        assert 0 <= got[i][0] < 1 << 32 and 0 <= got[i][1] < 1 << 32
+
+
+def test_hamming_equals_popcount(spark):
+    rng = random.Random(5)
+    a = [rng.uniform(-1, 1) for _ in range(BQ_DIM)]
+    b = [rng.uniform(-1, 1) for _ in range(BQ_DIM)]
+    df = spark.createDataFrame([(a, b)], "ea array<double>, eb array<double>")
+    alo, ahi = _bq_halves(F.col("ea"))
+    blo, bhi = _bq_halves(F.col("eb"))
+    ham = (
+        F.bit_count(alo.bitwiseXOR(blo)) + F.bit_count(ahi.bitwiseXOR(bhi))
+    ).cast("int")
+    got = df.select(ham.alias("h")).collect()[0]["h"]
+    pa, pb = _py_halves(a), _py_halves(b)
+    want = bin((pa[0] ^ pb[0]) | ((pa[1] ^ pb[1]) << 32)).count("1")
+    assert got == want
