@@ -4,12 +4,17 @@ exact oracle: raw → quality gate → exact dedup → fuzzy dedup (verified
 near-dup clusters, keep-one) → benchmark decontamination, reporting the
 per-stage yield (docs + tokens surviving each stage).
 
-Every stage reuses the engine's single source of truth for its
-semantics — the txt_quality_score gate, md5 exact-dedup keep-min,
-_jaccard_pairs + cc_labels clustering, and dedup_decontaminate's
-benchmark slice — so the funnel cannot drift from the per-stage
-operators it composes (reference parity: the per-op counterparts cite
-the reference's own test queries; this file is the composition layer).
+Every stage reuses a single source of truth for its semantics — the
+quality gate is a two-rule filter on the shared FUNNEL_MIN_TOKENS /
+FUNNEL_MIN_TTR constants below (a deliberately simpler gate than
+txt_quality_score's full rule set: the funnel's point is stage
+COMPOSITION, and the two named constants keep the Spark path and the
+oracle from drifting), exact dedup is md5 keep-min, fuzzy dedup is the
+shared verified_pairs_ctes()/cc_pairs graph + cc_labels clustering, and
+decontamination is the shared contaminated_ids() benchmark slice — so
+the funnel cannot drift from the per-stage operators it composes
+(reference parity: the per-op counterparts cite the reference's own
+test queries; this file is the composition layer).
 
 Scale notes (100 TB): the corpus-wide frames (base, s1..s4) are narrow
 (doc_id + 3 ints) projections — the text column is dropped before any
@@ -37,6 +42,11 @@ from deisa_ray_spark.functions.dedup import (
     verified_pairs_ctes,
 )
 
+#: Quality-stage gate constants — the ONE definition both the Spark
+#: path and the oracle interpolate (see module docstring).
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_MIN_TTR = 0.2
+
 _FUNNEL_ORACLE = f"""
     WITH RECURSIVE
     tok AS (SELECT doc_id, string_split(text, ' ') AS toks, md5(text) AS fp
@@ -44,7 +54,8 @@ _FUNNEL_ORACLE = f"""
     base AS (SELECT doc_id, len(toks) AS n_tokens,
                     len(list_distinct(toks)) / len(toks) AS ttr, fp
              FROM tok),
-    s1 AS (SELECT * FROM base WHERE n_tokens >= 10 AND ttr >= 0.2),
+    s1 AS (SELECT * FROM base
+           WHERE n_tokens >= {FUNNEL_MIN_TOKENS} AND ttr >= {FUNNEL_MIN_TTR}),
     k2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY fp),
     s2 AS (SELECT b.* FROM s1 b JOIN k2 USING (doc_id)),
     {verified_pairs_ctes()},
@@ -96,7 +107,9 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base = _session_cached(spark, "funnel_base", sf_dir, build, eager=True)
-    s1 = base.filter((F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.2))
+    s1 = base.filter(
+        (F.col("n_tokens") >= FUNNEL_MIN_TOKENS) & (F.col("ttr") >= FUNNEL_MIN_TTR)
+    )
     k2 = s1.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     s2 = s1.join(k2.select("doc_id"), "doc_id", "left_semi")
 

@@ -1458,10 +1458,21 @@ BQ_SHORTLIST = 200  #: Hamming survivors re-ranked exactly per query —
 
 
 def _bq_halves(e: Column) -> "tuple[Column, Column]":
+    """Pack the sign bits of a BQ_DIM-wide vector into two bigint halves.
+
+    PRECONDITION: ``size(e) == BQ_DIM``. On a shorter array element_at
+    returns NULL, the ``> 0`` test silently falls to the 0 branch, and
+    the packed code would be wrong with no error — so the lo half is
+    guarded: any row whose vector is not exactly BQ_DIM wide raises at
+    scan time instead of producing a silent wrong code (pinned by
+    tests/test_binary_quant.py::test_bq_halves_rejects_short_vector)."""
     lo = sum(
         [F.when(F.element_at(e, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
         F.lit(0),
     ).cast("bigint")
+    lo = F.when(F.size(e) == BQ_DIM, lo).otherwise(
+        F.raise_error(F.lit(f"binary quantization requires exactly {BQ_DIM}-dim vectors"))
+    )
     hi = sum(
         [
             F.when(F.element_at(e, j + 1) > 0, F.lit(1 << (j - 32))).otherwise(F.lit(0))

@@ -108,6 +108,19 @@ def hot_split_join(
         dim = _session_cached(
             dim.sparkSession, f"hsj:{cache_tag}", sf_dir, lambda: d, eager=True
         )
+        # Tag-sharing invariant: every caller reusing a cache_tag (e.g.
+        # 'unigram_lm' across txt_unigram_logprob / txt_ccnet_buckets)
+        # must build a structurally identical dim — otherwise the first
+        # caller's frame silently serves everyone. A full plan
+        # fingerprint is brittle across Spark versions, so guard the
+        # cheap observable: the cached frame must carry the schema the
+        # incoming dim declares.
+        if dim.schema != d.schema:
+            raise ValueError(
+                f"hot_split_join cache_tag {cache_tag!r} is shared by callers "
+                f"with different dim schemas: cached {dim.schema.simpleString()} "
+                f"vs incoming {d.schema.simpleString()} — use a distinct tag"
+            )
     else:
         # No deterministic free_local_checkpoint is possible here: the
         # returned LAZY plan references these blocks, so they live until

@@ -161,3 +161,25 @@ def test_hot_split_join_mitigates_token_skew(spark, tmp_path):
         tuple(r) for r in T.hot_split_join(fact, dim, "k", "w", n_hot=3).collect()
     )
     assert split == plain
+
+
+def test_hot_split_join_cache_tag_schema_guard(spark, tmp_path):
+    """A cache_tag is owned by one dim shape: a second caller reusing the
+    tag with a structurally different dim must fail loudly instead of
+    silently receiving the first caller's cached dimension table."""
+    import pytest
+
+    import deisa_ray_spark.functions.text as T
+
+    fact = spark.range(10).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    dim_a = spark.createDataFrame([("0", 5), ("1", 3)], "k string, w int")
+    dim_b = spark.createDataFrame([("0", 5.0, "x")], "k string, w double, extra string")
+    T.hot_split_join(fact, dim_a, "k", "w", cache_tag="guard_test", sf_dir=str(tmp_path))
+    # same tag + same schema: fine (the cached frame serves it)
+    T.hot_split_join(fact, dim_a, "k", "w", cache_tag="guard_test", sf_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="guard_test"):
+        T.hot_split_join(
+            fact, dim_b, "k", "w", cache_tag="guard_test", sf_dir=str(tmp_path)
+        )

@@ -54,3 +54,14 @@ def test_hamming_equals_popcount(spark):
     pa, pb = _py_halves(a), _py_halves(b)
     want = bin((pa[0] ^ pb[0]) | ((pa[1] ^ pb[1]) << 32)).count("1")
     assert got == want
+
+
+def test_bq_halves_rejects_short_vector(spark):
+    """Precondition guard: a vector narrower than BQ_DIM must raise, not
+    silently pack missing dims as 0 (the element_at-past-end NULL trap)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, [0.5] * (BQ_DIM - 1))], "i int, e array<double>")
+    lo, _hi = _bq_halves(F.col("e"))
+    with pytest.raises(Exception, match="64-dim"):
+        df.select(lo.alias("lo")).collect()
