@@ -622,14 +622,20 @@ def semantic_bucket_assign(
     )
 
 
+def sem_bits_sql(n: int, col: str = "embedding") -> str:
+    """DuckDB twin of ``_sem_bucket``: sign-bit string of the first ``n``
+    dims (slice-truncating, like the Spark side). Shared by the SemDeDup
+    oracle here and the kNN-graph refinement oracle in similarity.py."""
+    return (
+        f"array_to_string(list_transform(({col}::DOUBLE[])[1:{n}], "
+        "v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
 def _sem_oracle_sql(cap: int = MAX_COSINE_BLOCK, stages: tuple = SEM_BITS_STAGES) -> str:
     """DuckDB twin of the adaptive assignment + within-cell dup count."""
 
-    def bits(n: int) -> str:
-        return (
-            f"array_to_string(list_transform((embedding::DOUBLE[])[1:{n}], "
-            "v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '')"
-        )
+    bits = sem_bits_sql
 
     base_cols = ", ".join(f"{bits(n)} AS _b{d + 1}" for d, n in enumerate(stages))
     parts = [

@@ -1346,84 +1346,242 @@ def emb_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # sim_knn_graph — k-nearest-neighbor GRAPH construction over the corpus
-# embeddings: every vector's top-K neighbors by cosine, blocked by label
-# with the same MAX_COSINE_BLOCK cap discipline as dedup_embedding_cosine
-# (oversized blocks route through the LSH/IVF candidate path at scale —
-# per-block work stays ≤ B² with B fixed, so the graph build is O(n)
-# blocks, never corpus-quadratic). The kNN graph is the input artifact
-# for SemDeDup-style pruning, graph-based clustering, and diversity
-# sampling over a training corpus.
+# embeddings: every vector's top-K neighbors by cosine within a BOUNDED
+# block. Blocks start as labels; any label over the cap is adaptively
+# refined with sign-bit subcells (8 → 16 → 24 leading-dim signs, the
+# same axis-aligned-hyperplane split dedup_semantic_buckets uses), and a
+# cell STILL oversized at 24 bits — possible exactly in near-dup-rich
+# labels, whose members share sign patterns — is sharded by a
+# deterministic md5 row-number salt into ⌈n/cap⌉ bounded shards. Every
+# vector therefore lands in a block of ≤ cap peers and contributes its
+# ranked neighbors to the graph AT ANY BLOCK SIZE — nothing is silently
+# dropped (the r7 weak finding; the old form excluded oversized labels
+# entirely). ``depth`` (0 = label fit, 1-3 = sign-bit stage, 4 = salted)
+# is emitted per row as the refinement census.
+#
+# Scale shape: per-block work stays ≤ cap² with cap fixed, so the build
+# is O(n·cap), never corpus-quadratic; the stats/decision frames are
+# cell-level (≤ distinct cells rows, broadcast back by AQE); the salt
+# window runs on a narrow (vec_id, k3) projection co-partitioned with
+# the decision join. The graph is the input artifact for SemDeDup-style
+# pruning, graph-based clustering, diversity sampling, and the
+# sim_graph_beam_topk serving query below (session-cached under
+# 'knn_graph'). The cap is deliberately small so the test SFs exercise
+# every refinement stage; production would raise it toward
+# MAX_COSINE_BLOCK, which only DEEPENS blocks, never widens the plan.
 #
 # Ranking discipline: order by ROUNDED cosine (round-to-6 is what both
 # engines reproduce bit-identically), neighbor_id tie-break.
 # --------------------------------------------------------------------------
 KNN_K = 5
+KNN_BLOCK_CAP = 100  #: max vectors per kNN block (see scale note above)
+#: sign-bit refinement stages within a hot label — GEOMETRIC (each stage
+#: quarters the cells) so a just-over-cap label splits into near-cap
+#: blocks instead of shattering straight to 2^8 near-singleton cells
+#: (measured: an 8-bit first stage left sf0.1's 218-vector labels with
+#: ~1.5k graph rows vs ~10k with the 2-bit first stage — neighbor
+#: quality, not correctness).
+_KNN_BITS = (2, 4, 8, 16)
+_KNN_SALT_DEPTH = len(_KNN_BITS) + 1  #: census value for md5-salted shards
 
 
-@query(
-    "sim_knn_graph",
-    oracle=f"""
-    WITH sized AS (
-      SELECT label FROM embeddings
-      GROUP BY label HAVING count(*) <= {MAX_COSINE_BLOCK}
-    ),
-    emb AS (SELECT e.* FROM embeddings e JOIN sized USING (label)),
-    pairs AS (
-      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
-             round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                          b.embedding::DOUBLE[]), 6) AS cosine
-      FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM pairs
+def _knn_graph_ctes(cap: int = KNN_BLOCK_CAP) -> str:
+    """DuckDB CTE chain ending in ``knn_graph(vec_id, label, depth,
+    rank, neighbor_id, cosine)`` — the oracle twin of ``knn_graph()``.
+    MATERIALIZED throughout: r/st/dec/assigned are each referenced more
+    than once downstream and DuckDB inlines plain CTEs exponentially."""
+    from deisa_ray_spark.functions.dedup import sem_bits_sql
+
+    deep = len(_KNN_BITS)
+    deepest_bits = _KNN_BITS[-1]
+    # strip lengths off the deepest key, shallowest stage first:
+    # label = strip bits+sep, stage i = strip (deepest_bits - bits_i)
+    strips = [deepest_bits + 1] + [deepest_bits - b for b in _KNN_BITS]
+    win_sums = ",\n             ".join(
+        f"sum(n{deep}) OVER (PARTITION BY substr(k{deep}, 1, length(k{deep}) - {s})) AS n{d}"
+        for d, s in enumerate(strips[:-1])
     )
-    SELECT vec_id, label, CAST(rank AS INT) AS rank, neighbor_id, cosine
-    FROM ranked WHERE rank <= {KNN_K}
-    """,
-)
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deisa_ray_spark.functions.dedup import dot_agg, norm_agg
+    bucket_cases = "\n                  ".join(
+        f"WHEN n{d} <= {cap} THEN "
+        + (f"substr(k{deep}, 1, length(k{deep}) - {s})" if s else f"k{deep}")
+        for d, s in enumerate(strips)
+    )
+    depth_cases = " ".join(f"WHEN n{d} <= {cap} THEN {d}" for d in range(deep + 1))
+    return f"""
+    r AS MATERIALIZED (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             CAST(label AS VARCHAR) || '|' || {sem_bits_sql(deepest_bits)} AS k{deep}
+      FROM embeddings
+    ),
+    st AS MATERIALIZED (SELECT k{deep}, count(*) AS n{deep} FROM r GROUP BY k{deep}),
+    st2 AS MATERIALIZED (
+      SELECT k{deep}, n{deep},
+             {win_sums}
+      FROM st
+    ),
+    dec AS MATERIALIZED (
+      SELECT k{deep},
+             CASE {bucket_cases}
+                  ELSE NULL END AS bucket0,
+             CASE {depth_cases} ELSE {_KNN_SALT_DEPTH} END AS depth
+      FROM st2
+    ),
+    assigned AS MATERIALIZED (
+      SELECT r.vec_id, r.label, r.e, d.depth,
+             COALESCE(d.bucket0,
+                      r.k{deep} || '#' ||
+                      CAST((row_number() OVER (
+                              PARTITION BY r.k{deep}
+                              ORDER BY md5(CAST(r.vec_id AS VARCHAR)), r.vec_id
+                            ) - 1) // {cap} AS VARCHAR)) AS bucket
+      FROM r JOIN dec d USING (k{deep})
+    ),
+    knn_pairs AS (
+      SELECT a.vec_id, a.label, a.depth, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    knn_graph AS MATERIALIZED (
+      SELECT vec_id, label, CAST(depth AS INT) AS depth,
+             CAST(rank AS INT) AS rank, neighbor_id, cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM knn_pairs)
+      WHERE rank <= {KNN_K}
+    )"""
 
-    emb = _emb(spark, sf_dir)
-    sized = (
-        emb.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= MAX_COSINE_BLOCK)
-        .select("label")
+
+def knn_assigned(emb: DataFrame, cap: int = KNN_BLOCK_CAP) -> DataFrame:
+    """Adaptively-refined bounded-block assignment for the kNN graph:
+    ``(vec_id, label, e, nrm, bucket, depth)`` where every bucket holds
+    ≤ ``cap`` vectors (depth 4 shards are ≤ cap BY CONSTRUCTION — the
+    md5 row-number salt cuts exact cap-sized slices, unlike a mod-hash
+    shard whose sizes are only bounded in expectation).
+
+    ``emb`` must carry (vec_id, label, e). Stats shape: ONE partial-agg
+    pass builds deepest-cell counts; shallower-depth counts are prefix
+    window-SUMs on that cell-level frame (the semantic_bucket_assign
+    discipline, dedup.py:571) — label and sign-prefix keys all strip off
+    the deepest key with FIXED suffix lengths, so no per-label width
+    bookkeeping. Norms ride along once per vector for the pair stage."""
+    from deisa_ray_spark.functions.dedup import _sem_bucket, norm_agg
+
+    deep = len(_KNN_BITS)
+    deepest_bits = _KNN_BITS[-1]
+    dk = f"k{deep}"
+    strips = [deepest_bits + 1] + [deepest_bits - b for b in _KNN_BITS]
+
+    def prefix(s: int) -> "F.Column":
+        return F.expr(f"substring({dk}, 1, length({dk}) - {s})") if s else F.col(dk)
+
+    cells = emb.select(
+        "vec_id",
+        "label",
+        "e",
+        F.concat(
+            F.col("label").cast("string"), F.lit("|"), _sem_bucket(F.col("e"), deepest_bits)
+        ).alias(dk),
+    )
+    stats = cells.groupBy(dk).agg(F.count(F.lit(1)).alias(f"n{deep}"))
+    for d, s in enumerate(strips[:-1]):
+        stats = stats.withColumn(f"n{d}", F.sum(f"n{deep}").over(W.partitionBy(prefix(s))))
+    bucket0 = F.when(F.col("n0") <= cap, prefix(strips[0]))
+    depth = F.when(F.col("n0") <= cap, 0)
+    for d, s in enumerate(strips[1:], start=1):
+        bucket0 = bucket0.when(F.col(f"n{d}") <= cap, prefix(s))
+        depth = depth.when(F.col(f"n{d}") <= cap, d)
+    dec = stats.select(
+        dk,
+        bucket0.otherwise(F.lit(None).cast("string")).alias("bucket0"),
+        depth.otherwise(_KNN_SALT_DEPTH).alias("depth"),
+    )
+    return (
+        cells.join(dec, dk)
+        .withColumn(
+            "bucket",
+            F.coalesce(
+                F.col("bucket0"),
+                F.concat(
+                    F.col(dk),
+                    F.lit("#"),
+                    F.expr(f"CAST((row_number() OVER (PARTITION BY {dk} "
+                           f"ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1) "
+                           f"DIV {cap} AS STRING)"),
+                ),
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "e",
+            norm_agg(F.col("e")).alias("nrm"),
+            "bucket",
+            "depth",
+        )
+    )
+
+
+def knn_graph_from_assigned(assigned: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Bounded-block kNN edges over an assignment frame
+    (``vec_id, label, e, nrm, bucket, depth``) — the pair+rank stage
+    shared by the session-cached artifact and the refinement tests."""
+    from deisa_ray_spark.functions.dedup import dot_agg
+
+    a = assigned.select(
+        "vec_id", "label", "depth", "bucket",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "bucket",
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
     )
     # Norms once per VECTOR (n rows) instead of twice per PAIR (n² rows):
-    # cosine = dot_agg/(na*nb) with the same FP sequence as cosine_sim, so
-    # values are bit-identical to the inline form at ~2x less per-pair work
+    # cosine = dot_agg/(na*nb) with the same FP sequence as cosine_sim,
+    # bit-identical to the inline form at ~2x less per-pair work
     # (measured 5.9 s -> 3.3 s at sf0.1).
-    emb = emb.join(sized, "label", "left_semi").withColumn("nrm", norm_agg(F.col("e")))
-    a = emb.select("vec_id", "label", F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     scored = (
-        a.join(b, "label")
+        a.join(b, "bucket")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select(
             "vec_id",
             "label",
+            "depth",
             "neighbor_id",
             F.round(
-                dot_agg(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-                6,
+                dot_agg(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("vec_id", "label", "rank", "neighbor_id", "cosine")
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", "depth", "rank", "neighbor_id", "cosine")
     )
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-cached kNN-graph ARTIFACT: ``(vec_id, label, depth,
+    rank, neighbor_id, cosine)`` — consumed by the declared query and by
+    sim_graph_beam_topk's serving search."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    def build() -> DataFrame:
+        return knn_graph_from_assigned(knn_assigned(_emb(spark, sf_dir)))
+
+    return _session_cached(spark, "knn_graph", sf_dir, build, eager=True)
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH {_knn_graph_ctes()}
+    SELECT vec_id, label, depth, rank, neighbor_id, cosine FROM knn_graph
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
