@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "samp_weighted_topk",
     "dedup_pagerank",
     "sim_binary_hamming_topk",
+    # round-8 headline additions
+    "sim_graph_beam_topk",
 ]
 
 

@@ -1385,87 +1385,106 @@ _KNN_BITS = (2, 4, 8, 16)
 _KNN_SALT_DEPTH = len(_KNN_BITS) + 1  #: census value for md5-salted shards
 
 
-def _knn_graph_ctes(cap: int = KNN_BLOCK_CAP) -> str:
-    """DuckDB CTE chain ending in ``knn_graph(vec_id, label, depth,
-    rank, neighbor_id, cosine)`` — the oracle twin of ``knn_graph()``.
-    MATERIALIZED throughout: r/st/dec/assigned are each referenced more
+def _knn_graph_ctes(
+    cap: int = KNN_BLOCK_CAP,
+    key_sql: str = "CAST(label AS VARCHAR)",
+    prefix: str = "",
+) -> str:
+    """DuckDB CTE chain ending in ``{prefix}knn_graph(vec_id, label,
+    depth, rank, neighbor_id, cosine)`` — the oracle twin of
+    ``knn_graph_from_assigned(knn_assigned(...))``. ``key_sql`` is the
+    coarse block key expression (the label for the block artifact, a
+    sign-view code for the serving graph's geometric views); ``prefix``
+    namespaces the chain so several instances coexist in one WITH.
+    MATERIALIZED throughout: the inner CTEs are each referenced more
     than once downstream and DuckDB inlines plain CTEs exponentially."""
     from deisa_ray_spark.functions.dedup import sem_bits_sql
 
+    p = prefix
     deep = len(_KNN_BITS)
     deepest_bits = _KNN_BITS[-1]
+    dk = f"k{deep}"
     # strip lengths off the deepest key, shallowest stage first:
-    # label = strip bits+sep, stage i = strip (deepest_bits - bits_i)
+    # coarse key = strip bits+sep, stage i = strip (deepest_bits - bits_i)
     strips = [deepest_bits + 1] + [deepest_bits - b for b in _KNN_BITS]
     win_sums = ",\n             ".join(
-        f"sum(n{deep}) OVER (PARTITION BY substr(k{deep}, 1, length(k{deep}) - {s})) AS n{d}"
+        f"sum(n{deep}) OVER (PARTITION BY substr({dk}, 1, length({dk}) - {s})) AS n{d}"
         for d, s in enumerate(strips[:-1])
     )
     bucket_cases = "\n                  ".join(
         f"WHEN n{d} <= {cap} THEN "
-        + (f"substr(k{deep}, 1, length(k{deep}) - {s})" if s else f"k{deep}")
+        + (f"substr({dk}, 1, length({dk}) - {s})" if s else dk)
         for d, s in enumerate(strips)
     )
     depth_cases = " ".join(f"WHEN n{d} <= {cap} THEN {d}" for d in range(deep + 1))
     return f"""
-    r AS MATERIALIZED (
+    {p}r AS MATERIALIZED (
       SELECT vec_id, label, embedding::DOUBLE[] AS e,
-             CAST(label AS VARCHAR) || '|' || {sem_bits_sql(deepest_bits)} AS k{deep}
+             {key_sql} || '|' || {sem_bits_sql(deepest_bits)} AS {dk}
       FROM embeddings
     ),
-    st AS MATERIALIZED (SELECT k{deep}, count(*) AS n{deep} FROM r GROUP BY k{deep}),
-    st2 AS MATERIALIZED (
-      SELECT k{deep}, n{deep},
+    {p}st AS MATERIALIZED (
+      SELECT {dk}, count(*) AS n{deep} FROM {p}r GROUP BY {dk}),
+    {p}st2 AS MATERIALIZED (
+      SELECT {dk}, n{deep},
              {win_sums}
-      FROM st
+      FROM {p}st
     ),
-    dec AS MATERIALIZED (
-      SELECT k{deep},
+    {p}dec AS MATERIALIZED (
+      SELECT {dk},
              CASE {bucket_cases}
                   ELSE NULL END AS bucket0,
              CASE {depth_cases} ELSE {_KNN_SALT_DEPTH} END AS depth
-      FROM st2
+      FROM {p}st2
     ),
-    assigned AS MATERIALIZED (
+    {p}assigned AS MATERIALIZED (
       SELECT r.vec_id, r.label, r.e, d.depth,
              COALESCE(d.bucket0,
-                      r.k{deep} || '#' ||
+                      r.{dk} || '#' ||
                       CAST((row_number() OVER (
-                              PARTITION BY r.k{deep}
+                              PARTITION BY r.{dk}
                               ORDER BY md5(CAST(r.vec_id AS VARCHAR)), r.vec_id
                             ) - 1) // {cap} AS VARCHAR)) AS bucket
-      FROM r JOIN dec d USING (k{deep})
+      FROM {p}r r JOIN {p}dec d USING ({dk})
     ),
-    knn_pairs AS (
+    {p}knn_pairs AS (
       SELECT a.vec_id, a.label, a.depth, b.vec_id AS neighbor_id,
              round(list_cosine_similarity(a.e, b.e), 6) AS cosine
-      FROM assigned a JOIN assigned b
+      FROM {p}assigned a JOIN {p}assigned b
         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ),
-    knn_graph AS MATERIALIZED (
+    {p}knn_graph AS MATERIALIZED (
       SELECT vec_id, label, CAST(depth AS INT) AS depth,
              CAST(rank AS INT) AS rank, neighbor_id, cosine
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                          ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM knn_pairs)
+            FROM {p}knn_pairs)
       WHERE rank <= {KNN_K}
     )"""
 
 
-def knn_assigned(emb: DataFrame, cap: int = KNN_BLOCK_CAP) -> DataFrame:
+def knn_assigned(
+    emb: DataFrame, cap: int = KNN_BLOCK_CAP, key: "Column | None" = None
+) -> DataFrame:
     """Adaptively-refined bounded-block assignment for the kNN graph:
     ``(vec_id, label, e, nrm, bucket, depth)`` where every bucket holds
-    ≤ ``cap`` vectors (depth 4 shards are ≤ cap BY CONSTRUCTION — the
+    ≤ ``cap`` vectors (salt-depth shards are ≤ cap BY CONSTRUCTION — the
     md5 row-number salt cuts exact cap-sized slices, unlike a mod-hash
     shard whose sizes are only bounded in expectation).
 
-    ``emb`` must carry (vec_id, label, e). Stats shape: ONE partial-agg
-    pass builds deepest-cell counts; shallower-depth counts are prefix
-    window-SUMs on that cell-level frame (the semantic_bucket_assign
-    discipline, dedup.py:571) — label and sign-prefix keys all strip off
-    the deepest key with FIXED suffix lengths, so no per-label width
-    bookkeeping. Norms ride along once per vector for the pair stage."""
+    ``emb`` must carry (vec_id, label, e); ``key`` is the coarse block
+    key expression (default: the label — the block-artifact view; the
+    serving graph passes a sign-view code instead). Stats shape: ONE
+    partial-agg pass builds deepest-cell counts; shallower-depth counts
+    are prefix window-SUMs on that cell-level frame (the
+    semantic_bucket_assign discipline, dedup.py:571) — coarse and
+    sign-prefix keys all strip off the deepest key with FIXED suffix
+    lengths, so no per-key width bookkeeping. Norms ride along once per
+    vector for the pair stage."""
     from deisa_ray_spark.functions.dedup import _sem_bucket, norm_agg
+
+    if key is None:
+        key = F.col("label").cast("string")
 
     deep = len(_KNN_BITS)
     deepest_bits = _KNN_BITS[-1]
@@ -1479,9 +1498,7 @@ def knn_assigned(emb: DataFrame, cap: int = KNN_BLOCK_CAP) -> DataFrame:
         "vec_id",
         "label",
         "e",
-        F.concat(
-            F.col("label").cast("string"), F.lit("|"), _sem_bucket(F.col("e"), deepest_bits)
-        ).alias(dk),
+        F.concat(key, F.lit("|"), _sem_bucket(F.col("e"), deepest_bits)).alias(dk),
     )
     stats = cells.groupBy(dk).agg(F.count(F.lit(1)).alias(f"n{deep}"))
     for d, s in enumerate(strips[:-1]):
@@ -1561,6 +1578,17 @@ def knn_graph_from_assigned(assigned: DataFrame, k: int = KNN_K) -> DataFrame:
     )
 
 
+def knn_assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached bounded-block assignment — the shared vector store
+    (id, e, nrm) + block key consumed by the graph build AND by
+    sim_graph_beam_topk (entry points + re-scoring joins)."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    return _session_cached(
+        spark, "knn_assign", sf_dir, lambda: knn_assigned(_emb(spark, sf_dir)), eager=True
+    )
+
+
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-cached kNN-graph ARTIFACT: ``(vec_id, label, depth,
     rank, neighbor_id, cosine)`` — consumed by the declared query and by
@@ -1568,7 +1596,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.functions.dedup import _session_cached
 
     def build() -> DataFrame:
-        return knn_graph_from_assigned(knn_assigned(_emb(spark, sf_dir)))
+        return knn_graph_from_assigned(knn_assigned_cached(spark, sf_dir))
 
     return _session_cached(spark, "knn_graph", sf_dir, build, eager=True)
 
@@ -1582,6 +1610,217 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# sim_graph_beam_topk — graph-based ANN SERVING over the kNN-graph
+# artifact: the HNSW/NSG-family search shape. The SERVING edge set is
+# the union of (a) the sim_knn_graph block artifact's edges and (b)
+# GEO_VIEWS geometric sign-view kNN edge sets — each view keys the same
+# adaptive bounded-block machinery on a 6-bit sign code over a DIFFERENT
+# dim range, so the union graph has both within-cluster links and
+# cross-space geometric links (label blocks alone cap recall hard here:
+# only ~14% of true top-10 neighbors share the query's label) — then
+# symmetrized (undirected, the HNSW convention). Entry points are one
+# deterministic node per block (the block-min — the coarse-probe
+# analogue: scoring them is O(n_blocks) per query, the same budget as
+# IVF's coarse scan), then BEAM_R rounds of expansion walk the edges,
+# re-scoring only newly-reached nodes, keeping a BEAM_B-wide frontier by
+# exact cosine; the answer is the top-K of everything visited.
+# Deterministic end to end — fixed entry set, fixed rounds,
+# rounded-cosine + node-id tie-breaks — so the whole search is exactly
+# SQL-expressible (unrolled hops, the PageRank/BPE round pattern) and
+# carries a FULL exact oracle, not just a recall contract.
+#
+# Measured recall@10 vs sim_bruteforce_topk (the dial): B=8/R=3 on
+# block-only directed edges 0.16 at sf0.1; +geo views undirected
+# B=16/R=3 → 0.66; B=32/R=4 → 0.90 sf0.1 / 1.00 sf0.01 (shipped).
+#
+# Scale shape: graph + views + assignment are session-cached artifacts
+# (build is O(n·cap) per view — bounded blocks, never corpus-quadratic);
+# serving touches ONLY (qid, node) frames of ≤ entries + R·B·degree rows
+# per query plus equi-joins back to the vector store for scoring — no
+# corpus scan after the artifacts exist. That is the point of graph
+# serving at 100 TB: the corpus-sized work happened once at build time.
+# --------------------------------------------------------------------------
+BEAM_R = 4  #: expansion hops
+BEAM_B = 32  #: beam width (frontier kept per query per hop)
+GEO_VIEWS = 3  #: geometric sign-view edge sets in the serving graph
+GEO_BITS = 6  #: sign bits per view code; view v covers dims [6v+1, 6v+6]
+
+
+def _geo_code(e: Column, view: int) -> Column:
+    """View ``view``'s sign code (JVM-side int → string key)."""
+    code = F.lit(0)
+    for i in range(GEO_BITS):
+        code = code + (F.element_at(e, view * GEO_BITS + i + 1) > 0).cast("int") * (1 << i)
+    return code.cast("string")
+
+
+def _geo_code_sql(view: int, col: str = "embedding") -> str:
+    return "CAST(" + " + ".join(
+        f"(CASE WHEN {col}[{view * GEO_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(GEO_BITS)
+    ) + " AS VARCHAR)"
+
+
+def serve_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached undirected serving edge set ``(src, dst)``: the
+    block-artifact kNN edges ∪ per-view geometric kNN edges, symmetrized
+    and deduped. Each view reuses knn_assigned/knn_graph_from_assigned
+    with the view code as the coarse key — same bounded-block guarantees
+    at any corpus size."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    def build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        directed = knn_graph(spark, sf_dir).select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        for v in range(GEO_VIEWS):
+            view_graph = knn_graph_from_assigned(
+                knn_assigned(emb, key=_geo_code(F.col("e"), v))
+            )
+            directed = directed.unionByName(
+                view_graph.select(
+                    F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+                )
+            )
+        return directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    return _session_cached(spark, "serve_edges", sf_dir, build, eager=True)
+
+
+def _serve_edges_ctes() -> str:
+    """Oracle twin of serve_edges: the block chain + one prefixed chain
+    per geometric view, unioned directed edges, symmetrized+deduped."""
+    chains = [_knn_graph_ctes()]
+    edge_selects = ["SELECT vec_id AS src, neighbor_id AS dst FROM knn_graph"]
+    for v in range(GEO_VIEWS):
+        chains.append(_knn_graph_ctes(key_sql=_geo_code_sql(v), prefix=f"g{v}_"))
+        edge_selects.append(
+            f"SELECT vec_id AS src, neighbor_id AS dst FROM g{v}_knn_graph"
+        )
+    directed = " UNION ALL ".join(edge_selects)
+    return ",".join(chains) + f""",
+    directed AS MATERIALIZED ({directed}),
+    serve_edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM directed
+        UNION ALL SELECT dst AS src, src AS dst FROM directed
+      )
+    )"""
+
+
+def _beam_oracle_sql() -> str:
+    rounds = []
+    for r in range(1, BEAM_R + 1):
+        rounds.append(f"""
+    b{r - 1} AS MATERIALIZED (
+      SELECT qid, node FROM (
+        SELECT qid, node, row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, node) AS rn FROM v{r - 1}
+      ) WHERE rn <= {BEAM_B}
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT DISTINCT b.qid, g.dst AS node
+      FROM b{r - 1} b JOIN serve_edges g ON g.src = b.node
+      WHERE g.dst <> b.qid
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT qid, node, max(cosine) AS cosine FROM (
+        SELECT * FROM v{r - 1}
+        UNION ALL
+        SELECT c.qid, c.node,
+               round(list_cosine_similarity(q.qe, re.e), 6) AS cosine
+        FROM c{r} c JOIN bq q USING (qid) JOIN r re ON re.vec_id = c.node
+      ) GROUP BY qid, node
+    )""")
+    return f"""
+    WITH {_serve_edges_ctes()},
+    bq AS MATERIALIZED (
+      SELECT vec_id AS qid, e AS qe FROM r WHERE vec_id < {N_QUERIES}
+    ),
+    entries AS MATERIALIZED (
+      SELECT bucket, min(vec_id) AS node FROM assigned GROUP BY bucket
+    ),
+    v0 AS MATERIALIZED (
+      SELECT q.qid, en.node,
+             round(list_cosine_similarity(q.qe, re.e), 6) AS cosine
+      FROM bq q CROSS JOIN entries en JOIN r re ON re.vec_id = en.node
+      WHERE en.node <> q.qid
+    ),{",".join(rounds)}
+    SELECT qid, CAST(rank AS INT) AS rank, node AS neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, node) AS rank FROM v{BEAM_R})
+    WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_graph_beam_topk", oracle=_beam_oracle_sql())
+def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.dedup import dot_agg
+
+    edges = serve_edges(spark, sf_dir)
+    store = knn_assigned_cached(spark, sf_dir)  # (vec_id, e, nrm, bucket, ...)
+    q = store.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    entries = store.groupBy("bucket").agg(F.min("vec_id").alias("node")).select("node")
+    re_ = store.select(
+        F.col("vec_id").alias("node"), F.col("e").alias("ne"), F.col("nrm").alias("nn")
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        """Exact rounded cosine for (qid, node) candidate rows — the
+        only place vectors are touched; everything else is id-frames."""
+        return (
+            cand.join(q, "qid")
+            .join(re_, "node")
+            .select(
+                "qid",
+                "node",
+                F.round(
+                    dot_agg(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6
+                ).alias("cosine"),
+            )
+        )
+
+    v = score(
+        q.select("qid")
+        .crossJoin(F.broadcast(entries))
+        .filter(F.col("node") != F.col("qid"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("node"))
+    for _ in range(BEAM_R):
+        beam = (
+            v.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BEAM_B)
+            .select("qid", "node")
+        )
+        cand = (
+            beam.join(edges, beam.node == edges.src)
+            .select("qid", F.col("dst").alias("node"))
+            .filter(F.col("node") != F.col("qid"))
+            .distinct()
+        )
+        # visited ∪ freshly-scored, deduped — max() over identical
+        # values keeps determinism without caring which copy survives.
+        # localCheckpoint: v is referenced twice next round (beam + the
+        # union), so an untruncated plan doubles per hop.
+        v = (
+            v.unionByName(score(cand))
+            .groupBy("qid", "node")
+            .agg(F.max("cosine").alias("cosine"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", F.col("node").alias("neighbor_id"), "cosine")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -786,3 +786,13 @@ def test_pipeline_funnel_narrow_and_reused(spark):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_graph_beam_serving_shape(spark):
+    """Beam serving: candidate/visited frames are (qid, node) ids with
+    equi-joins back to the cached vector store for scoring; the only
+    nested-loop is the bounded qid x block-entries seed. No Python eval,
+    no unbounded cartesian (CartesianProduct = non-broadcast product)."""
+    plan = plan_of(spark, "sim_graph_beam_topk")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -114,3 +114,15 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     # ADC shortlist (PQ_SHORTLIST of the corpus) + exact re-rank on
     # near-uniform vectors: measured 0.76-0.86 across SFs at depth 100
     assert mean_recall >= 0.6, f"mean recall {mean_recall:.3f}"
+
+
+def test_graph_beam_recall_vs_bruteforce(spark):
+    """Graph-ANN serving: block + geometric-view union edges, undirected,
+    beam B=32 x R=4 hops. Measured 0.98/1.00/0.90 recall@10 at
+    sf0.001/0.01/0.1 — floor left conservative for testdata regeneration."""
+    exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
+    approx = _topk_sets(QUERIES["sim_graph_beam_topk"].fn(spark, SF_DIR))
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, f"mean recall {mean_recall:.3f}"
