@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "sim_binary_hamming_topk",
     # round-8 headline additions
     "sim_graph_beam_topk",
+    "txt_wordpiece_encode",
 ]
 
 

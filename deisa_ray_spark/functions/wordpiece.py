@@ -1,0 +1,440 @@
+"""WordPiece tokenizer family — the second subword tokenizer next to
+BPE (``functions/bpe.py``): ``txt_wordpiece_train`` (likelihood-scored
+merge table), ``txt_wordpiece_encode`` (canonical greedy
+longest-match-first encoding, per-document piece stats incl. UNK), and
+``txt_wordpiece_vocab`` (the induced piece vocabulary artifact).
+
+Semantics (public: Schuster & Nakajima 2012; the BERT tokenizer; the
+HuggingFace ``tokenizers`` WordPiece trainer):
+
+- TRAINING is BPE-shaped — merge one adjacent symbol pair per round,
+  simultaneously in every word — but the selection criterion is the
+  LIKELIHOOD score ``count(pair) / (count(lhs) * count(rhs))`` instead
+  of the raw pair count: merge the pair whose fusion most increases the
+  corpus unigram likelihood. Symbols use the ``##`` continuation
+  convention (word-initial pieces plain, non-initial pieces
+  ``##``-prefixed; merging strips the right side's ``##``).
+- ENCODING is NOT merge replay: it is greedy longest-match-first over
+  the final piece vocabulary — repeatedly take the longest vocab piece
+  that prefixes the remaining suffix; if at any point no piece matches
+  (or the word exceeds ``WP_MAX_WORD_LEN``), the WHOLE word becomes one
+  UNK token (the HF ``max_input_chars_per_word`` / ``unk_token``
+  behavior). Training words can still hit UNK: a base character that
+  was merged away in every occurrence is absent from the final piece
+  set — we deliberately do NOT back-fill the alphabet (HF does), so the
+  UNK path is exercised and reported honestly.
+
+Cross-engine determinism: the likelihood score is a ratio — computed in
+INTEGER FIXED POINT, ``(pair_count * 10^9) DIV (cnt_lhs * cnt_rhs)``
+(the dedup_pagerank discipline): integer floor-division is bit-identical
+in Spark and DuckDB, ties broken lexicographically by (lhs, rhs).
+BIGINT-safe while pair_count < 9.2e9; beyond that the same expression
+runs in DECIMAL(38,0)/HUGEINT. The merge rounds and the longest-match
+rounds are both deterministic, so K merge rounds + L_MAX match rounds
+UNROLL into plain SQL (MATERIALIZED CTEs — the BPE lesson) and every
+query carries a full exact oracle.
+
+Scale: training runs on the DISTINCT-WORD table (sublinear in corpus —
+Heaps' law); per merge round one symbol-count agg + one pair agg + a
+1-row broadcast argmax. Encoding state is also distinct-word-sized; each
+longest-match round explodes ≤ len(rem) PREFIXES and equi-joins them to
+the piece vocab (never a theta/contains join — the prefix explode keeps
+it an equi-shuffle at any vocab size), consuming ≥1 character per round
+so ``WP_MAX_WORD_LEN`` rounds suffice. The corpus itself is touched
+once, by the final doc-word ⋈ encode-table join (frequency-partitioned
+via ``hot_split_join`` like the BPE/DSIR joins). Trained frames are
+session-cached model artifacts (``_WP_CACHE``).
+
+Reference parity: the reference has no tokenizer; this extends the
+LLM-pipeline surface (SURVEY.md §6 additions) next to functions/bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.bpe import _word_freq
+from deisa_ray_spark.functions.dedup import free_local_checkpoint
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+WP_MERGES = 8  #: unrolled likelihood-merge rounds
+WP_SCORE_SCALE = 10**9  #: fixed-point scale for the likelihood ratio
+WP_MAX_WORD_LEN = 12  #: longest-match unroll bound; longer words -> UNK
+_SEP = "\x01"  #: symbol sentinel (cannot occur in [a-z#]+ symbols)
+
+
+# --------------------------------------------------------------------------
+# shared oracle CTE chain — training
+# --------------------------------------------------------------------------
+def wp_oracle_train_ctes(k: int = WP_MERGES) -> str:
+    """CTEs ``w0..w{k}`` (word-state per round) and ``wbest1..wbest{k}``
+    (the round's likelihood-argmax pair)."""
+    rounds = []
+    for i in range(1, k + 1):
+        rounds.append(f"""
+    wsym{i} AS MATERIALIZED (
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt, unnest(string_split(substring(s, 2, length(s)-2),
+                                            chr(1)||chr(1))) AS sym
+            FROM w{i-1})
+      GROUP BY sym
+    ),
+    wp{i} AS MATERIALIZED (
+      SELECT l[j] AS pa, l[j+1] AS pb, CAST(sum(cnt) AS BIGINT) AS pcnt
+      FROM (SELECT cnt, string_split(substring(s, 2, length(s)-2),
+                                     chr(1)||chr(1)) AS l FROM w{i-1}) t,
+           unnest(range(1, len(l))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    wbest{i} AS MATERIALIZED (
+      SELECT pa, pb, pcnt,
+             (pcnt * {WP_SCORE_SCALE}) // (sa.c * sb.c) AS score_fp,
+             pa || CASE WHEN pb LIKE '##%' THEN substring(pb, 3)
+                        ELSE pb END AS merged
+      FROM wp{i} JOIN wsym{i} sa ON sa.sym = wp{i}.pa
+                 JOIN wsym{i} sb ON sb.sym = wp{i}.pb
+      ORDER BY score_fp DESC, pa, pb LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT w, cnt,
+             CASE WHEN EXISTS (SELECT 1 FROM wbest{i})
+                  THEN replace(s,
+                       (SELECT chr(1)||pa||chr(1)||chr(1)||pb||chr(1)
+                        FROM wbest{i}),
+                       (SELECT chr(1)||merged||chr(1) FROM wbest{i}))
+                  ELSE s END AS s
+      FROM w{i-1}
+    )""")
+    return (
+        """w0 AS MATERIALIZED (
+      SELECT w, cnt,
+             chr(1) || substring(w, 1, 1) || chr(1) ||
+             regexp_replace(substring(w, 2), '(.)',
+                            chr(1)||'##'||'\\1'||chr(1), 'g') AS s
+      FROM (SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)
+    ),"""
+        + ",".join(rounds)
+    )
+
+
+def wp_oracle_encode_ctes(k: int = WP_MERGES, lmax: int = WP_MAX_WORD_LEN) -> str:
+    """Training chain + ``wpieces`` (final vocab) + longest-match rounds
+    ``e0..e{lmax}`` ending in ``wp_enc(w, n_pieces, unk)``."""
+    rounds = []
+    for i in range(1, lmax + 1):
+        rounds.append(f"""
+    cand{i} AS (
+      SELECT x.w, p.piece
+      FROM (SELECT w, rem, substring(rem, 1, j) AS pref
+            FROM e{i-1}, unnest(range(1, length(rem) + 1)) AS t(j)
+            WHERE rem <> '' AND unk = 0) x
+      JOIN wpieces p ON p.piece = x.pref
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT w, arg_max(piece, length(piece)) AS hit
+      FROM cand{i} GROUP BY w
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.w,
+             CASE WHEN e.rem = '' OR e.unk = 1 THEN ''
+                  WHEN m.hit IS NULL THEN ''
+                  WHEN length(e.rem) = length(m.hit) THEN ''
+                  ELSE '##' || substring(e.rem, length(m.hit) + 1) END AS rem,
+             CASE WHEN e.rem = '' OR e.unk = 1 THEN e.n_pieces
+                  WHEN m.hit IS NULL THEN 1
+                  ELSE e.n_pieces + 1 END AS n_pieces,
+             CASE WHEN e.rem = '' THEN e.unk
+                  WHEN m.hit IS NULL THEN 1
+                  ELSE e.unk END AS unk
+      FROM e{i-1} e LEFT JOIN m{i} m USING (w)
+    )""")
+    return (
+        wp_oracle_train_ctes(k)
+        + f""",
+    wpieces AS MATERIALIZED (
+      SELECT DISTINCT unnest(string_split(substring(s, 2, length(s)-2),
+                                          chr(1)||chr(1))) AS piece
+      FROM w{k}
+    ),
+    e0 AS MATERIALIZED (
+      SELECT w,
+             CASE WHEN length(w) > {lmax} THEN '' ELSE w END AS rem,
+             CASE WHEN length(w) > {lmax} THEN 1 ELSE 0 END AS n_pieces,
+             CASE WHEN length(w) > {lmax} THEN 1 ELSE 0 END AS unk
+      FROM (SELECT DISTINCT w FROM w0)
+    ),"""
+        + ",".join(rounds)
+        + f""",
+    wp_enc AS MATERIALIZED (
+      SELECT w, CAST(n_pieces AS BIGINT) AS n_pieces, unk FROM e{lmax}
+    )"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark implementation
+# --------------------------------------------------------------------------
+def _syms(s_col: str = "s"):
+    return F.split(F.expr(f"substring({s_col}, 2, length({s_col})-2)"), _SEP + _SEP)
+
+
+def wp_train_from_words(wf: DataFrame, k: int = WP_MERGES):
+    """K likelihood-scored merge rounds over a ``(w, cnt)`` frame.
+    Returns ``(merges, vocab_state)``: the merge table ``(round, lhs,
+    rhs, merged, pair_count, score_fp)`` and the final ``(w, cnt, s)``
+    word-state frame."""
+    s0 = F.concat(
+        F.lit(_SEP),
+        F.expr("substring(w, 1, 1)"),
+        F.lit(_SEP),
+        F.regexp_replace(F.expr("substring(w, 2)"), "(.)", _SEP + "##$1" + _SEP),
+    )
+    cur = wf.select("w", "cnt", s0.alias("s")).localCheckpoint()
+    merges = None
+    for rnd in range(1, k + 1):
+        syms = _syms()
+        sym_counts = (
+            cur.select("cnt", F.explode(syms).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        sz = F.size(syms)
+        pairs = (
+            cur.select(
+                "cnt",
+                F.slice(syms, 1, sz - 1).alias("la"),
+                F.slice(syms, 2, sz - 1).alias("lb"),
+            )
+            .select("cnt", F.explode(F.arrays_zip("la", "lb")).alias("p"))
+            .select("cnt", F.col("p.la").alias("pa"), F.col("p.lb").alias("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").cast("bigint").alias("pcnt"))
+        )
+        # likelihood argmax in integer fixed point — floor division is
+        # bit-identical across engines (no float ratio ever compared)
+        scored = (
+            pairs.join(sym_counts.select(F.col("sym").alias("pa"), F.col("c").alias("ca")), "pa")
+            .join(sym_counts.select(F.col("sym").alias("pb"), F.col("c").alias("cb")), "pb")
+            .withColumn("score_fp", F.expr(f"(pcnt * {WP_SCORE_SCALE}) DIV (ca * cb)"))
+        )
+        best = (
+            scored.orderBy(F.col("score_fp").desc(), "pa", "pb")
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("round"),
+                F.col("pa").alias("lhs"),
+                F.col("pb").alias("rhs"),
+                F.concat(
+                    "pa",
+                    F.when(F.col("pb").startswith("##"), F.expr("substring(pb, 3)"))
+                    .otherwise(F.col("pb")),
+                ).alias("merged"),
+                F.col("pcnt").alias("pair_count"),
+                "score_fp",
+            )
+            .localCheckpoint()  # 1 row — the round's model update
+        )
+        merges = best if merges is None else merges.unionAll(best)
+        # LEFT join on TRUE (not crossJoin): an exhausted-pairs round has
+        # an EMPTY best frame and a cross join would annihilate the vocab
+        nxt = (
+            cur.join(F.broadcast(best.select("lhs", "rhs", "merged")), F.lit(True), "left")
+            .select(
+                "w",
+                "cnt",
+                F.when(F.col("lhs").isNull(), F.col("s"))
+                .otherwise(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(
+                            F.lit(_SEP), F.col("lhs"),
+                            F.lit(_SEP + _SEP), F.col("rhs"), F.lit(_SEP),
+                        ),
+                        F.concat(F.lit(_SEP), F.col("merged"), F.lit(_SEP)),
+                    )
+                )
+                .alias("s"),
+            )
+            .localCheckpoint()
+        )
+        free_local_checkpoint(cur)  # superseded round — never read again
+        cur = nxt
+    return merges, cur
+
+
+def wp_encode_words(vocab_state: DataFrame, lmax: int = WP_MAX_WORD_LEN) -> DataFrame:
+    """Greedy longest-match-first encode of the distinct words against
+    the final piece vocabulary: ``(w, n_pieces, unk)``. Each round
+    explodes the remaining suffix's prefixes and EQUI-joins them to the
+    piece set (theta-free), consumes >= 1 character, and words that ever
+    fail to match collapse to one UNK token."""
+    pieces = (
+        vocab_state.select(F.explode(_syms()).alias("piece")).distinct().localCheckpoint()
+    )
+    over = F.length("w") > lmax
+    state = (
+        vocab_state.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.when(over, F.lit("")).otherwise(F.col("w")).alias("rem"),
+            F.when(over, 1).otherwise(0).cast("bigint").alias("n_pieces"),
+            F.when(over, 1).otherwise(0).alias("unk"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(lmax):
+        cand = (
+            state.filter((F.col("rem") != "") & (F.col("unk") == 0))
+            .select(
+                "w", "rem",
+                F.explode(F.sequence(F.lit(1), F.length("rem"))).alias("j"),
+            )
+            .select("w", F.expr("substring(rem, 1, j)").alias("piece"))
+            .join(pieces, "piece")
+        )
+        hits = cand.groupBy("w").agg(F.max_by("piece", F.length("piece")).alias("hit"))
+        nxt = (
+            state.join(hits, "w", "left")
+            .select(
+                "w",
+                F.when((F.col("rem") == "") | (F.col("unk") == 1), F.lit(""))
+                .when(F.col("hit").isNull(), F.lit(""))
+                .when(F.length("rem") == F.length("hit"), F.lit(""))
+                .otherwise(F.concat(F.lit("##"), F.expr("substring(rem, length(hit) + 1)")))
+                .alias("rem"),
+                F.when((F.col("rem") == "") | (F.col("unk") == 1), F.col("n_pieces"))
+                .when(F.col("hit").isNull(), F.lit(1))
+                .otherwise(F.col("n_pieces") + 1)
+                .cast("bigint")
+                .alias("n_pieces"),
+                F.when(F.col("rem") == "", F.col("unk"))
+                .when(F.col("hit").isNull(), F.lit(1))
+                .otherwise(F.col("unk"))
+                .alias("unk"),
+            )
+            .localCheckpoint()
+        )
+        free_local_checkpoint(state)
+        state = nxt
+    return state.select("w", "n_pieces", "unk")
+
+
+#: session-keyed trained-tokenizer cache — (merges, vocab_state, enc);
+#: the _BPE_CACHE discipline (eviction drops the reference only; the
+#: ContextCleaner reclaims checkpoint blocks after GC).
+_WP_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _wp_trained(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _WP_CACHE.get(key)
+    if hit is None:
+        for k in [k for k in _WP_CACHE if k != key]:
+            _WP_CACHE.pop(k)
+        docs = load_table(spark, sf_dir, "documents")
+        merges, vocab_state = wp_train_from_words(_word_freq(docs))
+        enc = wp_encode_words(vocab_state)
+        _WP_CACHE[key] = (merges, vocab_state, enc)
+        hit = _WP_CACHE[key]
+    return hit
+
+
+@query(
+    "txt_wordpiece_train",
+    oracle=f"""
+    WITH {wp_oracle_train_ctes()}
+    SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {i} AS round, pa AS lhs, pb AS rhs, merged,"
+        f" pcnt AS pair_count, CAST(score_fp AS BIGINT) AS score_fp FROM wbest{i}"
+        for i in range(1, WP_MERGES + 1)
+    )
+    + ")",
+)
+def txt_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the WordPiece merge table: K rounds of likelihood-argmax
+    pair merging (fixed-point score) over the word-frequency table."""
+    merges, _state, _enc = _wp_trained(spark, sf_dir)
+    return merges
+
+
+@query(
+    "txt_wordpiece_encode",
+    oracle=f"""
+    WITH {wp_oracle_encode_ctes()},
+    dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(unk) AS BIGINT) AS n_unk_words,
+           round(sum(n_pieces) * 1.0 / count(*), 6) AS pieces_per_word
+    FROM dw JOIN wp_enc USING (w)
+    GROUP BY doc_id
+    """,
+)
+def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece encoding: per-document piece
+    counts + UNK census. The encode table is word-level and cached; the
+    corpus is touched once by the doc-word join (hot-split, Zipf
+    posture — same as the BPE/DSIR token joins)."""
+    from deisa_ray_spark.functions.text import hot_split_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, _state, enc = _wp_trained(spark, sf_dir)
+    dw = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    # hot_by n_pieces is meaningless — weight the head by corpus word
+    # frequency instead, which the encode table doesn't carry; join the
+    # trained state's cnt back on (word-level, cheap)
+    enc_w = enc.join(_state.select("w", "cnt"), "w")
+    return (
+        hot_split_join(dw, enc_w, "w", hot_by="cnt", cache_tag="wp_enc", sf_dir=sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("unk").cast("bigint").alias("n_unk_words"),
+            F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("pieces_per_word"),
+        )
+    )
+
+
+@query(
+    "txt_wordpiece_vocab",
+    oracle=f"""
+    WITH {wp_oracle_train_ctes()},
+    syms AS (
+      SELECT w, cnt,
+             unnest(string_split(substring(s, 2, length(s)-2),
+                                 chr(1)||chr(1))) AS piece
+      FROM w{WP_MERGES}
+    )
+    SELECT piece,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words_containing,
+           CAST(CASE WHEN piece LIKE '##%' THEN 1 ELSE 0 END AS INT)
+               AS is_continuation
+    FROM syms GROUP BY piece
+    """,
+)
+def txt_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The induced WordPiece vocabulary artifact with the continuation
+    flag — the vocab file a serving tokenizer loads."""
+    _merges, state, _enc = _wp_trained(spark, sf_dir)
+    return (
+        state.select("w", "cnt", F.explode(_syms()).alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("w").cast("bigint").alias("n_words_containing"),
+            F.max(F.when(F.col("piece").startswith("##"), 1).otherwise(0))
+            .cast("int")
+            .alias("is_continuation"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""WordPiece semantics: the Spark likelihood-merge rounds and the
+greedy longest-match encode must equal a pure-Python reference,
+including the fixed-point score floor-division, the ``##`` continuation
+stripping on merge, the whole-word-UNK collapse, and the over-length
+word cutoff."""
+
+from __future__ import annotations
+
+import random
+
+from deisa_ray_spark.functions.wordpiece import (
+    WP_MAX_WORD_LEN,
+    WP_MERGES,
+    WP_SCORE_SCALE,
+    wp_encode_words,
+    wp_train_from_words,
+)
+
+
+def _ref_wp_train(word_freq: dict[str, int], k: int):
+    """Reference WordPiece trainer: likelihood-argmax merges with the
+    same integer fixed-point score and (lhs, rhs) lex tie-break."""
+    words = {w: [w[0]] + ["##" + c for c in w[1:]] for w in word_freq}
+    merges = []
+    for rnd in range(1, k + 1):
+        sym_c: dict[str, int] = {}
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for s in syms:
+                sym_c[s] = sym_c.get(s, 0) + word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + word_freq[w]
+        if not pc:
+            break
+        scored = {
+            (a, b): (c * WP_SCORE_SCALE) // (sym_c[a] * sym_c[b])
+            for (a, b), c in pc.items()
+        }
+        (a, b), s = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((rnd, a, b, merged, pc[(a, b)], s))
+        for w, syms in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges, words
+
+
+def _ref_wp_encode(word: str, pieces: set[str], lmax: int = WP_MAX_WORD_LEN):
+    """Reference greedy longest-match: (n_pieces, unk)."""
+    if len(word) > lmax:
+        return 1, 1
+    rem, n = word, 0
+    first = True
+    while rem:
+        probe = rem if first else "##" + rem
+        hit = None
+        for ln in range(len(probe), (2 if not first else 0), -1):
+            if probe[:ln] in pieces:
+                hit = probe[:ln]
+                break
+        if hit is None:
+            return 1, 1
+        n += 1
+        rem = probe[len(hit):]
+        first = False
+    return n, 0
+
+
+def _freq_df(spark, freqs: dict[str, int]):
+    return spark.createDataFrame(
+        [(w, c) for w, c in freqs.items()], "w string, cnt bigint"
+    )
+
+
+def _rand_freqs(seed: int, n_words: int = 40) -> dict[str, int]:
+    rng = random.Random(seed)
+    freqs: dict[str, int] = {}
+    for _ in range(n_words):
+        w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 9)))
+        freqs[w] = freqs.get(w, 0) + rng.randint(1, 50)
+    return freqs
+
+
+def test_wp_train_matches_reference_fuzzed(spark):
+    for seed in (1, 2, 3):
+        freqs = _rand_freqs(seed)
+        merges_df, _state = wp_train_from_words(_freq_df(spark, freqs), WP_MERGES)
+        got = [
+            (r["round"], r["lhs"], r["rhs"], r["merged"], r["pair_count"], r["score_fp"])
+            for r in merges_df.orderBy("round").collect()
+        ]
+        want, _ = _ref_wp_train(freqs, WP_MERGES)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_wp_encode_matches_reference_fuzzed(spark):
+    freqs = _rand_freqs(7)
+    _merges, state = wp_train_from_words(_freq_df(spark, freqs), WP_MERGES)
+    pieces = {
+        r["p"]
+        for r in state.selectExpr(
+            "explode(split(substring(s, 2, length(s)-2), '\x01\x01')) AS p"
+        ).collect()
+    }
+    enc = {
+        r["w"]: (r["n_pieces"], r["unk"]) for r in wp_encode_words(state).collect()
+    }
+    assert set(enc) == set(freqs)
+    for w in freqs:
+        assert enc[w] == _ref_wp_encode(w, pieces), w
+
+
+def test_wp_encode_unk_and_overlength(spark):
+    """A word with a character absent from the piece set collapses to
+    ONE UNK token even mid-word; an over-length word is UNK outright."""
+    freqs = {"abab": 50, "ab": 30}
+    _m, state = wp_train_from_words(_freq_df(spark, freqs), 2)
+    long_word = "a" * (WP_MAX_WORD_LEN + 1)
+    extra = state.sparkSession.createDataFrame(
+        [("abq", 1, "\x01a\x01\x01##b\x01\x01##q\x01"), (long_word, 1, "\x01x\x01")],
+        "w string, cnt bigint, s string",
+    )
+    # encode against the TRAINED pieces only: build the piece set from
+    # the trained state, but the words-to-encode include the novelties
+    enc_in = state.unionByName(extra)
+    got = {r["w"]: (r["n_pieces"], r["unk"]) for r in wp_encode_words(enc_in).collect()}
+    # 'abq': pieces a/##b exist (and merges), '##q' never trained... but
+    # the extra row itself contributes its symbols to the piece set, so
+    # build the expected values with the same piece set the helper saw
+    pieces = {
+        r["p"]
+        for r in enc_in.selectExpr(
+            "explode(split(substring(s, 2, length(s)-2), '\x01\x01')) AS p"
+        ).collect()
+    }
+    for w in ["abab", "ab", "abq", long_word]:
+        assert got[w] == _ref_wp_encode(w, pieces), w
+    assert got[long_word] == (1, 1)
+
+
+def test_wp_unk_when_piece_missing(spark):
+    """Drive the no-match path directly: a piece set lacking '##c' must
+    UNK the word 'abc' as ONE token (not partial pieces)."""
+    spark_df = spark.createDataFrame(
+        [("abc", 1, "\x01ab\x01"), ("ab", 2, "\x01ab\x01")],
+        "w string, cnt bigint, s string",
+    )
+    got = {r["w"]: (r["n_pieces"], r["unk"]) for r in wp_encode_words(spark_df).collect()}
+    assert got["ab"] == (1, 0)  # exact single piece
+    assert got["abc"] == (1, 1)  # 'ab' matches, '##c' missing -> UNK
