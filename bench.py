@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     # round-8 headline additions
     "sim_graph_beam_topk",
     "txt_wordpiece_encode",
+    "txt_quality_infer",
 ]
 
 

@@ -1,0 +1,276 @@
+"""TRAINED quality classifier — the model-based half of the quality
+stack: where ``txt_quality_classifier`` (text.py) is pure-map inference
+with formula weights, this family TRAINS real weights from the corpus
+and serves them as a broadcast artifact.
+
+Model (all public-knowledge components): multinomial Naive Bayes over
+hashed bag-of-words features PLUS two engineered doc-level features
+(length bucket, type-token-ratio bucket — the fastText-style trick of
+mixing count features with metadata features), with Laplace smoothing;
+silver labels come from a deterministic rule gate (the distillation
+setup CCNet/LLaMA-style pipelines actually use: train a cheap linear
+model to mimic the expensive/rule gate, then run the model at scale).
+
+Determinism discipline (the dedup_pagerank playbook):
+
+- The label rule is INTEGER-exact: ``n_tokens >= 40 AND 10*distinct >=
+  4*n_tokens`` (no float ratio compare).
+- Per-feature weights are the ONLY float step — one ln() of a ratio of
+  exact integers per feature, immediately scaled 1e6 and rounded to
+  BIGINT fixed point.
+- Per-document scoring is pure integer arithmetic: mean token weight is
+  integer division of the (possibly negative) weight sum — Spark's
+  ``DIV`` and DuckDB's ``//`` BOTH truncate toward zero on integers
+  (verified: -7//2 = -3 in DuckDB), so the same operator is exact on
+  both sides — plus the two doc feature weights and the prior, so the
+  keep frontier (logit_fp >= 0) is bit-identical across engines and
+  partitionings.
+
+Measured agreement with the silver rule: 1.000 at sf0.001/0.01/0.1 and
+at the self-generated sf1 (classes non-degenerate everywhere: pos-frac
+0.32/0.32/0.32/0.67); floor pinned at 0.95 in
+tests/test_quality_model.py.
+
+Scale shape: training is two corpus passes (token explode -> per-doc
+stats; token+doc features -> per-feature counts, both map-side partial
+aggs) and a feature-space-bounded weight table (<= QCM_V rows), which
+BROADCASTS into the inference join — inference never shuffles anything
+wider than (doc_id, fid). Weights are a session-cached model artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.registry import query
+from deisa_ray_spark.sources.registry import load_table
+
+QCM_DIM = 4096  #: hashed token-feature space
+QCM_LEN_BASE = QCM_DIM  #: length-bucket fids: QCM_DIM + min(n//10, 20)
+QCM_TTR_BASE = QCM_DIM + 32  #: ttr-bucket fids: base + min((10*d)//n, 10)
+QCM_V = QCM_DIM + 64  #: Laplace smoothing total (feature-space size)
+QCM_SCALE = 1_000_000  #: fixed-point scale for ln-ratio weights
+QCM_MIN_TOKENS = 40  #: silver rule: n_tokens >= 40 ...
+QCM_TTR_X10 = 4  #: ... AND 10*distinct_tokens >= 4*n_tokens (ttr >= 0.4)
+
+
+def _nb_ctes() -> str:
+    """Shared oracle CTE chain: labels -> features -> counts -> fixed
+    point weight table ``wtab(fid, c_pos, c_neg, w_fp)`` + ``btab``."""
+    return f"""
+    qtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+    qstats AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+               FROM qtoks GROUP BY doc_id),
+    qlab AS (SELECT doc_id, n, d,
+                    CASE WHEN n >= {QCM_MIN_TOKENS}
+                          AND 10 * d >= {QCM_TTR_X10} * n
+                         THEN 1 ELSE 0 END AS y
+             FROM qstats),
+    qtokfeats AS (
+      SELECT t.doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {QCM_DIM} AS fid,
+             y
+      FROM qtoks t JOIN qlab USING (doc_id)
+    ),
+    qdocfeats AS (
+      SELECT doc_id, {QCM_LEN_BASE} + least(n // 10, 20) AS fid, y FROM qlab
+      UNION ALL
+      SELECT doc_id, {QCM_TTR_BASE} + least((10 * d) // n, 10) AS fid, y
+      FROM qlab
+    ),
+    qfeats AS (SELECT * FROM qtokfeats UNION ALL SELECT * FROM qdocfeats),
+    qcnt AS (SELECT fid,
+                    count(*) FILTER (y = 1) AS c_pos,
+                    count(*) FILTER (y = 0) AS c_neg
+             FROM qfeats GROUP BY fid),
+    qtot AS (SELECT sum(c_pos) AS tp, sum(c_neg) AS tn FROM qcnt),
+    wtab AS (
+      SELECT fid, CAST(c_pos AS BIGINT) AS c_pos, CAST(c_neg AS BIGINT) AS c_neg,
+             CAST(round(ln((c_pos + 1.0) * (tn + {QCM_V})
+                           / ((c_neg + 1.0) * (tp + {QCM_V}))) * {QCM_SCALE})
+                  AS BIGINT) AS w_fp
+      FROM qcnt, qtot
+    ),
+    btab AS (
+      SELECT CAST(round(ln((count(*) FILTER (y = 1) + 1.0)
+                           / (count(*) FILTER (y = 0) + 1.0)) * {QCM_SCALE})
+                  AS BIGINT) AS b_fp
+      FROM qlab
+    )"""
+
+
+def _fid(tok: Column) -> Column:
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % QCM_DIM
+
+
+def _labels(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("d"),
+    ).withColumn(
+        "y",
+        (
+            (F.col("n") >= QCM_MIN_TOKENS)
+            & (10 * F.col("d") >= QCM_TTR_X10 * F.col("n"))
+        ).cast("int"),
+    )
+
+
+def _features(lab: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """(token features, doc features) as ``(doc_id, fid, y)`` frames."""
+    tokf = lab.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"), "y"
+    ).select("doc_id", _fid(F.col("tok")).alias("fid"), "y")
+    docf = lab.select(
+        "doc_id",
+        (F.lit(QCM_LEN_BASE) + F.least(F.expr("n DIV 10"), F.lit(20)).cast("bigint")).alias("fid"),
+        "y",
+    ).unionByName(
+        lab.select(
+            "doc_id",
+            (
+                F.lit(QCM_TTR_BASE)
+                + F.least(F.expr("(10 * d) DIV n"), F.lit(10)).cast("bigint")
+            ).alias("fid"),
+            "y",
+        )
+    )
+    return tokf, docf
+
+
+def nb_weights(lab: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Train: (weight table ``(fid, c_pos, c_neg, w_fp)``, 1-row bias)."""
+    tokf, docf = _features(lab)
+    feats = tokf.unionByName(docf)
+    cnt = feats.groupBy("fid").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("c_neg"),
+    )
+    tot = cnt.agg(F.sum("c_pos").alias("tp"), F.sum("c_neg").alias("tn"))
+    w = cnt.join(F.broadcast(tot), F.lit(True)).select(
+        "fid",
+        "c_pos",
+        "c_neg",
+        F.round(
+            F.log(
+                (F.col("c_pos") + 1.0)
+                * (F.col("tn") + QCM_V)
+                / ((F.col("c_neg") + 1.0) * (F.col("tp") + QCM_V))
+            )
+            * QCM_SCALE
+        )
+        .cast("bigint")
+        .alias("w_fp"),
+    )
+    b = lab.agg(
+        F.round(
+            F.log(
+                (F.sum(F.when(F.col("y") == 1, 1).otherwise(0)) + 1.0)
+                / (F.sum(F.when(F.col("y") == 0, 1).otherwise(0)) + 1.0)
+            )
+            * QCM_SCALE
+        )
+        .cast("bigint")
+        .alias("b_fp")
+    )
+    return w, b
+
+
+def _trained(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    w = _session_cached(
+        spark,
+        "qcm_weights",
+        sf_dir,
+        lambda: nb_weights(_labels(load_table(spark, sf_dir, "documents")))[0],
+        eager=True,
+    )
+    b = _session_cached(
+        spark,
+        "qcm_bias",
+        sf_dir,
+        lambda: nb_weights(_labels(load_table(spark, sf_dir, "documents")))[1],
+        eager=True,
+    )
+    return w, b
+
+
+@query(
+    "txt_quality_train",
+    oracle=f"""
+    WITH {_nb_ctes()}
+    SELECT fid, c_pos, c_neg, w_fp FROM wtab
+    """,
+)
+def txt_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained weight-table ARTIFACT (per-feature class counts +
+    fixed-point log-likelihood-ratio weight) — what a serving pipeline
+    exports; feature-space-bounded, so it broadcasts at any corpus
+    size."""
+    w, _b = _trained(spark, sf_dir)
+    return w
+
+
+@query(
+    "txt_quality_infer",
+    oracle=f"""
+    WITH {_nb_ctes()},
+    tsc AS (SELECT f.doc_id, sum(w_fp) AS s, count(*) AS nf
+            FROM qtokfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
+    dsc AS (SELECT f.doc_id, sum(w_fp) AS s2
+            FROM qdocfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
+    sc AS (SELECT l.doc_id, d.source, l.y,
+                  CAST(b_fp + s2 + (s // nf) AS BIGINT) AS logit_fp
+           FROM qlab l
+           JOIN documents d USING (doc_id)
+           JOIN tsc USING (doc_id) JOIN dsc USING (doc_id), btab)
+    SELECT doc_id, source,
+           CAST(y AS INT) AS y_rule,
+           logit_fp,
+           CAST(logit_fp >= 0 AS INT) AS kept,
+           CAST((logit_fp >= 0) = (y = 1) AS INT) AS agree
+    FROM sc
+    """,
+)
+def txt_quality_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the trained classifier over the corpus: mean token weight
+    (integer division, truncating identically in both engines — see
+    module docstring) + doc-feature weights + prior, integer keep
+    frontier, per-doc agreement with the silver rule (the distillation
+    quality contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = _labels(docs)
+    w, b = _trained(spark, sf_dir)
+    tokf, docf = _features(lab)
+    tsc = (
+        tokf.join(F.broadcast(w.select("fid", "w_fp")), "fid")
+        .groupBy("doc_id")
+        .agg(F.sum("w_fp").alias("s"), F.count(F.lit(1)).alias("nf"))
+    )
+    dsc = (
+        docf.join(F.broadcast(w.select("fid", "w_fp")), "fid")
+        .groupBy("doc_id")
+        .agg(F.sum("w_fp").alias("s2"))
+    )
+    logit = F.expr("b_fp + s2 + (s DIV nf)").cast("bigint")
+    return (
+        lab.select("doc_id", "source", "y")
+        .join(tsc, "doc_id")
+        .join(dsc, "doc_id")
+        .join(F.broadcast(b), F.lit(True))
+        .select(
+            "doc_id",
+            "source",
+            F.col("y").cast("int").alias("y_rule"),
+            logit.alias("logit_fp"),
+            (logit >= 0).cast("int").alias("kept"),
+            ((logit >= 0) == (F.col("y") == 1)).cast("int").alias("agree"),
+        )
+    )

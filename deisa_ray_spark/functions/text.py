@@ -1490,9 +1490,11 @@ def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bag-of-words LINEAR classifier (the fastText-style filter CCNet/LLaMA
 # pipelines run after the rule-based gates). Features are hashed token
 # ids (md5 → bucket, the same cross-engine hash idiom as samp_*);
-# weights are a FORMULA of the feature id (a deterministic stand-in for
-# trained weights — swap in a broadcast weight table for a real model),
-# so inference is a PURE MAP: explode → per-token weight expression →
+# weights are a FORMULA of the feature id (the TRAINED variant with a
+# real broadcast weight table is functions/quality_model.py's
+# txt_quality_train / txt_quality_infer — this one stays as the
+# zero-join pure-map inference shape), so inference is a PURE MAP:
+# explode → per-token weight expression →
 # per-doc agg → sigmoid. Zero joins, zero Python — the cheapest
 # possible 100 TB plan shape (one doc-key partial-agg shuffle), and the
 # keep decision is round-then-compare so the frontier is deterministic
