@@ -1854,17 +1854,21 @@ BQ_SHORTLIST = 200  #: Hamming survivors re-ranked exactly per query —
 #: per-query shortlist at any corpus size.
 
 
-def _bq_halves(e: Column) -> "tuple[Column, Column]":
-    """Pack the sign bits of a BQ_DIM-wide vector into two bigint halves.
+def _bq_halves(e: Column, thresh: float = 0.0) -> "tuple[Column, Column]":
+    """Pack the ``> thresh`` bits of a BQ_DIM-wide vector into two bigint
+    halves (thresh=0 → sign bits; ±t → the thermometer planes below).
 
     PRECONDITION: ``size(e) == BQ_DIM``. On a shorter array element_at
-    returns NULL, the ``> 0`` test silently falls to the 0 branch, and
-    the packed code would be wrong with no error — so the lo half is
+    returns NULL, the ``> thresh`` test silently falls to the 0 branch,
+    and the packed code would be wrong with no error — so the lo half is
     guarded: any row whose vector is not exactly BQ_DIM wide raises at
     scan time instead of producing a silent wrong code (pinned by
     tests/test_binary_quant.py::test_bq_halves_rejects_short_vector)."""
     lo = sum(
-        [F.when(F.element_at(e, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
+        [
+            F.when(F.element_at(e, j + 1) > thresh, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(32)
+        ],
         F.lit(0),
     ).cast("bigint")
     lo = F.when(F.size(e) == BQ_DIM, lo).otherwise(
@@ -1872,7 +1876,7 @@ def _bq_halves(e: Column) -> "tuple[Column, Column]":
     )
     hi = sum(
         [
-            F.when(F.element_at(e, j + 1) > 0, F.lit(1 << (j - 32))).otherwise(F.lit(0))
+            F.when(F.element_at(e, j + 1) > thresh, F.lit(1 << (j - 32))).otherwise(F.lit(0))
             for j in range(32, BQ_DIM)
         ],
         F.lit(0),
@@ -1880,12 +1884,13 @@ def _bq_halves(e: Column) -> "tuple[Column, Column]":
     return lo, hi
 
 
-def _bq_halves_sql() -> "tuple[str, str]":
+def _bq_halves_sql(thresh: float = 0.0) -> "tuple[str, str]":
     lo = " + ".join(
-        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+        f"CASE WHEN embedding[{j + 1}] > {thresh} THEN {1 << j} ELSE 0 END"
+        for j in range(32)
     )
     hi = " + ".join(
-        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << (j - 32)} ELSE 0 END"
+        f"CASE WHEN embedding[{j + 1}] > {thresh} THEN {1 << (j - 32)} ELSE 0 END"
         for j in range(32, BQ_DIM)
     )
     return lo, hi
@@ -1906,9 +1911,11 @@ _BQ_LO_SQL, _BQ_HI_SQL = _bq_halves_sql()
     q AS (SELECT vec_id AS qid, e AS qe, lo AS qlo, hi AS qhi
           FROM s WHERE vec_id < {N_QUERIES}),
     h AS (
+      -- per-term CAST: DuckDB's bit_count returns a 1-BYTE int and the
+      -- bare sum overflows at 129 (two 64-bit planes max out at 128)
       SELECT q.qid, s.vec_id AS neighbor_id,
-             CAST(bit_count(xor(q.qlo, s.lo))
-                  + bit_count(xor(q.qhi, s.hi)) AS INT) AS hamming
+             CAST(CAST(bit_count(xor(q.qlo, s.lo)) AS INT)
+                  + CAST(bit_count(xor(q.qhi, s.hi)) AS INT) AS INT) AS hamming
       FROM q JOIN s ON s.vec_id <> q.qid
     ),
     short AS (
@@ -1941,6 +1948,129 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = (
         F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
         + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ).cast("int")
+    h = (
+        F.broadcast(q_sig)
+        .crossJoin(sigs)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), hamming.alias("hamming"))
+    )
+    wh = W.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    short = h.withColumn("hrk", F.row_number().over(wh)).filter(
+        F.col("hrk") <= BQ_SHORTLIST
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    rr = (
+        short.join(emb.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id")
+        .join(F.broadcast(qe), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine_sim(F.col("qe"), F.col("e")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "hamming", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_thermo_hamming_topk — THERMOMETER-coded 3-bit-per-dim quantized
+# ANN: each dimension is coded by three monotone threshold bits
+# (x > -t, x > 0, x > +t), so the Hamming distance between two codes is
+# EXACTLY the L1 distance of the 4-level quantized values (each
+# threshold a value crosses flips exactly one bit) — the standard
+# multi-bit upgrade of sign-bit binary quantization, still training-free
+# (t is a fixed design constant, not learned), so the whole pipeline
+# keeps a FULL exact oracle. 24 B/vector vs 8 B for 1-bit; candidates
+# still shuffle only (qid, id, 6×int).
+#
+# Recall@10 vs brute force at shortlist 200 (the dial, measured):
+# 1-bit sign 0.82 at sf0.1; thermometer t=0.03 → 0.84, t=0.05 → 0.90
+# (shipped), t=0.08 → 0.88; across SFs at t=0.05: 0.98 / 1.00 / 0.90.
+# t sits near half the mean |component| (0.10) — the classic 4-level
+# quantizer spacing; it is a CODE constant like COSINE_THRESHOLD, fixed
+# at design time, so no training pass exists to leak into the oracle.
+# --------------------------------------------------------------------------
+BQ2_T = 0.05  #: thermometer threshold (see dial above)
+
+_BQ2_SQL = {
+    name: _bq_halves_sql(t)
+    for name, t in (("a", BQ2_T), ("z", 0.0), ("b", -BQ2_T))
+}
+_BQ2_CODE_SQL = ",\n             ".join(
+    f"CAST({sql} AS BIGINT) AS {name}{half}"
+    for name, sqls in _BQ2_SQL.items()
+    for half, sql in zip(("lo", "hi"), sqls)
+)
+_BQ2_HAM_SQL = " + ".join(
+    f"CAST(bit_count(xor(q.q{name}{half}, s.{name}{half})) AS INT)"
+    for name in ("a", "z", "b")
+    for half in ("lo", "hi")
+)
+
+
+@query(
+    "sim_thermo_hamming_topk",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_BQ2_CODE_SQL}
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe,
+                 alo AS qalo, ahi AS qahi, zlo AS qzlo, zhi AS qzhi,
+                 blo AS qblo, bhi AS qbhi
+          FROM s WHERE vec_id < {N_QUERIES}),
+    h AS (
+      SELECT q.qid, s.vec_id AS neighbor_id,
+             CAST({_BQ2_HAM_SQL} AS INT) AS hamming
+      FROM q JOIN s ON s.vec_id <> q.qid
+    ),
+    short AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY hamming, neighbor_id) AS hrk
+      FROM h
+    ),
+    rr AS (
+      SELECT t.qid, t.neighbor_id, t.hamming,
+             round(list_cosine_similarity(q.qe, s.e), 6) AS cosine
+      FROM short t JOIN q ON q.qid = t.qid JOIN s ON s.vec_id = t.neighbor_id
+      WHERE t.hrk <= {BQ_SHORTLIST}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rr
+    )
+    SELECT qid, neighbor_id, hamming, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_thermo_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cols = []
+    for name, t in (("a", BQ2_T), ("z", 0.0), ("b", -BQ2_T)):
+        lo, hi = _bq_halves(F.col("e"), t)
+        cols += [lo.alias(f"{name}lo"), hi.alias(f"{name}hi")]
+    sigs = emb.select("vec_id", *cols)
+    plane_cols = [f"{n}{h}" for n in ("a", "z", "b") for h in ("lo", "hi")]
+    q_sig = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        *[F.col(c).alias(f"q{c}") for c in plane_cols],
+    )
+    hamming = sum(
+        [
+            F.bit_count(F.col(f"q{c}").bitwiseXOR(F.col(c))).cast("int")
+            for c in plane_cols
+        ],
+        F.lit(0),
     ).cast("int")
     h = (
         F.broadcast(q_sig)

@@ -65,3 +65,37 @@ def test_bq_halves_rejects_short_vector(spark):
     lo, _hi = _bq_halves(F.col("e"))
     with pytest.raises(Exception, match="64-dim"):
         df.select(lo.alias("lo")).collect()
+
+
+def _py_level(x: float, t: float) -> int:
+    """4-level thermometer quantizer: # thresholds in (-t, 0, t) below x."""
+    return (x > -t) + (x > 0) + (x > t)
+
+
+def test_thermometer_hamming_equals_quantized_l1(spark):
+    """The 3-plane thermometer Hamming must equal the L1 distance of the
+    4-level quantized values — the property that makes it a valid
+    multi-bit distance (each crossed threshold flips exactly one bit)."""
+    from deisa_ray_spark.functions.similarity import BQ2_T
+
+    rng = random.Random(11)
+    pairs = []
+    for _ in range(15):
+        a = [rng.uniform(-0.3, 0.3) for _ in range(BQ_DIM)]
+        b = [rng.uniform(-0.3, 0.3) for _ in range(BQ_DIM)]
+        # exact boundary hits: value equal to a threshold is NOT above it
+        a[0], b[1], a[2] = BQ2_T, -BQ2_T, 0.0
+        pairs.append((a, b))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, ea array<double>, eb array<double>",
+    )
+    ham = F.lit(0)
+    for t in (BQ2_T, 0.0, -BQ2_T):
+        alo, ahi = _bq_halves(F.col("ea"), t)
+        blo, bhi = _bq_halves(F.col("eb"), t)
+        ham = ham + F.bit_count(alo.bitwiseXOR(blo)) + F.bit_count(ahi.bitwiseXOR(bhi))
+    got = {r["i"]: r["h"] for r in df.select("i", ham.cast("int").alias("h")).collect()}
+    for i, (a, b) in enumerate(pairs):
+        want = sum(abs(_py_level(x, BQ2_T) - _py_level(y, BQ2_T)) for x, y in zip(a, b))
+        assert got[i] == want, f"pair {i}: {got[i]} != {want}"
