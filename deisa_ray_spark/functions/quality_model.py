@@ -182,24 +182,32 @@ def nb_weights(lab: DataFrame) -> "tuple[DataFrame, DataFrame]":
     return w, b
 
 
-def _trained(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
-    from deisa_ray_spark.functions.dedup import _session_cached
+#: session-keyed trained-model cache (the _BPE_CACHE discipline) —
+#: BOTH artifacts come out of ONE build so the bias never pays a second
+#: corpus scan; eviction only drops the reference, persisted blocks are
+#: reclaimed once unpersisted below.
+_QCM_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
-    w = _session_cached(
-        spark,
-        "qcm_weights",
-        sf_dir,
-        lambda: nb_weights(_labels(load_table(spark, sf_dir, "documents")))[0],
-        eager=True,
-    )
-    b = _session_cached(
-        spark,
-        "qcm_bias",
-        sf_dir,
-        lambda: nb_weights(_labels(load_table(spark, sf_dir, "documents")))[1],
-        eager=True,
-    )
-    return w, b
+
+def _trained(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _QCM_CACHE.get(key)
+    if hit is None:
+        for k in [k for k in _QCM_CACHE if k != key]:
+            old_w, old_b = _QCM_CACHE.pop(k)
+            for f in (old_w, old_b):
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass  # entry from an already-stopped SparkSession
+        lab = _labels(load_table(spark, sf_dir, "documents")).persist()
+        w, b = nb_weights(lab)
+        w, b = w.persist(), b.persist()
+        w.count(), b.count()  # one shared eager pass over the labels
+        lab.unpersist()
+        _QCM_CACHE[key] = (w, b)
+        hit = _QCM_CACHE[key]
+    return hit
 
 
 @query(

@@ -1348,22 +1348,24 @@ def emb_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_knn_graph — k-nearest-neighbor GRAPH construction over the corpus
 # embeddings: every vector's top-K neighbors by cosine within a BOUNDED
 # block. Blocks start as labels; any label over the cap is adaptively
-# refined with sign-bit subcells (8 → 16 → 24 leading-dim signs, the
-# same axis-aligned-hyperplane split dedup_semantic_buckets uses), and a
-# cell STILL oversized at 24 bits — possible exactly in near-dup-rich
-# labels, whose members share sign patterns — is sharded by a
-# deterministic md5 row-number salt into ⌈n/cap⌉ bounded shards. Every
-# vector therefore lands in a block of ≤ cap peers and contributes its
-# ranked neighbors to the graph AT ANY BLOCK SIZE — nothing is silently
-# dropped (the r7 weak finding; the old form excluded oversized labels
-# entirely). ``depth`` (0 = label fit, 1-3 = sign-bit stage, 4 = salted)
-# is emitted per row as the refinement census.
+# refined with sign-bit subcells (_KNN_BITS = 2 → 4 → 8 → 16 leading-dim
+# signs, the same axis-aligned-hyperplane split dedup_semantic_buckets
+# uses), and a cell STILL oversized at the deepest stage — possible
+# exactly in near-dup-rich labels, whose members share sign patterns —
+# is sharded by a deterministic md5 row-number salt into ⌈n/cap⌉ bounded
+# shards. Every vector therefore lands in a block of ≤ cap peers and
+# contributes its ranked neighbors to the graph AT ANY BLOCK SIZE —
+# nothing is silently dropped (the r7 weak finding; the old form
+# excluded oversized labels entirely). ``depth`` (0 = label fit,
+# 1..len(_KNN_BITS) = which sign-bit stage fit, _KNN_SALT_DEPTH = salted
+# shard) is emitted per row as the refinement census.
 #
 # Scale shape: per-block work stays ≤ cap² with cap fixed, so the build
 # is O(n·cap), never corpus-quadratic; the stats/decision frames are
 # cell-level (≤ distinct cells rows, broadcast back by AQE); the salt
-# window runs on a narrow (vec_id, k3) projection co-partitioned with
-# the decision join. The graph is the input artifact for SemDeDup-style
+# window runs on a narrow (vec_id, deepest-key) projection — vectors
+# join back on vec_id after the bucket decision, so the window's sort
+# exchange never carries embeddings. The graph is the input artifact for SemDeDup-style
 # pruning, graph-based clustering, diversity sampling, and the
 # sim_graph_beam_topk serving query below (session-cached under
 # 'knn_graph'). The cap is deliberately small so the test SFs exercise
@@ -1513,10 +1515,15 @@ def knn_assigned(
         bucket0.otherwise(F.lit(None).cast("string")).alias("bucket0"),
         depth.otherwise(_KNN_SALT_DEPTH).alias("depth"),
     )
-    return (
-        cells.join(dec, dk)
-        .withColumn(
-            "bucket",
+    # Salt window on a NARROW (vec_id, deepest-key) projection: the
+    # row_number sort exchange must never carry the embedding column —
+    # vectors join back on vec_id after the bucket decision.
+    decided = (
+        cells.select("vec_id", dk)
+        .join(dec, dk)
+        .select(
+            "vec_id",
+            "depth",
             F.coalesce(
                 F.col("bucket0"),
                 F.concat(
@@ -1526,16 +1533,16 @@ def knn_assigned(
                            f"ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1) "
                            f"DIV {cap} AS STRING)"),
                 ),
-            ),
+            ).alias("bucket"),
         )
-        .select(
-            "vec_id",
-            "label",
-            "e",
-            norm_agg(F.col("e")).alias("nrm"),
-            "bucket",
-            "depth",
-        )
+    )
+    return cells.select("vec_id", "label", "e").join(decided, "vec_id").select(
+        "vec_id",
+        "label",
+        "e",
+        norm_agg(F.col("e")).alias("nrm"),
+        "bucket",
+        "depth",
     )
 
 
@@ -1809,13 +1816,21 @@ def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # visited ∪ freshly-scored, deduped — max() over identical
         # values keeps determinism without caring which copy survives.
         # localCheckpoint: v is referenced twice next round (beam + the
-        # union), so an untruncated plan doubles per hop.
-        v = (
+        # union), so an untruncated plan doubles per hop; the superseded
+        # hop's checkpoint blocks are freed explicitly (they are
+        # otherwise held until driver GC, × 3 bench builds per query).
+        nxt = (
             v.unionByName(score(cand))
             .groupBy("qid", "node")
             .agg(F.max("cosine").alias("cosine"))
             .localCheckpoint(eager=True)
         )
+        from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
+        # hop 0's v is a lazy plan over the persisted store (no
+        # LogicalRDD leaves) — free_local_checkpoint no-ops there.
+        free_local_checkpoint(v)
+        v = nxt
     return (
         v.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

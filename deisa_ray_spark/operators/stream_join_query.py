@@ -55,13 +55,13 @@ _EVENT_SCHEMA = (
     "event_type string, value double, props string"
 )
 
-_PAIR_SQL = """
+_PAIR_SQL = f"""
       SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
              epoch_us(c.ts) AS click_ts_us, epoch_us(v.ts) AS view_ts_us
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       JOIN (SELECT * FROM events WHERE event_type = 'view') v
         ON v.user_id = c.user_id
-       AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+       AND v.ts <= c.ts AND c.ts <= v.ts + INTERVAL {GAP}
 """
 
 

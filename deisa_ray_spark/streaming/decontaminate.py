@@ -25,8 +25,6 @@ oracle gate as ``stream_decontaminate`` (operators/stream_decon_query).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -15,10 +15,14 @@ Faithfulness choices (documented because they ARE the experiment):
   makes shared-shingle pair density QUADRATIC in corpus size (measured
   1.13M pairs at 5k docs — a 10x copy would be ~100x pairs), which no
   real corpus does (vocabulary grows with the corpus — Heaps' law).
-  sf1 documents are 50k fresh docs over a 340-word vocabulary (the 31
-  originals kept as the Zipf head so stopword/lang features still fire)
+  sf1 documents are 50k fresh docs over a 72-word vocabulary sampled
+  UNIFORMLY (Heaps-scaled from the originals' 31 words; the 31
+  originals stay in the vocab so stopword/lang features still fire)
   with 2% planted near-dups and 0.4% exact dups so the dedup operators
-  keep real signal at linear pair density.
+  keep real signal at linear pair density (measured 9.0M shared-shingle
+  pairs at 50k docs vs 1.13M at 5k; a Zipf-weighted head was tried and
+  REJECTED at a measured 160M pairs — frequent shingles collide
+  everywhere).
 - embeddings: 20k vectors from per-label Gaussians fitted to sf0.1
   (10 labels -> 2k/label, the driver's own label-growth trend).
 
