@@ -79,8 +79,19 @@ def duckdb_totals() -> dict[str, float]:
     specs = load_all()
     out = {}
     for sf, sf_dir in sf_dirs().items():
+        if sf == "sf1*" and os.environ.get("SPARK_GRAFT_DUCKDB_SF1") != "1":
+            # The uncapped DuckDB run at sf1 does NOT terminate in
+            # reasonable time: the verified-pair-graph iterative oracles
+            # (dedup_keep_best's recursive-CTE CC, dedup_pagerank's
+            # unrolled rounds) ran >90 s each and spilled >40 GB before
+            # being interrupted. The sf1 DuckDB row is measured
+            # separately with per-query 90 s caps (tools notes in
+            # SCALING.md); opt in here with SPARK_GRAFT_DUCKDB_SF1=1.
+            continue
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.cpu_count()}")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
+        con.execute("SET max_temp_directory_size='30GB'")
         for t in ("region nation customer supplier part orders lineitem "
                   "events documents embeddings").split():
             con.execute(
@@ -114,11 +125,15 @@ def main() -> None:
     d = duckdb_totals()
 
     def ratio(sf: str) -> str:
+        if sf not in d:
+            return "see the sf1 section below"
         if s[sf] <= d[sf]:
             return f"**{d[sf] / s[sf]:.1f}× faster**"
         return f"{s[sf] / d[sf]:.1f}× slower"
 
-    rows = "\n".join(f"| {sf} | {s[sf]} | {d[sf]} | {ratio(sf)} |" for sf in s)
+    rows = "\n".join(
+        f"| {sf} | {s[sf]} | {d.get(sf, '> capped')} | {ratio(sf)} |" for sf in s
+    )
     grad_s = s["sf0.1"] - s["sf0.001"]
     grad_d = d["sf0.1"] - d["sf0.001"]
     top = "sf0.1"
