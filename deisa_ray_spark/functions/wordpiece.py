@@ -438,3 +438,72 @@ def txt_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_continuation"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# txt_tokenizer_fertility_ab — the tokenizer A/B report: BPE vs
+# WordPiece fertility per language in ONE table (tokens-per-word under
+# each trained tokenizer, WordPiece UNK exposure, and the piece/token
+# ratio). This is the comparison a pipeline runs before committing to a
+# tokenizer: a vocab that over-segments an under-represented language
+# shows up as a fertility gap here. Both tokenizers come from their
+# session-cached trained artifacts; the corpus is touched once by the
+# doc-word explode; the BPE encode table rides the same hot-split join
+# posture (and session tag) as txt_bpe_encode, and the WordPiece encode
+# table joins on the same word key.
+# --------------------------------------------------------------------------
+def _ab_oracle() -> str:
+    from deisa_ray_spark.functions.bpe import BPE_MERGES, bpe_oracle_cte_prefix
+
+    return f"""
+    WITH {bpe_oracle_cte_prefix()},
+    {wp_oracle_encode_ctes()},
+    benc AS (
+      SELECT w, len(string_split(substring(s, 2, length(s)-2),
+                                 chr(1)||chr(1))) AS n_tok
+      FROM r{BPE_MERGES}
+    ),
+    dw AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+           round(sum(n_tok) * 1.0 / count(*), 6) AS bpe_fertility,
+           CAST(sum(n_pieces) AS BIGINT) AS wp_pieces,
+           round(sum(n_pieces) * 1.0 / count(*), 6) AS wp_fertility,
+           CAST(sum(unk) AS BIGINT) AS wp_unk_occurrences,
+           round(sum(n_pieces) * 1.0 / sum(n_tok), 6) AS wp_over_bpe
+    FROM dw JOIN benc USING (w) JOIN wp_enc USING (w)
+    GROUP BY lang
+    """
+
+
+@query("txt_tokenizer_fertility_ab", oracle=_ab_oracle())
+def txt_tokenizer_fertility_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.bpe import _bpe_trained
+    from deisa_ray_spark.functions.bpe import _syms as _bpe_syms
+    from deisa_ray_spark.functions.text import hot_split_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    _bm, bpe_vocab = _bpe_trained(spark, sf_dir)
+    benc = bpe_vocab.select("w", "cnt", F.size(_bpe_syms()).alias("n_tok"))
+    _wm, wp_state, wp_enc = _wp_trained(spark, sf_dir)
+    wenc = wp_enc.join(wp_state.select("w", "cnt"), "w")
+    dw = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    both = hot_split_join(
+        dw, benc, "w", hot_by="cnt", cache_tag="bpe_enc", sf_dir=sf_dir
+    ).select("doc_id", "lang", "w", "n_tok")  # drop cnt before the 2nd dim
+    both = hot_split_join(
+        both, wenc, "w", hot_by="cnt", cache_tag="wp_enc", sf_dir=sf_dir
+    )
+    return both.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_tok").cast("bigint").alias("bpe_tokens"),
+        F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias("bpe_fertility"),
+        F.sum("n_pieces").cast("bigint").alias("wp_pieces"),
+        F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("wp_fertility"),
+        F.sum("unk").cast("bigint").alias("wp_unk_occurrences"),
+        F.round(F.sum("n_pieces") / F.sum("n_tok"), 6).alias("wp_over_bpe"),
+    )
