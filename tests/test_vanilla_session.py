@@ -45,6 +45,14 @@ QUERIES = [
     # PageRank iteration (eager checkpoints + integer div arithmetic)
     "stream_session_counts",
     "dedup_pagerank",
+    # round-8: the stream-stream interval join (event-time comparisons
+    # + watermarked join state under a vanilla timezone — the most
+    # timezone-sensitive new shape), the beam search (per-hop eager
+    # checkpoints over three session-cached artifacts), and WordPiece
+    # encode (two chained session caches + 12 eager match rounds)
+    "stream_interval_join",
+    "sim_graph_beam_topk",
+    "txt_wordpiece_encode",
 ]
 
 _SCRIPT = textwrap.dedent(
