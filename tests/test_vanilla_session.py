@@ -7,9 +7,9 @@ DuckDB oracles.
 
 Subset choice: every events/timestamp query shape (session timezone is
 the classic silent-divergence risk), plus one text and one embedding
-representative. The full vanilla sweep (ALL 179 queries at round-7
+representative. The full vanilla sweep (ALL 189 queries at round-8
 close, every one value-exact against its oracle, zero rows-only) was
-run green on 2026-08-15 (284 s, default-config session, fresh process);
+run green on 2026-08-15 (365 s, default-config session, fresh process);
 this pins the property against regressions at ~1/10 the cost.
 (Round-6: txt_bpe_encode and sim_ivf_pq_topk joined the pinned subset —
 eager per-round checkpoints + session model cache, and an MLlib-trained
