@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "sim_graph_beam_topk",
     "txt_wordpiece_encode",
     "txt_quality_infer",
+    "txt_tokenizer_fertility_ab",
+    "samp_mmr_topk",
 ]
 
 

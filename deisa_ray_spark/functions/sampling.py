@@ -348,3 +348,152 @@ def samp_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(ES_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# samp_mmr_topk — DIVERSITY-AWARE subset selection over the embedding
+# store: greedy Maximal Marginal Relevance (Carbonell & Goldstein 1998;
+# the facility-location-style greedy every diverse-subset curation
+# pipeline runs). Round r selects argmax of
+#   score = λ·rel(x) − (1−λ)·max_sim(x, selected)
+# where rel is cosine to a fixed anchor (the lowest-id vector — a
+# deterministic stand-in for a query/centroid) and max_sim is the
+# running max cosine to anything already selected — so each new pick is
+# relevant AND far from the current subset.
+#
+# Exactly SQL-expressible because greedy MMR has the BPE/PageRank round
+# structure: K unrolled rounds, each one argmax (rounded-cosine scores,
+# vec_id tie-break) + a 1-row broadcast of the new pick + a running
+# GREATEST fold of max_sim — the state between rounds is one narrow
+# (vec_id, rel, max_sim) frame, localCheckpoint-ed per round.
+# Determinism: rel and every pairwise cosine are rounded to 6 before
+# any comparison; λ-blending is two IEEE multiplies on identical
+# doubles; ties break by vec_id.
+#
+# Scale shape: each round is ONE corpus-narrow map (cosine against the
+# broadcast pick) + one TakeOrdered(1) — O(K·n) total, no pairwise
+# stage; the vectors ride a session-cached store and never shuffle.
+# --------------------------------------------------------------------------
+MMR_K = 8  #: subset size (unrolled rounds)
+MMR_LAMBDA = 0.7  #: relevance weight; 1-λ penalizes similarity to picks
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    return f"round(list_cosine_similarity({a}, {b}), 6)"
+
+
+def _mmr_oracle() -> str:
+    parts = [f"""
+    mbase AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    anchor AS MATERIALIZED (
+      SELECT e AS ae FROM mbase ORDER BY vec_id LIMIT 1
+    ),
+    st0 AS MATERIALIZED (
+      SELECT vec_id, e,
+             {_mmr_cos_sql('e', '(SELECT ae FROM anchor)')} AS rel,
+             CAST(-1.0 AS DOUBLE) AS max_sim
+      FROM mbase
+    )"""]
+    sels = []
+    for r in range(1, MMR_K + 1):
+        parts.append(f"""
+    sel{r} AS MATERIALIZED (
+      SELECT vec_id, e, rel, max_sim,
+             {MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 6)} * max_sim AS score
+      FROM st{r - 1}
+      ORDER BY {MMR_LAMBDA} * rel - {round(1 - MMR_LAMBDA, 6)} * max_sim DESC,
+               vec_id
+      LIMIT 1
+    ),
+    st{r} AS MATERIALIZED (
+      SELECT s.vec_id, s.e, s.rel,
+             greatest(s.max_sim,
+                      {_mmr_cos_sql('s.e', '(SELECT e FROM sel' + str(r) + ')')})
+                 AS max_sim
+      FROM st{r - 1} s
+      WHERE s.vec_id <> (SELECT vec_id FROM sel{r})
+    )""")
+        sels.append(
+            f"SELECT {r} AS rank, vec_id, rel, max_sim, round(score, 6) AS score "
+            f"FROM sel{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n    " + " UNION ALL ".join(sels)
+
+
+@query("samp_mmr_topk", oracle=_mmr_oracle())
+def samp_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR: K rounds of argmax(λ·rel − (1−λ)·max_sim) with the
+    running max-similarity fold — the diverse-prototype subset."""
+    from deisa_ray_spark.functions.dedup import (
+        _session_cached,
+        dot_agg,
+        free_local_checkpoint,
+        norm_agg,
+    )
+
+    store = _session_cached(
+        spark,
+        "mmr_store",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+        ).withColumn("nrm", norm_agg(F.col("e"))),
+        eager=True,
+    )
+    anchor = store.orderBy("vec_id").limit(1).select(
+        F.col("e").alias("ae"), F.col("nrm").alias("an")
+    )
+
+    def cos(e_col, n_col, oe, on) -> "F.Column":
+        return F.round(dot_agg(e_col, oe) / (n_col * on), 6)
+
+    state = (
+        store.join(F.broadcast(anchor), F.lit(True))
+        .select(
+            "vec_id",
+            "e",
+            "nrm",
+            cos(F.col("e"), F.col("nrm"), F.col("ae"), F.col("an")).alias("rel"),
+            F.lit(-1.0).alias("max_sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    out = None
+    for r in range(1, MMR_K + 1):
+        score = lam * F.col("rel") - mu * F.col("max_sim")
+        sel = (
+            state.withColumn("score", F.round(score, 6))
+            .orderBy((lam * F.col("rel") - mu * F.col("max_sim")).desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).alias("rank"), "vec_id", "e", "nrm", "rel", "max_sim", "score"
+            )
+            .localCheckpoint(eager=True)  # 1 row — the round's pick
+        )
+        row = sel.select("rank", "vec_id", "rel", "max_sim", "score")
+        out = row if out is None else out.unionAll(row)
+        pick = sel.select(
+            F.col("vec_id").alias("p_id"), F.col("e").alias("pe"), F.col("nrm").alias("pn")
+        )
+        nxt = (
+            state.join(F.broadcast(pick), F.lit(True))
+            .filter(F.col("vec_id") != F.col("p_id"))
+            .select(
+                "vec_id",
+                "e",
+                "nrm",
+                "rel",
+                F.greatest(
+                    F.col("max_sim"),
+                    cos(F.col("e"), F.col("nrm"), F.col("pe"), F.col("pn")),
+                ).alias("max_sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(state)
+        state = nxt
+    return out
