@@ -1,0 +1,63 @@
+"""Greedy MMR semantics: the Spark unrolled-round selection must equal a
+pure-Python greedy reference (same rounded-cosine discipline, same
+lambda blend, same id tie-break), including the running max-similarity
+fold and anchor handling."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from deisa_ray_spark.functions.sampling import MMR_K, MMR_LAMBDA, samp_mmr_topk
+from tests.conftest import SF_DIR
+
+
+def _cos6(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    # mirror the engine discipline: round half away from zero at 1e-6
+    v = dot / (na * nb)
+    return math.floor(v * 1e6 + 0.5) / 1e6 if v >= 0 else -math.floor(-v * 1e6 + 0.5) / 1e6
+
+
+def _ref_mmr(vecs: dict[int, list[float]], k: int, lam: float):
+    anchor = vecs[min(vecs)]
+    mu = round(1 - lam, 6)
+    rel = {i: _cos6(v, anchor) for i, v in vecs.items()}
+    max_sim = {i: -1.0 for i in vecs}
+    picks = []
+    remaining = set(vecs)
+    for r in range(1, k + 1):
+        best = max(remaining, key=lambda i: (lam * rel[i] - mu * max_sim[i], -i))
+        picks.append((r, best, rel[best], max_sim[best]))
+        remaining.discard(best)
+        for i in remaining:
+            max_sim[i] = max(max_sim[i], _cos6(vecs[i], vecs[best]))
+    return picks
+
+
+def test_mmr_matches_python_reference_on_corpus(spark):
+    got = [
+        (r["rank"], r["vec_id"], r["rel"], r["max_sim"])
+        for r in samp_mmr_topk(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    import duckdb
+
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in duckdb.sql(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    }
+    want = _ref_mmr(vecs, MMR_K, MMR_LAMBDA)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9
+
+
+def test_mmr_picks_are_diverse(spark):
+    """The whole point: after the anchor, every pick's similarity to the
+    already-selected set stays well under the corpus near-dup range."""
+    rows = samp_mmr_topk(spark, SF_DIR).filter("rank > 1").collect()
+    assert rows and all(r["max_sim"] < 0.6 for r in rows)
