@@ -1657,16 +1657,28 @@ GEO_BITS = 6  #: sign bits per view code; view v covers dims [6v+1, 6v+6]
 
 
 def _geo_code(e: Column, view: int) -> Column:
-    """View ``view``'s sign code (JVM-side int → string key)."""
+    """View ``view``'s sign code (JVM-side int → string key).
+
+    PRECONDITION: ``size(e) >= GEO_VIEWS * GEO_BITS`` — on a shorter
+    vector element_at-past-end yields NULL here while the SQL twin's
+    ``embedding[i]`` treats the missing dim as a 0-bit (the trap
+    dedup.py's sem-bucket notes document), so regenerated testdata with
+    a narrower embedding raises at scan time instead of silently
+    diverging. Sign convention is ``>= 0`` to match the sem-bucket
+    family (_sem_bucket / sem_bits_sql)."""
     code = F.lit(0)
     for i in range(GEO_BITS):
-        code = code + (F.element_at(e, view * GEO_BITS + i + 1) > 0).cast("int") * (1 << i)
-    return code.cast("string")
+        code = code + (F.element_at(e, view * GEO_BITS + i + 1) >= 0).cast("int") * (1 << i)
+    return F.when(F.size(e) >= GEO_VIEWS * GEO_BITS, code.cast("string")).otherwise(
+        F.raise_error(
+            F.lit(f"geo sign views require >= {GEO_VIEWS * GEO_BITS}-dim vectors")
+        )
+    )
 
 
 def _geo_code_sql(view: int, col: str = "embedding") -> str:
     return "CAST(" + " + ".join(
-        f"(CASE WHEN {col}[{view * GEO_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {col}[{view * GEO_BITS + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(GEO_BITS)
     ) + " AS VARCHAR)"
 

@@ -373,7 +373,7 @@ def txt_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
-           CAST(sum(unk) AS BIGINT) AS n_unk_words,
+           CAST(sum(unk) AS BIGINT) AS n_unk_occurrences,
            round(sum(n_pieces) * 1.0 / count(*), 6) AS pieces_per_word
     FROM dw JOIN wp_enc USING (w)
     GROUP BY doc_id
@@ -399,7 +399,7 @@ def txt_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
             F.sum("n_pieces").cast("bigint").alias("n_pieces"),
-            F.sum("unk").cast("bigint").alias("n_unk_words"),
+            F.sum("unk").cast("bigint").alias("n_unk_occurrences"),
             F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("pieces_per_word"),
         )
     )

@@ -126,13 +126,14 @@ def main() -> None:
 
     def ratio(sf: str) -> str:
         if sf not in d:
-            return "see the sf1 section below"
+            return "capped (see sf1 notes)"
         if s[sf] <= d[sf]:
             return f"**{d[sf] / s[sf]:.1f}× faster**"
         return f"{s[sf] / d[sf]:.1f}× slower"
 
     rows = "\n".join(
-        f"| {sf} | {s[sf]} | {d.get(sf, '> capped')} | {ratio(sf)} |" for sf in s
+        f"| {sf} | {s[sf]} | {d.get(sf, 'capped (see sf1 notes)')} | {ratio(sf)} |"
+        for sf in s
     )
     grad_s = s["sf0.1"] - s["sf0.001"]
     grad_d = d["sf0.1"] - d["sf0.001"]
