@@ -1391,6 +1391,8 @@ def _knn_graph_ctes(
     cap: int = KNN_BLOCK_CAP,
     key_sql: str = "CAST(label AS VARCHAR)",
     prefix: str = "",
+    where_sql: str = "",
+    k: int = KNN_K,
 ) -> str:
     """DuckDB CTE chain ending in ``{prefix}knn_graph(vec_id, label,
     depth, rank, neighbor_id, cosine)`` — the oracle twin of
@@ -1423,7 +1425,7 @@ def _knn_graph_ctes(
     {p}r AS MATERIALIZED (
       SELECT vec_id, label, embedding::DOUBLE[] AS e,
              {key_sql} || '|' || {sem_bits_sql(deepest_bits)} AS {dk}
-      FROM embeddings
+      FROM embeddings {where_sql}
     ),
     {p}st AS MATERIALIZED (
       SELECT {dk}, count(*) AS n{deep} FROM {p}r GROUP BY {dk}),
@@ -1461,7 +1463,7 @@ def _knn_graph_ctes(
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                          ORDER BY cosine DESC, neighbor_id) AS rank
             FROM {p}knn_pairs)
-      WHERE rank <= {KNN_K}
+      WHERE rank <= {k}
     )"""
 
 
@@ -1628,10 +1630,13 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dim range, so the union graph has both within-cluster links and
 # cross-space geometric links (label blocks alone cap recall hard here:
 # only ~14% of true top-10 neighbors share the query's label) — then
-# symmetrized (undirected, the HNSW convention). Entry points are one
-# deterministic node per block (the block-min — the coarse-probe
-# analogue: scoring them is O(n_blocks) per query, the same budget as
-# IVF's coarse scan), then BEAM_R rounds of expansion walk the edges,
+# symmetrized (undirected, the HNSW convention). Entry selection is
+# HIERARCHICAL (r9): a deterministic md5-threshold 1/16 sample of the
+# corpus carries its own bounded-block kNN graph (the HNSW upper layer);
+# queries score one node per UPPER bucket (n_blocks/16 of the old flat
+# one-per-base-block scan), beam UPPER_R hops over the upper graph, and
+# the base-layer beam is seeded from everything the upper search
+# visited. Then BEAM_R rounds of expansion walk the base edges,
 # re-scoring only newly-reached nodes, keeping a BEAM_B-wide frontier by
 # exact cosine; the answer is the top-K of everything visited.
 # Deterministic end to end — fixed entry set, fixed rounds,
@@ -1641,7 +1646,15 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Measured recall@10 vs sim_bruteforce_topk (the dial): B=8/R=3 on
 # block-only directed edges 0.16 at sf0.1; +geo views undirected
-# B=16/R=3 → 0.66; B=32/R=4 → 0.90 sf0.1 / 1.00 sf0.01 (shipped).
+# B=16/R=3 → 0.66; B=32/R=4 flat entries k=5 → 0.90 sf0.1 (r8 shipped).
+# r9's hierarchical entries alone dropped that to 0.82 (seeds no longer
+# touch every cell); the fix was edge RICHNESS, not more hops: serving
+# graphs at SERVE_K=16 (HNSW's M regime) reach 1.000 at sf0.1 with
+# upper(R=1,B=16) + base(R=3,B=32) — one FEWER total hop than r8's flat
+# config, 4.0× fewer entry scores per query, and recall 1.000 at all
+# three SFs (tools/beam_recall.py; warm 4.1 s vs flat 3.65 s at sf0.1 —
+# the toy-SF cost is fixed job count; the entry-scan term the hierarchy
+# removes is the one that grows with corpus size).
 #
 # Scale shape: graph + views + assignment are session-cached artifacts
 # (build is O(n·cap) per view — bounded blocks, never corpus-quadratic);
@@ -1650,10 +1663,30 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus scan after the artifacts exist. That is the point of graph
 # serving at 100 TB: the corpus-sized work happened once at build time.
 # --------------------------------------------------------------------------
-BEAM_R = 4  #: expansion hops
-BEAM_B = 32  #: beam width (frontier kept per query per hop)
+BEAM_R = 3  #: base-layer expansion hops
+BEAM_B = 32  #: base-layer beam width (frontier kept per query per hop)
+#: edges kept per node in the SERVING graphs (block view + geo views +
+#: upper layer). The k=5 block ARTIFACT (sim_knn_graph) is unchanged —
+#: but retrieving top-10 by walking a graph whose nodes only keep 5
+#: out-links starves the frontier (HNSW keeps M=16-48 for the same
+#: reason): measured recall@10 at sf0.1 with hierarchical entries is
+#: 0.82 at k=5, 0.90 at k=10, 1.000 at k=16 — and k=16 holds 1.000 with
+#: a hop REMOVED from each layer (upper R=1, base R=3).
+SERVE_K = 16
 GEO_VIEWS = 3  #: geometric sign-view edge sets in the serving graph
 GEO_BITS = 6  #: sign bits per view code; view v covers dims [6v+1, 6v+6]
+#: HNSW-style upper entry layer: a deterministic md5-threshold sample of
+#: the corpus (1/16 — vec_ids whose md5 hex starts with UPPER_HEX) gets
+#: its OWN bounded-block kNN graph; queries beam over that small layer
+#: first and the base-layer beam is seeded from its survivors. This
+#: replaces the flat one-entry-per-block scan (O(n_blocks) scored per
+#: query — at 10^10 vectors / cap 10k that was 10^6 entry scores) with
+#: O(n_blocks/16) upper entries + a fixed UPPER_R×UPPER_B×degree
+#: expansion. No RNG anywhere: the sample is an md5 threshold, so the
+#: whole two-layer search stays exactly SQL-expressible.
+UPPER_HEX = "0"  #: sample = md5(vec_id) first hex digit == this (1/16)
+UPPER_R = 1  #: upper-layer expansion hops
+UPPER_B = 16  #: upper-layer beam width
 
 
 def _geo_code(e: Column, view: int) -> Column:
@@ -1693,12 +1726,15 @@ def serve_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = _emb(spark, sf_dir)
-        directed = knn_graph(spark, sf_dir).select(
-            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-        )
+        # SERVE_K out-links per node per view (richer than the k=5 block
+        # artifact — see the SERVE_K note); the block view reuses the
+        # cached assignment, so only the pair+rank stage reruns.
+        directed = knn_graph_from_assigned(
+            knn_assigned_cached(spark, sf_dir), k=SERVE_K
+        ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
         for v in range(GEO_VIEWS):
             view_graph = knn_graph_from_assigned(
-                knn_assigned(emb, key=_geo_code(F.col("e"), v))
+                knn_assigned(emb, key=_geo_code(F.col("e"), v)), k=SERVE_K
             )
             directed = directed.unionByName(
                 view_graph.select(
@@ -1712,13 +1748,73 @@ def serve_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(spark, "serve_edges", sf_dir, build, eager=True)
 
 
+def _upper_sample(idcol: Column) -> Column:
+    """Deterministic 1/16 corpus sample for the upper entry layer."""
+    return F.substring(F.md5(idcol.cast("string")), 1, 1) == UPPER_HEX
+
+
+_UPPER_WHERE = f"WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '{UPPER_HEX}'"
+
+
+def upper_assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached bounded-block assignment of the md5-sampled UPPER
+    layer — entry points come from its buckets, its kNN graph is the
+    upper serving graph."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    return _session_cached(
+        spark,
+        "upper_assign",
+        sf_dir,
+        lambda: knn_assigned(_emb(spark, sf_dir).filter(_upper_sample(F.col("vec_id")))),
+        eager=True,
+    )
+
+
+def upper_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached undirected upper-layer edge set ``(src, dst)`` —
+    the same bounded-block kNN machinery over the 1/16 sample,
+    symmetrized like the base serving graph."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    def build() -> DataFrame:
+        directed = knn_graph_from_assigned(
+            upper_assigned_cached(spark, sf_dir), k=SERVE_K
+        ).select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        return directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    return _session_cached(spark, "upper_edges", sf_dir, build, eager=True)
+
+
+def _upper_ctes() -> str:
+    """Oracle twin of the upper layer: a prefixed bounded-block chain
+    over the md5-sampled rows, symmetrized edges, per-bucket entries."""
+    return _knn_graph_ctes(prefix="u_", where_sql=_UPPER_WHERE, k=SERVE_K) + """,
+    u_directed AS (SELECT vec_id AS src, neighbor_id AS dst FROM u_knn_graph),
+    u_edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM u_directed
+        UNION ALL SELECT dst AS src, src AS dst FROM u_directed
+      )
+    ),
+    u_entries AS MATERIALIZED (
+      SELECT bucket, min(vec_id) AS node FROM u_assigned GROUP BY bucket
+    )"""
+
+
 def _serve_edges_ctes() -> str:
     """Oracle twin of serve_edges: the block chain + one prefixed chain
     per geometric view, unioned directed edges, symmetrized+deduped."""
-    chains = [_knn_graph_ctes()]
+    chains = [_knn_graph_ctes(k=SERVE_K)]
     edge_selects = ["SELECT vec_id AS src, neighbor_id AS dst FROM knn_graph"]
     for v in range(GEO_VIEWS):
-        chains.append(_knn_graph_ctes(key_sql=_geo_code_sql(v), prefix=f"g{v}_"))
+        chains.append(
+            _knn_graph_ctes(key_sql=_geo_code_sql(v), prefix=f"g{v}_", k=SERVE_K)
+        )
         edge_selects.append(
             f"SELECT vec_id AS src, neighbor_id AS dst FROM g{v}_knn_graph"
         )
@@ -1733,42 +1829,52 @@ def _serve_edges_ctes() -> str:
     )"""
 
 
-def _beam_oracle_sql() -> str:
-    rounds = []
-    for r in range(1, BEAM_R + 1):
-        rounds.append(f"""
-    b{r - 1} AS MATERIALIZED (
+def _beam_round_sql(pfx: str, r: int, vprev: str, edges: str, width: int) -> str:
+    """One unrolled beam hop (either layer): top-``width`` frontier of
+    ``vprev`` → expand over ``edges`` → score fresh nodes → merged
+    visited set ``{pfx}v{r}``."""
+    return f"""
+    {pfx}b{r - 1} AS MATERIALIZED (
       SELECT qid, node FROM (
         SELECT qid, node, row_number() OVER (PARTITION BY qid
-                 ORDER BY cosine DESC, node) AS rn FROM v{r - 1}
-      ) WHERE rn <= {BEAM_B}
+                 ORDER BY cosine DESC, node) AS rn FROM {vprev}
+      ) WHERE rn <= {width}
     ),
-    c{r} AS MATERIALIZED (
+    {pfx}c{r} AS MATERIALIZED (
       SELECT DISTINCT b.qid, g.dst AS node
-      FROM b{r - 1} b JOIN serve_edges g ON g.src = b.node
+      FROM {pfx}b{r - 1} b JOIN {edges} g ON g.src = b.node
       WHERE g.dst <> b.qid
     ),
-    v{r} AS MATERIALIZED (
+    {pfx}v{r} AS MATERIALIZED (
       SELECT qid, node, max(cosine) AS cosine FROM (
-        SELECT * FROM v{r - 1}
+        SELECT * FROM {vprev}
         UNION ALL
         SELECT c.qid, c.node,
                round(list_cosine_similarity(q.qe, re.e), 6) AS cosine
-        FROM c{r} c JOIN bq q USING (qid) JOIN r re ON re.vec_id = c.node
+        FROM {pfx}c{r} c JOIN bq q USING (qid) JOIN r re ON re.vec_id = c.node
       ) GROUP BY qid, node
-    )""")
+    )"""
+
+
+def _beam_oracle_sql() -> str:
+    rounds = [
+        _beam_round_sql("u", r, f"uv{r - 1}", "u_edges", UPPER_B)
+        for r in range(1, UPPER_R + 1)
+    ] + [
+        _beam_round_sql("", r, f"uv{UPPER_R}" if r == 1 else f"v{r - 1}",
+                        "serve_edges", BEAM_B)
+        for r in range(1, BEAM_R + 1)
+    ]
     return f"""
     WITH {_serve_edges_ctes()},
+    {_upper_ctes()},
     bq AS MATERIALIZED (
       SELECT vec_id AS qid, e AS qe FROM r WHERE vec_id < {N_QUERIES}
     ),
-    entries AS MATERIALIZED (
-      SELECT bucket, min(vec_id) AS node FROM assigned GROUP BY bucket
-    ),
-    v0 AS MATERIALIZED (
+    uv0 AS MATERIALIZED (
       SELECT q.qid, en.node,
              round(list_cosine_similarity(q.qe, re.e), 6) AS cosine
-      FROM bq q CROSS JOIN entries en JOIN r re ON re.vec_id = en.node
+      FROM bq q CROSS JOIN u_entries en JOIN r re ON re.vec_id = en.node
       WHERE en.node <> q.qid
     ),{",".join(rounds)}
     SELECT qid, CAST(rank AS INT) AS rank, node AS neighbor_id, cosine
@@ -1778,16 +1884,78 @@ def _beam_oracle_sql() -> str:
     """
 
 
+def _beam_expand(
+    v: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+    width: int,
+    score,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Run ``rounds`` beam hops over ``edges`` starting from visited set
+    ``v`` (qid, node, cosine): top-``width`` frontier → expand → score
+    only freshly-reached nodes → merged visited set. Shared by the upper
+    entry layer and the base layer — identical semantics, different
+    (edges, rounds, width). ``checkpoint=False`` skips the per-hop
+    localCheckpoint — measured WORSE for the upper layer (9.3 s vs
+    5.6 s warm at sf0.1): each hop references ``v`` twice, so an
+    un-checkpointed layer re-executes the whole prior plan at every
+    reference and the doubling dwarfs the saved eager jobs. Kept as a
+    knob; both layers ship checkpointed."""
+    from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("node"))
+    for _ in range(rounds):
+        beam = (
+            v.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= width)
+            .select("qid", "node")
+        )
+        cand = (
+            beam.join(edges, beam.node == edges.src)
+            .select("qid", F.col("dst").alias("node"))
+            .filter(F.col("node") != F.col("qid"))
+            .distinct()
+        )
+        # visited ∪ freshly-scored, deduped — max() over identical
+        # values keeps determinism without caring which copy survives.
+        # localCheckpoint: v is referenced twice next round (beam + the
+        # union), so an untruncated plan doubles per hop; the superseded
+        # hop's checkpoint blocks are freed explicitly (they are
+        # otherwise held until driver GC, × 3 bench builds per query).
+        nxt = (
+            v.unionByName(score(cand))
+            .groupBy("qid", "node")
+            .agg(F.max("cosine").alias("cosine"))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+            # hop 0's v is a lazy plan over the persisted store (no
+            # LogicalRDD leaves) — free_local_checkpoint no-ops there.
+            free_local_checkpoint(v)
+        v = nxt
+    return v
+
+
 @query("sim_graph_beam_topk", oracle=_beam_oracle_sql())
 def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.functions.dedup import dot_agg
 
     edges = serve_edges(spark, sf_dir)
+    uedges = upper_edges(spark, sf_dir)
     store = knn_assigned_cached(spark, sf_dir)  # (vec_id, e, nrm, bucket, ...)
     q = store.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
-    entries = store.groupBy("bucket").agg(F.min("vec_id").alias("node")).select("node")
+    # Entry points: one node per UPPER-layer bucket (n_blocks/16 of the
+    # base count) instead of one per base block — the hierarchical fix
+    # for the flat O(n_blocks) per-query entry scan.
+    entries = (
+        upper_assigned_cached(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.min("vec_id").alias("node"))
+        .select("node")
+    )
     re_ = store.select(
         F.col("vec_id").alias("node"), F.col("e").alias("ne"), F.col("nrm").alias("nn")
     )
@@ -1807,42 +1975,17 @@ def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    v = score(
+    uv = score(
         q.select("qid")
         .crossJoin(F.broadcast(entries))
         .filter(F.col("node") != F.col("qid"))
     )
+    # Upper beam over the sampled layer, then the base beam seeded from
+    # EVERYTHING the upper search visited (their exact cosines carry
+    # over — the base hop-1 frontier selection prunes to BEAM_B anyway).
+    uv = _beam_expand(uv, uedges, UPPER_R, UPPER_B, score)
+    v = _beam_expand(uv, edges, BEAM_R, BEAM_B, score)
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("node"))
-    for _ in range(BEAM_R):
-        beam = (
-            v.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= BEAM_B)
-            .select("qid", "node")
-        )
-        cand = (
-            beam.join(edges, beam.node == edges.src)
-            .select("qid", F.col("dst").alias("node"))
-            .filter(F.col("node") != F.col("qid"))
-            .distinct()
-        )
-        # visited ∪ freshly-scored, deduped — max() over identical
-        # values keeps determinism without caring which copy survives.
-        # localCheckpoint: v is referenced twice next round (beam + the
-        # union), so an untruncated plan doubles per hop; the superseded
-        # hop's checkpoint blocks are freed explicitly (they are
-        # otherwise held until driver GC, × 3 bench builds per query).
-        nxt = (
-            v.unionByName(score(cand))
-            .groupBy("qid", "node")
-            .agg(F.max("cosine").alias("cosine"))
-            .localCheckpoint(eager=True)
-        )
-        from deisa_ray_spark.functions.dedup import free_local_checkpoint
-
-        # hop 0's v is a lazy plan over the persisted store (no
-        # LogicalRDD leaves) — free_local_checkpoint no-ops there.
-        free_local_checkpoint(v)
-        v = nxt
     return (
         v.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

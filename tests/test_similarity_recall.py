@@ -117,9 +117,12 @@ def test_pq_adc_recall_vs_bruteforce(spark):
 
 
 def test_graph_beam_recall_vs_bruteforce(spark):
-    """Graph-ANN serving: block + geometric-view union edges, undirected,
-    beam B=32 x R=4 hops. Measured 0.98/1.00/0.90 recall@10 at
-    sf0.001/0.01/0.1 — floor left conservative for testdata regeneration."""
+    """Graph-ANN serving: hierarchical md5-sample entry layer, block +
+    geometric-view union edges at SERVE_K=16, undirected, upper beam
+    B=16 x R=1 then base beam B=32 x R=3. Measured 1.000 recall@10 at
+    all of sf0.001/0.01/0.1 (r9; r8's flat-entry k=5 config was
+    0.98/1.00/0.90) — floor left conservative for testdata
+    regeneration."""
     exact = _topk_sets(QUERIES["sim_bruteforce_topk"].fn(spark, SF_DIR))
     approx = _topk_sets(QUERIES["sim_graph_beam_topk"].fn(spark, SF_DIR))
     assert set(approx) == set(exact)

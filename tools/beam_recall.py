@@ -1,0 +1,54 @@
+"""Measure sim_graph_beam_topk recall@10 vs sim_bruteforce_topk and the
+entry-stage scoring budget (hierarchical upper layer vs the flat
+one-entry-per-base-block scan it replaced). Run:
+
+    python tools/beam_recall.py [sf_dir ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from deisa_ray_spark.functions import similarity as S
+
+    for sf_dir in dirs:
+        bf = {
+            (r["qid"], r["neighbor_id"])
+            for r in S.sim_bruteforce_topk(spark, sf_dir).collect()
+        }
+        t0 = time.time()
+        beam = {
+            (r["qid"], r["neighbor_id"])
+            for r in S.sim_graph_beam_topk(spark, sf_dir).collect()
+        }
+        dt = time.time() - t0
+        n_base_blocks = (
+            S.knn_assigned_cached(spark, sf_dir).select("bucket").distinct().count()
+        )
+        n_upper_entries = (
+            S.upper_assigned_cached(spark, sf_dir).select("bucket").distinct().count()
+        )
+        print(
+            f"{sf_dir}: recall@{S.TOP_K} = {len(beam & bf) / len(bf):.3f} "
+            f"({len(beam & bf)}/{len(bf)}), beam wall {dt:.2f}s (warm artifacts), "
+            f"entry scores/query: flat={n_base_blocks} upper={n_upper_entries} "
+            f"({n_base_blocks / max(n_upper_entries, 1):.1f}x fewer)"
+        )
+
+
+if __name__ == "__main__":
+    main()
