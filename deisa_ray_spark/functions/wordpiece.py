@@ -441,23 +441,25 @@ def txt_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# txt_tokenizer_fertility_ab — the tokenizer A/B report: BPE vs
-# WordPiece fertility per language in ONE table (tokens-per-word under
-# each trained tokenizer, WordPiece UNK exposure, and the piece/token
-# ratio). This is the comparison a pipeline runs before committing to a
-# tokenizer: a vocab that over-segments an under-represented language
-# shows up as a fertility gap here. Both tokenizers come from their
-# session-cached trained artifacts; the corpus is touched once by the
-# doc-word explode; the BPE encode table rides the same hot-split join
-# posture (and session tag) as txt_bpe_encode, and the WordPiece encode
-# table joins on the same word key.
+# txt_tokenizer_fertility_ab — the tokenizer A/B/C report: BPE vs
+# WordPiece vs Unigram-LM fertility per language in ONE table
+# (tokens-per-word under each trained tokenizer, WP/Unigram UNK
+# exposure, and the piece/token ratios). This is the comparison a
+# pipeline runs before committing to a tokenizer: a vocab that
+# over-segments an under-represented language shows up as a fertility
+# gap here. All three tokenizers come from their session-cached trained
+# artifacts; the corpus is touched once by the doc-word explode; each
+# encode table rides the same hot-split join posture (and session tag)
+# as its own encode query.
 # --------------------------------------------------------------------------
 def _ab_oracle() -> str:
     from deisa_ray_spark.functions.bpe import BPE_MERGES, bpe_oracle_cte_prefix
+    from deisa_ray_spark.functions.unigram import uni_oracle_encode_ctes
 
     return f"""
     WITH {bpe_oracle_cte_prefix()},
     {wp_oracle_encode_ctes()},
+    {uni_oracle_encode_ctes()},
     benc AS (
       SELECT w, len(string_split(substring(s, 2, length(s)-2),
                                  chr(1)||chr(1))) AS n_tok
@@ -469,11 +471,16 @@ def _ab_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_words,
            CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
            round(sum(n_tok) * 1.0 / count(*), 6) AS bpe_fertility,
-           CAST(sum(n_pieces) AS BIGINT) AS wp_pieces,
-           round(sum(n_pieces) * 1.0 / count(*), 6) AS wp_fertility,
-           CAST(sum(unk) AS BIGINT) AS wp_unk_occurrences,
-           round(sum(n_pieces) * 1.0 / sum(n_tok), 6) AS wp_over_bpe
+           CAST(sum(wp_enc.n_pieces) AS BIGINT) AS wp_pieces,
+           round(sum(wp_enc.n_pieces) * 1.0 / count(*), 6) AS wp_fertility,
+           CAST(sum(wp_enc.unk) AS BIGINT) AS wp_unk_occurrences,
+           round(sum(wp_enc.n_pieces) * 1.0 / sum(n_tok), 6) AS wp_over_bpe,
+           CAST(sum(u.n_pieces) AS BIGINT) AS uni_pieces,
+           round(sum(u.n_pieces) * 1.0 / count(*), 6) AS uni_fertility,
+           CAST(sum(u.unk) AS BIGINT) AS uni_unk_occurrences,
+           round(sum(u.n_pieces) * 1.0 / sum(n_tok), 6) AS uni_over_bpe
     FROM dw JOIN benc USING (w) JOIN wp_enc USING (w)
+            JOIN uni_enc u USING (w)
     GROUP BY lang
     """
 
@@ -483,12 +490,19 @@ def txt_tokenizer_fertility_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.functions.bpe import _bpe_trained
     from deisa_ray_spark.functions.bpe import _syms as _bpe_syms
     from deisa_ray_spark.functions.text import hot_split_join
+    from deisa_ray_spark.functions.unigram import _uni_trained
 
     docs = load_table(spark, sf_dir, "documents")
     _bm, bpe_vocab = _bpe_trained(spark, sf_dir)
     benc = bpe_vocab.select("w", "cnt", F.size(_bpe_syms()).alias("n_tok"))
     _wm, wp_state, wp_enc = _wp_trained(spark, sf_dir)
     wenc = wp_enc.join(wp_state.select("w", "cnt"), "w")
+    _um, uni_wf, uni_enc, _ml = _uni_trained(spark, sf_dir)
+    uenc = uni_enc.select(
+        "w",
+        F.col("n_pieces").alias("uni_n_pieces"),
+        F.col("unk").alias("uni_unk"),
+    ).join(uni_wf.select("w", "cnt"), "w")
     dw = docs.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
     )
@@ -497,6 +511,11 @@ def txt_tokenizer_fertility_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "w", "n_tok")  # drop cnt before the 2nd dim
     both = hot_split_join(
         both, wenc, "w", hot_by="cnt", cache_tag="wp_enc", sf_dir=sf_dir
+    ).select("doc_id", "lang", "w", "n_tok", "n_pieces", "unk")
+    # distinct tag: this dim renames the encode columns (uni_*), so it
+    # must not share txt_unigram_encode's 'uni_enc' cache slot
+    both = hot_split_join(
+        both, uenc, "w", hot_by="cnt", cache_tag="uni_enc_ab", sf_dir=sf_dir
     )
     return both.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
@@ -506,4 +525,8 @@ def txt_tokenizer_fertility_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("wp_fertility"),
         F.sum("unk").cast("bigint").alias("wp_unk_occurrences"),
         F.round(F.sum("n_pieces") / F.sum("n_tok"), 6).alias("wp_over_bpe"),
+        F.sum("uni_n_pieces").cast("bigint").alias("uni_pieces"),
+        F.round(F.sum("uni_n_pieces") / F.count(F.lit(1)), 6).alias("uni_fertility"),
+        F.sum("uni_unk").cast("bigint").alias("uni_unk_occurrences"),
+        F.round(F.sum("uni_n_pieces") / F.sum("n_tok"), 6).alias("uni_over_bpe"),
     )

@@ -74,6 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
     import deisa_ray_spark.functions.text  # noqa: F401
     import deisa_ray_spark.functions.bpe  # noqa: F401
     import deisa_ray_spark.functions.wordpiece  # noqa: F401
+    import deisa_ray_spark.functions.unigram  # noqa: F401
     import deisa_ray_spark.functions.quality_model  # noqa: F401
     import deisa_ray_spark.functions.dedup  # noqa: F401
     import deisa_ray_spark.functions.pipeline  # noqa: F401
