@@ -376,10 +376,31 @@ def samp_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 MMR_K = 8  #: subset size (unrolled rounds)
 MMR_LAMBDA = 0.7  #: relevance weight; 1-λ penalizes similarity to picks
+MMR_KC = 3  #: per-bucket picks in the stratified variant
 
 
 def _mmr_cos_sql(a: str, b: str) -> str:
     return f"round(list_cosine_similarity({a}, {b}), 6)"
+
+
+def _mmr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (vec_id, label, e, nrm) store shared by the MMR
+    family — vectors and norms materialize once per session."""
+    from deisa_ray_spark.functions.dedup import _session_cached, norm_agg
+
+    return _session_cached(
+        spark,
+        "mmr_store",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .withColumn("nrm", norm_agg(F.col("e"))),
+        eager=True,
+    )
 
 
 def _mmr_oracle() -> str:
@@ -433,16 +454,7 @@ def samp_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_agg,
     )
 
-    store = _session_cached(
-        spark,
-        "mmr_store",
-        sf_dir,
-        lambda: load_table(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("e"),
-        ).withColumn("nrm", norm_agg(F.col("e"))),
-        eager=True,
-    )
+    store = _mmr_store(spark, sf_dir)
     anchor = store.orderBy("vec_id").limit(1).select(
         F.col("e").alias("ae"), F.col("nrm").alias("an")
     )
@@ -484,6 +496,219 @@ def samp_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("vec_id") != F.col("p_id"))
             .select(
                 "vec_id",
+                "e",
+                "nrm",
+                "rel",
+                F.greatest(
+                    F.col("max_sim"),
+                    cos(F.col("e"), F.col("nrm"), F.col("pe"), F.col("pn")),
+                ).alias("max_sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(state)
+        state = nxt
+    return out
+
+
+# --------------------------------------------------------------------------
+# samp_mmr_stratified — diversity selection the way it actually runs at
+# 100 TB: per-bucket greedy MMR in PARALLEL (all buckets advance in
+# lockstep — each of the MMR_KC rounds is one per-label window argmax +
+# one broadcast of the n_buckets picks), then ONE global greedy-MMR
+# merge over the <= n_buckets * MMR_KC candidates with a fresh
+# diversity fold. Global greedy MMR (samp_mmr_topk) needs K sequential
+# full-corpus barriers — O(total_picks) rounds; the stratified variant
+# needs MMR_KC + MMR_K rounds regardless of how many buckets exist, and
+# every stage-A round is embarrassingly parallel across buckets.
+#
+# Plan shape: the per-label argmax is one row_number window ordered by
+# the λ-blend — Spark inserts WindowGroupLimit, so each map task
+# pre-prunes to 1 row per label before the rank exchange and the
+# vectors ride a bounded shuffle (<= n_partitions * n_buckets rows).
+# The pick set (n_buckets rows) broadcasts back for the max_sim fold.
+# The merge stage runs on a 1-partition frame of candidates only.
+#
+# Deviation vs global greedy is measured (not bounded analytically —
+# greedy MMR has no stratification-invariance): tests/test_mmr.py pins
+# the final-objective ratio on the test SFs; see PARITY.md.
+# --------------------------------------------------------------------------
+def _mmr_strat_oracle() -> str:
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    parts = [f"""
+    smbase AS MATERIALIZED (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    sanchor AS MATERIALIZED (
+      SELECT e AS ae FROM smbase ORDER BY vec_id LIMIT 1
+    ),
+    ast0 AS MATERIALIZED (
+      SELECT vec_id, label, e,
+             {_mmr_cos_sql('e', '(SELECT ae FROM sanchor)')} AS rel,
+             CAST(-1.0 AS DOUBLE) AS max_sim
+      FROM smbase
+    )"""]
+    for r in range(1, MMR_KC + 1):
+        parts.append(f"""
+    asel{r} AS MATERIALIZED (
+      SELECT label, vec_id, e, rel
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY label
+              ORDER BY {lam} * rel - {mu} * max_sim DESC, vec_id) AS rn
+            FROM ast{r - 1}) WHERE rn = 1
+    ),
+    ast{r} AS MATERIALIZED (
+      SELECT s.vec_id, s.label, s.e, s.rel,
+             greatest(s.max_sim, {_mmr_cos_sql('s.e', 'p.e')}) AS max_sim
+      FROM ast{r - 1} s JOIN asel{r} p ON s.label = p.label
+      WHERE s.vec_id <> p.vec_id
+    )""")
+    cand_union = " UNION ALL ".join(
+        f"SELECT vec_id, label, e, rel FROM asel{r}" for r in range(1, MMR_KC + 1)
+    )
+    parts.append(f"""
+    scand AS MATERIALIZED ({cand_union}),
+    mst0 AS MATERIALIZED (
+      SELECT vec_id, label, e, rel, CAST(-1.0 AS DOUBLE) AS max_sim FROM scand
+    )""")
+    sels = []
+    for r in range(1, MMR_K + 1):
+        parts.append(f"""
+    msel{r} AS MATERIALIZED (
+      SELECT vec_id, label, e, rel, max_sim,
+             {lam} * rel - {mu} * max_sim AS score
+      FROM mst{r - 1}
+      ORDER BY {lam} * rel - {mu} * max_sim DESC, vec_id
+      LIMIT 1
+    ),
+    mst{r} AS MATERIALIZED (
+      SELECT s.vec_id, s.label, s.e, s.rel,
+             greatest(s.max_sim,
+                      {_mmr_cos_sql('s.e', '(SELECT e FROM msel' + str(r) + ')')})
+                 AS max_sim
+      FROM mst{r - 1} s
+      WHERE s.vec_id <> (SELECT vec_id FROM msel{r})
+    )""")
+        sels.append(
+            f"SELECT {r} AS rank, vec_id, label, rel, max_sim, "
+            f"round(score, 6) AS score FROM msel{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n    " + " UNION ALL ".join(sels)
+
+
+@query("samp_mmr_stratified", oracle=_mmr_strat_oracle())
+def samp_mmr_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed MMR: lockstep per-label greedy rounds (window argmax +
+    broadcast fold), then a global greedy merge over the candidates."""
+    from deisa_ray_spark.functions.dedup import (
+        dot_agg,
+        free_local_checkpoint,
+    )
+
+    store = _mmr_store(spark, sf_dir)
+    anchor = store.orderBy("vec_id").limit(1).select(
+        F.col("e").alias("ae"), F.col("nrm").alias("an")
+    )
+
+    def cos(e_col, n_col, oe, on):
+        return F.round(dot_agg(e_col, oe) / (n_col * on), 6)
+
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    score_expr = lam * F.col("rel") - mu * F.col("max_sim")
+    state = (
+        store.join(F.broadcast(anchor), F.lit(True))
+        .select(
+            "vec_id",
+            "label",
+            "e",
+            "nrm",
+            cos(F.col("e"), F.col("nrm"), F.col("ae"), F.col("an")).alias("rel"),
+            F.lit(-1.0).alias("max_sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sels = []
+    for r in range(1, MMR_KC + 1):
+        w = W.partitionBy("label").orderBy(score_expr.desc(), "vec_id")
+        sel = (
+            state.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "max_sim")
+            .localCheckpoint(eager=True)  # n_buckets rows
+        )
+        sels.append(sel)
+        if r == MMR_KC:
+            free_local_checkpoint(state)
+            break
+        picks = sel.select(
+            F.col("label").alias("p_label"),
+            F.col("vec_id").alias("p_id"),
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pn"),
+        )
+        nxt = (
+            state.join(F.broadcast(picks), state["label"] == picks["p_label"])
+            .filter(F.col("vec_id") != F.col("p_id"))
+            .select(
+                "vec_id",
+                "label",
+                "e",
+                "nrm",
+                "rel",
+                F.greatest(
+                    F.col("max_sim"),
+                    cos(F.col("e"), F.col("nrm"), F.col("pe"), F.col("pn")),
+                ).alias("max_sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(state)
+        state = nxt
+    merged = sels[0]
+    for s in sels[1:]:
+        merged = merged.unionAll(s)
+    state = (
+        merged.select(
+            "vec_id", "label", "e", "nrm", "rel", F.lit(-1.0).alias("max_sim")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # <= n_buckets * MMR_KC rows
+    )
+    free_local_checkpoint(merged)
+    out = None
+    for r in range(1, MMR_K + 1):
+        sel = (
+            state.withColumn("score", F.round(score_expr, 6))
+            .orderBy(score_expr.desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).alias("rank"),
+                "vec_id",
+                "label",
+                "e",
+                "nrm",
+                "rel",
+                "max_sim",
+                "score",
+            )
+            .localCheckpoint(eager=True)  # 1 row — the round's pick
+        )
+        row = sel.select("rank", "vec_id", "label", "rel", "max_sim", "score")
+        out = row if out is None else out.unionAll(row)
+        if r == MMR_K:
+            free_local_checkpoint(state)
+            break
+        pick = sel.select(
+            F.col("vec_id").alias("p_id"),
+            F.col("e").alias("pe"),
+            F.col("nrm").alias("pn"),
+        )
+        nxt = (
+            state.join(F.broadcast(pick), F.lit(True))
+            .filter(F.col("vec_id") != F.col("p_id"))
+            .select(
+                "vec_id",
+                "label",
                 "e",
                 "nrm",
                 "rel",
