@@ -1266,6 +1266,165 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_span_extents — MAXIMAL duplicated-substring extents (public:
+# Lee et al. 2022 §4, ExactSubstr): chain overlapping/adjacent shared
+# 8-gram hits within each document into maximal extents — the unit a
+# production span scrub actually removes, and the duplication-LENGTH
+# distribution the data card reports (dedup_shared_spans only reports
+# per-gram hashes). Two k-gram hits at word offsets p < q belong to the
+# same extent iff q - p <= SPAN_K (their word ranges overlap or touch,
+# so the union [p, q+K-1] is one contiguous duplicated substring).
+#
+# Chaining is gaps-and-islands over scalar offsets — ONE lag + ONE
+# running-sum window per document, no iterative rounds: extents are
+# intervals on a line, so a single ordered pass closes them (contrast
+# the graph/CC family, which needs doubling rounds because merges are
+# transitive across arbitrary keys).
+#
+# Scale shape: explode to (doc_id, pos, h) — narrow; one partial-agg
+# shuffle on the uniform 32-hex gram hash to find shared grams; one
+# hash-join back on the same key; one window shuffle on doc_id (bounded
+# per-doc state: hit offsets only, vectors/text never ride). Output is
+# one row per extent. min_docs_sharing is the honest per-extent
+# guarantee (every gram in the extent occurs in >= that many docs);
+# individual grams may be shared with DIFFERENT partner docs, which is
+# exactly ExactSubstr's semantics, not whole-extent verbatim sharing.
+# --------------------------------------------------------------------------
+def _extents_sql() -> str:
+    """Shared CTE chain: tokenized docs -> positioned gram hashes ->
+    shared grams -> gaps-and-islands extents."""
+    return f"""
+    xtoks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    xspans AS MATERIALIZED (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(w[u.i:u.i + {SPAN_K - 1}], ' ')) AS h
+      FROM xtoks, unnest(range(1, len(w) - {SPAN_K - 2})) u(i)
+    ),
+    xshared AS MATERIALIZED (
+      SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM xspans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    xhits AS MATERIALIZED (
+      SELECT s.doc_id, s.pos, d.n_docs
+      FROM xspans s JOIN xshared d USING (h)
+    ),
+    xisl AS MATERIALIZED (
+      SELECT doc_id, pos, n_docs,
+             CAST(sum(CASE WHEN prev IS NULL OR pos - prev > {SPAN_K}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS run_id
+      FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM xhits)
+    ),
+    xextents AS MATERIALIZED (
+      SELECT doc_id, run_id,
+             min(pos) AS start_word,
+             max(pos) + {SPAN_K - 1} AS end_word,
+             max(pos) + {SPAN_K} - min(pos) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             min(n_docs) AS min_docs_sharing,
+             max(n_docs) AS max_docs_sharing
+      FROM xisl GROUP BY doc_id, run_id
+    )"""
+
+
+def _span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, run_id, start_word, end_word, n_words, n_grams,
+    min_docs_sharing, max_docs_sharing) — session-cached; shared by the
+    extent query and the length-distribution rollup."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        spans = docs.select(
+            "doc_id", F.posexplode(_span_hashes()).alias("pos0", "h")
+        ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
+        shared = (
+            spans.groupBy("h")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+        )
+        hits = spans.join(shared, "h").select("doc_id", "pos", "n_docs")
+        wo = W.partitionBy("doc_id").orderBy("pos")
+        isl = (
+            hits.withColumn("prev", F.lag("pos").over(wo))
+            .withColumn(
+                "brk",
+                F.when(
+                    F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SPAN_K),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("run_id", F.sum("brk").over(wo))
+        )
+        return isl.groupBy("doc_id", "run_id").agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + (SPAN_K - 1)).alias("end_word"),
+            (F.max("pos") + SPAN_K - F.min("pos")).alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.min("n_docs").alias("min_docs_sharing"),
+            F.max("n_docs").alias("max_docs_sharing"),
+        )
+
+    return _session_cached(spark, "span_extents", sf_dir, build)
+
+
+@query(
+    "dedup_span_extents",
+    oracle="WITH "
+    + _extents_sql()
+    + """
+    SELECT doc_id, run_id, start_word, end_word, n_words, n_grams,
+           min_docs_sharing, max_docs_sharing
+    FROM xextents
+    """,
+)
+def dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _span_extents(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# dedup_extent_length_hist — the data-card rollup over the extents:
+# duplicated-substring length distribution in power-of-two-ish word
+# buckets (8..15, 16..31, 32..63, 64+), plus how much of the corpus
+# each bucket covers. Integer bucket arithmetic (DIV) — identical both
+# engines; one k-key agg over the extent frame.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_extent_length_hist",
+    oracle="WITH "
+    + _extents_sql()
+    + """
+    SELECT CASE WHEN n_words >= 64 THEN 64
+                WHEN n_words >= 32 THEN 32
+                WHEN n_words >= 16 THEN 16
+                ELSE 8 END AS bucket_start_words,
+           CAST(count(*) AS BIGINT) AS n_extents,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_dup_words,
+           CAST(max(n_words) AS BIGINT) AS longest_extent_words
+    FROM xextents
+    GROUP BY 1
+    """,
+)
+def dedup_extent_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = _span_extents(spark, sf_dir)
+    bucket = (
+        F.when(F.col("n_words") >= 64, 64)
+        .when(F.col("n_words") >= 32, 32)
+        .when(F.col("n_words") >= 16, 16)
+        .otherwise(8)
+    )
+    return ext.groupBy(bucket.alias("bucket_start_words")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_extents"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_dup_words"),
+        F.max("n_words").cast("bigint").alias("longest_extent_words"),
+    )
+
+
+# --------------------------------------------------------------------------
 # dedup_decontaminate_bloom — benchmark decontamination through a Bloom
 # filter instead of a broadcast semi-join: the shape for when the
 # benchmark shingle set outgrows a broadcast JOIN table but its BIT-SET
