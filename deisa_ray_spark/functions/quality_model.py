@@ -282,3 +282,183 @@ def txt_quality_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((logit >= 0) == (F.col("y") == 1)).cast("int").alias("agree"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# txt_quality_pr_curve — the HONEST half of the classifier's evaluation.
+# "Agreement 1.000 with the silver rule" (txt_quality_infer) is circular
+# — the model was distilled FROM that rule. This query emits, per
+# threshold over the fixed-point logit:
+#   (a) the integer-exact confusion matrix + fixed-point P/R/F1 vs the
+#       SILVER rule (the training labels — the PR curve proper), and
+#   (b) the same matrix vs a HOLDOUT rule the model never saw:
+#       the Gopher-style gate (txt_gopher_rules — word-count bounds,
+#       mean-word-length bounds, TTR floor, stopword floor), measuring
+#       whether the learned frontier generalizes beyond its labels.
+#
+# Determinism: every cell is an integer count; P/R/F1 are integer
+# fixed-point (x1e6, truncating DIV — identical in Spark DIV and DuckDB
+# //); an undefined ratio (empty denominator at an extreme threshold)
+# is the -1 sentinel on BOTH engines, never NULL (NULL would also break
+# the bigint dtype on the pandas path). The threshold grid is a
+# compile-time constant spanning the observed logit range (bimodal at
+# roughly ±1.3e7 across SFs — see PARITY.md).
+#
+# Scale shape: the scored frame is (doc_id, 3 ints); the 13-way
+# threshold explode multiplies only that narrow frame and collapses
+# immediately into a 13-key partial agg (map-side combined) — no wide
+# data rides the explode, no extra corpus scan (infer's plan is reused,
+# the Gopher gate is a narrow projection joined on doc_id).
+# --------------------------------------------------------------------------
+PR_THRESHOLDS = list(range(-12_000_000, 12_000_001, 2_000_000))  #: 13 cuts
+
+
+def _pr_panel_sql(suffix: str, ycol: str) -> str:
+    d = f"tp{suffix} + fp{suffix}"
+    r = f"tp{suffix} + fn{suffix}"
+    f1d = f"2 * tp{suffix} + fp{suffix} + fn{suffix}"
+    return f"""
+           CAST(count(*) FILTER (pred = 1 AND {ycol} = 1) AS BIGINT) AS tp{suffix},
+           CAST(count(*) FILTER (pred = 1 AND {ycol} = 0) AS BIGINT) AS fp{suffix},
+           CAST(count(*) FILTER (pred = 0 AND {ycol} = 1) AS BIGINT) AS fn{suffix},
+           CAST(count(*) FILTER (pred = 0 AND {ycol} = 0) AS BIGINT) AS tn{suffix}"""
+
+
+def _pr_ratio_sql(suffix: str) -> str:
+    return f"""
+           CASE WHEN tp{suffix} + fp{suffix} = 0 THEN -1
+                ELSE tp{suffix} * 1000000 // (tp{suffix} + fp{suffix}) END
+               AS precision{suffix}_x1e6,
+           CASE WHEN tp{suffix} + fn{suffix} = 0 THEN -1
+                ELSE tp{suffix} * 1000000 // (tp{suffix} + fn{suffix}) END
+               AS recall{suffix}_x1e6,
+           CASE WHEN 2 * tp{suffix} + fp{suffix} + fn{suffix} = 0 THEN -1
+                ELSE 2 * tp{suffix} * 1000000
+                     // (2 * tp{suffix} + fp{suffix} + fn{suffix}) END
+               AS f1{suffix}_x1e6"""
+
+
+def _pr_oracle() -> str:
+    from deisa_ray_spark.functions.text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TTR,
+        GOPHER_MIN_WORDS,
+    )
+
+    grid = ", ".join(str(t) for t in PR_THRESHOLDS)
+    return f"""
+    WITH {_nb_ctes()},
+    tsc AS (SELECT f.doc_id, sum(w_fp) AS s, count(*) AS nf
+            FROM qtokfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
+    dsc AS (SELECT f.doc_id, sum(w_fp) AS s2
+            FROM qdocfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
+    sc AS (SELECT l.doc_id, l.y,
+                  CAST(b_fp + s2 + (s // nf) AS BIGINT) AS logit_fp
+           FROM qlab l JOIN tsc USING (doc_id) JOIN dsc USING (doc_id), btab),
+    ghold AS (
+      SELECT doc_id,
+             CASE WHEN (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+                   AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
+                                          AND {GOPHER_MAX_MEAN_LEN})
+                   AND (ttr >= {GOPHER_MIN_TTR})
+                   AND (n_stop >= {GOPHER_MIN_STOPWORDS})
+                  THEN 1 ELSE 0 END AS yh
+      FROM (SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   list_avg(list_transform(string_split(text, ' '),
+                                           t -> len(t))) AS mean_word_len,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')) AS ttr,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t IN ('the', 'a', 'of', 'and')))
+                     AS n_stop
+            FROM documents)
+    ),
+    grid AS (SELECT unnest([{grid}]) AS thr_fp),
+    swept AS (
+      SELECT CAST(g.thr_fp AS BIGINT) AS thr_fp,
+             CAST(sc.logit_fp >= g.thr_fp AS INT) AS pred,
+             sc.y, h.yh
+      FROM sc JOIN ghold h USING (doc_id) CROSS JOIN grid g
+    ),
+    cells AS (
+      SELECT thr_fp, {_pr_panel_sql('', 'y')}, {_pr_panel_sql('_h', 'yh')}
+      FROM swept GROUP BY thr_fp
+    )
+    SELECT thr_fp, tp, fp, fn, tn, {_pr_ratio_sql('')},
+           tp_h, fp_h, fn_h, tn_h, {_pr_ratio_sql('_h')}
+    FROM cells
+    """
+
+
+@query("txt_quality_pr_curve", oracle=_pr_oracle())
+def txt_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep of the trained classifier vs the silver rule AND
+    the Gopher holdout rule — integer confusion cells, fixed-point
+    P/R/F1 (-1 sentinel for undefined ratios)."""
+    from deisa_ray_spark.functions.text import gopher_features
+
+    scored = txt_quality_infer(spark, sf_dir).select("doc_id", "y_rule", "logit_fp")
+    docs = load_table(spark, sf_dir, "documents")
+    hold = docs.select(
+        "doc_id", gopher_features()["keep"].cast("int").alias("yh")
+    )
+    swept = (
+        scored.join(hold, "doc_id")
+        .select(
+            "y_rule",
+            "yh",
+            "logit_fp",
+            F.explode(
+                F.array(*[F.lit(t).cast("bigint") for t in PR_THRESHOLDS])
+            ).alias("thr_fp"),
+        )
+        .withColumn("pred", (F.col("logit_fp") >= F.col("thr_fp")).cast("int"))
+    )
+
+    def cells(suffix: str, ycol: str) -> list:
+        p, y = F.col("pred"), F.col(ycol)
+        return [
+            F.sum((p * y)).cast("bigint").alias(f"tp{suffix}"),
+            F.sum(p * (1 - y)).cast("bigint").alias(f"fp{suffix}"),
+            F.sum((1 - p) * y).cast("bigint").alias(f"fn{suffix}"),
+            F.sum((1 - p) * (1 - y)).cast("bigint").alias(f"tn{suffix}"),
+        ]
+
+    def ratios(suffix: str) -> list:
+        tp, fp = F.col(f"tp{suffix}"), F.col(f"fp{suffix}")
+        fn = F.col(f"fn{suffix}")
+        return [
+            F.when(tp + fp == 0, F.lit(-1).cast("bigint"))
+            .otherwise(F.expr(f"tp{suffix} * 1000000 DIV (tp{suffix} + fp{suffix})"))
+            .alias(f"precision{suffix}_x1e6"),
+            F.when(tp + fn == 0, F.lit(-1).cast("bigint"))
+            .otherwise(F.expr(f"tp{suffix} * 1000000 DIV (tp{suffix} + fn{suffix})"))
+            .alias(f"recall{suffix}_x1e6"),
+            F.when(2 * tp + fp + fn == 0, F.lit(-1).cast("bigint"))
+            .otherwise(
+                F.expr(
+                    f"2 * tp{suffix} * 1000000"
+                    f" DIV (2 * tp{suffix} + fp{suffix} + fn{suffix})"
+                )
+            )
+            .alias(f"f1{suffix}_x1e6"),
+        ]
+
+    agg = swept.groupBy("thr_fp").agg(*(cells("", "y_rule") + cells("_h", "yh")))
+    return agg.select(
+        "thr_fp",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        *ratios(""),
+        "tp_h",
+        "fp_h",
+        "fn_h",
+        "tn_h",
+        *ratios("_h"),
+    )

@@ -65,3 +65,30 @@ def test_keep_frontier_is_integer_exact(spark):
         | ((F.col("logit_fp") < 0) & (F.col("kept") == 1))
     ).count()
     assert bad == 0
+
+
+def test_pr_curve_invariants(spark):
+    """The sweep must behave like a PR curve: positives predicted shrink
+    monotonically as the threshold rises, the lowest threshold reaches
+    recall 1 vs BOTH rules, the frontier row (thr=0) reproduces infer's
+    perfect silver agreement, and the holdout panel is non-degenerate
+    (the model actually separates Gopher-kept docs at the frontier)."""
+    from deisa_ray_spark.functions.quality_model import txt_quality_pr_curve
+
+    rows = sorted(
+        txt_quality_pr_curve(spark, SF_DIR).collect(), key=lambda r: r["thr_fp"]
+    )
+    n = rows[0]["tp"] + rows[0]["fp"] + rows[0]["fn"] + rows[0]["tn"]
+    prev_pos = None
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+        assert r["tp_h"] + r["fp_h"] + r["fn_h"] + r["tn_h"] == n
+        pos = r["tp"] + r["fp"]
+        if prev_pos is not None:
+            assert pos <= prev_pos, "predicted positives must shrink"
+        prev_pos = pos
+    assert rows[0]["recall_x1e6"] == 1_000_000
+    assert rows[0]["recall_h_x1e6"] == 1_000_000
+    frontier = [r for r in rows if r["thr_fp"] == 0][0]
+    assert frontier["fp"] == 0 and frontier["fn"] == 0  # silver is circular
+    assert frontier["tp_h"] > 0 and frontier["precision_h_x1e6"] > 500_000
