@@ -86,6 +86,21 @@ BENCH_QUERIES = [
     "txt_quality_infer",
     "txt_tokenizer_fertility_ab",
     "samp_mmr_topk",
+    # round-9 headline additions: the served-ANN tier the user actually
+    # runs (thermometer re-rank + IVF routing), the streaming
+    # decontaminate gate (its wall-clock includes availableNow
+    # micro-batch staging — kept in the panel anyway so the serving
+    # tier is measured; the oracle twin is the same stateless semi-join,
+    # so the comparison is fair in shape if generous to DuckDB), and
+    # the round's new operators.
+    "sim_thermo_hamming_topk",
+    "sim_kmeans_ivf_topk",
+    "stream_decontaminate",
+    "txt_unigram_encode",
+    "samp_mmr_stratified",
+    "dedup_span_extents",
+    "dedup_extent_length_hist",
+    "txt_quality_pr_curve",
 ]
 
 
