@@ -1,0 +1,99 @@
+"""Staged-shard incremental serving-graph maintenance as a declared,
+ORACLE-CHECKED query: the embeddings table staged as vec_id-ordered
+shards, streamed through IncrementalServeGraph (streaming/servegraph),
+and the maintained two-layer edge state fingerprinted per (layer,
+src-bucket).
+
+Exact-oracle-able with NO arrival-order caveat: incremental group
+replacement equals the full rebuild for ANY append-only sharding (the
+group-local-decisions argument in streaming/servegraph.py), so the
+DuckDB twin is simply the BATCH serve-graph CTE chain
+(functions.similarity._serve_edges_ctes/_upper_ctes — the same twin
+sim_graph_beam_topk is checked against) with the same rollup on top.
+The rollup keeps the declared result compact (edges are O(n·k) rows):
+per layer and src % 8 bucket, the edge count, distinct sources, and a
+sum-of-32-bit-md5 checksum over the (src, dst) pairs — any lost,
+duplicated, or altered edge shifts a checksum cell.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.similarity import _serve_edges_ctes, _upper_ctes
+from deisa_ray_spark.operators.stream_cc_query import stage_ordered_shards
+from deisa_ray_spark.registry import query
+
+N_SHARDS = 2
+
+_EDGE_HASH = (
+    "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || '_' "
+    "|| CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+_ORACLE = f"""
+    WITH {_serve_edges_ctes()},
+    {_upper_ctes()},
+    tagged AS (
+      SELECT 'base' AS layer, src, dst FROM serve_edges
+      UNION ALL
+      SELECT 'upper' AS layer, src, dst FROM u_edges
+    )
+    SELECT layer, src % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+           CAST(sum({_EDGE_HASH}) AS BIGINT) AS checksum
+    FROM tagged GROUP BY layer, src % 8
+    """
+
+
+@query("stream_serve_graph", oracle=_ORACLE)
+def stream_serve_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage vector shards, maintain the serving graph incrementally,
+    fingerprint the final two-layer edge state."""
+    from deisa_ray_spark.sources.registry import load_table
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    work = tempfile.mkdtemp(prefix="stream_servegraph_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        stage_ordered_shards(emb, f"{work}/src", N_SHARDS, order_col="vec_id")
+        proc = IncrementalServeGraph(spark, f"{work}/state")
+        proc.run_available(f"{work}/src", f"{work}/ckpt")
+        tagged = (
+            proc.base_edges()
+            .select(F.lit("base").alias("layer"), "src", "dst")
+            .unionByName(
+                proc.upper_edges().select(
+                    F.lit("upper").alias("layer"), "src", "dst"
+                )
+            )
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.col("src").cast("string"), F.col("dst").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        out = tagged.groupBy(
+            "layer", (F.col("src") % 8).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.countDistinct("src").cast("bigint").alias("n_src"),
+            F.sum(h).cast("bigint").alias("checksum"),
+        )
+        # materialize before the temp state dir disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

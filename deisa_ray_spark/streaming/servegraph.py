@@ -1,0 +1,180 @@
+"""Incremental ANN serving-graph maintenance: the kNN serving graph
+(functions.similarity.serve_edges + upper_edges) maintained batch by
+batch as new vectors arrive — at 100 TB the serving graph is MAINTAINED,
+not rebuilt, and this was the last curation stage without an incremental
+twin (neardup/curation/decontaminate/cc all have one).
+
+Exactness contract (the strongest of the streaming contracts — no
+arrival-order caveat): the maintained edge set equals a FULL REBUILD
+over the vectors seen so far, for ANY append-only batching. This is
+exact, not approximate, because every decision inside
+``knn_assigned`` — refinement depth, salt-shard row_numbers — depends
+only on rows sharing the same depth-0 COARSE key (the prefix windows
+strip fixed bit-suffixes off ``coarse|bits`` cells, never crossing the
+coarse key; similarity.py:1470), and ``knn_graph_from_assigned`` scores
+pairs only within buckets, which never span coarse groups. So
+"reassign + re-rank exactly the coarse groups the batch touches, carry
+every other group's edges forward" IS the full rebuild restricted to
+changed groups. Pinned by tests/test_streaming_servegraph.py, including
+a mid-stream restart.
+
+Per batch, per view (block-label view, GEO_VIEWS sign-code views, and
+the md5-sampled UPPER entry layer):
+
+1. the batch's distinct coarse keys are collected — a bounded,
+   metadata-scale list (≤ 2^GEO_BITS codes per geo view plus the label
+   census), never corpus rows;
+2. the members of those groups (vectors seen so far, batch included)
+   are re-assigned and re-ranked with the SAME builders the batch
+   artifact uses (``knn_assigned`` / ``knn_graph_from_assigned`` — one
+   source of truth, no drift);
+3. the state swaps those groups' directed edges and carries the rest.
+
+State lives in parquet under ``state_dir`` and is versioned for
+idempotent replay (foreachBatch may redeliver a batch after a crash):
+``vectors/b{batch_id}`` holds each batch's vectors (overwrite ⇒ replay
+safe) and ``edges/v{batch_id}`` holds the full post-batch directed edge
+state (the previous complete version is read, the new one written, so a
+re-run of batch b regenerates v{b} identically). Rewriting the edge
+state per batch is the parquet-only simplification — production would
+MERGE into Delta or dynamically overwrite (view, grp) partitions; the
+group-replacement logic is identical.
+
+Work per batch is O(Σ touched-group sizes · cap-bounded pair work) —
+independent of corpus size when batches touch few groups, degenerating
+honestly to a full rebuild when a batch touches every group.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.similarity import (
+    GEO_VIEWS,
+    SERVE_K,
+    _geo_code,
+    _upper_sample,
+    knn_assigned,
+    knn_graph_from_assigned,
+)
+
+#: view ids in the edge state: 0 = block-label view, 1..GEO_VIEWS = the
+#: geometric sign-code views, UPPER_VIEW = the sampled entry layer.
+UPPER_VIEW = 100
+
+EDGES_SCHEMA = "view int, grp string, src bigint, dst bigint"
+
+
+def _views() -> list:
+    """(view_id, coarse-key builder, sample filter or None)."""
+    views = [(0, lambda: F.col("label").cast("string"), None)]
+    for v in range(GEO_VIEWS):
+        views.append(
+            (v + 1, (lambda vv: lambda: _geo_code(F.col("e"), vv))(v), None)
+        )
+    views.append(
+        (UPPER_VIEW, lambda: F.col("label").cast("string"),
+         lambda df: df.filter(_upper_sample(F.col("vec_id"))))
+    )
+    return views
+
+
+class IncrementalServeGraph:
+    """foreachBatch processor maintaining the serving edge state."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    # -- state layout -----------------------------------------------------
+    def _edge_versions(self) -> list:
+        out = []
+        for p in glob.glob(os.path.join(self.state_dir, "edges", "v*")):
+            if os.path.exists(os.path.join(p, "_SUCCESS")):
+                out.append((int(os.path.basename(p)[1:]), p))
+        return sorted(out)
+
+    def _latest_edges(self, below: "int | None" = None) -> DataFrame:
+        versions = self._edge_versions()
+        if below is not None:
+            versions = [v for v in versions if v[0] < below]
+        if not versions:
+            return self.spark.createDataFrame([], EDGES_SCHEMA)
+        return self.spark.read.parquet(versions[-1][1])
+
+    def _members(self) -> DataFrame:
+        paths = sorted(glob.glob(os.path.join(self.state_dir, "vectors", "b*")))
+        df = self.spark.read.parquet(*paths)
+        return df.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
+
+    # -- the batch step ----------------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "vectors", f"b{batch_id}")
+        )
+        members = self._members()
+        bvecs = batch.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
+        state = self._latest_edges(below=None if batch_id is None else batch_id)
+        for view, key_fn, sample in _views():
+            b = sample(bvecs) if sample else bvecs
+            # bounded collect: the batch's distinct coarse keys — the
+            # group-key census (≤ 2^GEO_BITS codes / label cardinality),
+            # metadata-scale at any corpus size.
+            groups = [r[0] for r in b.select(key_fn().alias("g")).distinct().collect()]
+            if not groups:
+                continue
+            m = sample(members) if sample else members
+            subset = m.withColumn("grp", key_fn()).filter(F.col("grp").isin(groups))
+            tags = subset.select("vec_id", "grp")
+            assigned = knn_assigned(subset.select("vec_id", "label", "e"), key=key_fn())
+            fresh = (
+                knn_graph_from_assigned(assigned, k=SERVE_K)
+                .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+                .join(tags.withColumnRenamed("vec_id", "src"), "src")
+                .select(F.lit(view).alias("view"), "grp", "src", "dst")
+            )
+            kept = state.filter(
+                ~((F.col("view") == view) & F.col("grp").isin(groups))
+            )
+            state = kept.unionByName(fresh)
+        state.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "edges", f"v{batch_id}")
+        )
+
+    # -- drivers -------------------------------------------------------------
+    def run_available(self, src_dir: str, ckpt_dir: str) -> None:
+        """Drain every staged shard with availableNow semantics."""
+        schema = self.spark.read.parquet(src_dir).schema
+        q = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- read the maintained graph --------------------------------------------
+    def _symmetrized(self, pred) -> DataFrame:
+        directed = self._latest_edges().filter(pred).select("src", "dst")
+        return directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def base_edges(self) -> DataFrame:
+        """Undirected base serving edges — equals serve_edges() rebuilt."""
+        return self._symmetrized(F.col("view") != UPPER_VIEW)
+
+    def upper_edges(self) -> DataFrame:
+        """Undirected upper-layer edges — equals upper_edges() rebuilt."""
+        return self._symmetrized(F.col("view") == UPPER_VIEW)

@@ -1,0 +1,60 @@
+"""Incremental serving-graph maintenance: the maintained edge state
+must equal a full rebuild (serve_edges / upper_edges) over the vectors
+seen so far — exactly, for append-only shard arrival — and survive a
+mid-stream engine restart. The exactness argument (group-local
+assignment decisions) is in streaming/servegraph.py's docstring; these
+tests pin it empirically."""
+
+from __future__ import annotations
+
+import shutil
+
+from deisa_ray_spark.functions.similarity import serve_edges, upper_edges
+from deisa_ray_spark.operators.stream_cc_query import stage_ordered_shards
+from deisa_ray_spark.sources.registry import load_table
+from tests.conftest import SF_DIR
+
+N_SHARDS = 3
+
+
+def _edge_set(df):
+    return sorted((r["src"], r["dst"]) for r in df.collect())
+
+
+def _stage(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return stage_ordered_shards(emb, str(tmp_path / "src"), N_SHARDS, order_col="vec_id")
+
+
+def test_streamed_graph_equals_full_rebuild(spark, tmp_path):
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    _stage(spark, tmp_path)
+    proc = IncrementalServeGraph(spark, str(tmp_path / "state"))
+    proc.run_available(str(tmp_path / "src"), str(tmp_path / "ckpt"))
+    assert _edge_set(proc.base_edges()) == _edge_set(serve_edges(spark, SF_DIR))
+    assert _edge_set(proc.upper_edges()) == _edge_set(upper_edges(spark, SF_DIR))
+
+
+def test_restart_resumes_and_converges(spark, tmp_path):
+    """First shard processed, engine 'dies'; a NEW processor over the
+    same state dir + checkpoint drains the late shards — the final
+    graph still equals the full rebuild (no lost groups, no duplicate
+    edge state)."""
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    shards = _stage(spark, tmp_path)
+    src = tmp_path / "live"
+    src.mkdir()
+    shutil.copy(shards[0], src / "shard0.parquet")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    p1 = IncrementalServeGraph(spark, state)
+    p1.run_available(str(src), ckpt)
+    n_after_first = len(_edge_set(p1.base_edges()))
+    assert n_after_first > 0
+    for i, s in enumerate(shards[1:], start=1):
+        shutil.copy(s, src / f"shard{i}.parquet")
+    p2 = IncrementalServeGraph(spark, state)  # "restart"
+    p2.run_available(str(src), ckpt)
+    assert _edge_set(p2.base_edges()) == _edge_set(serve_edges(spark, SF_DIR))
+    assert _edge_set(p2.upper_edges()) == _edge_set(upper_edges(spark, SF_DIR))
