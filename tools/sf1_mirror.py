@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Correctness spot-mirror at the self-generated 10x point (sf1): run
+every declared query AND its DuckDB oracle against
+``$SPARK_GRAFT_SF1_DIR`` (default /tmp/spark_graft_sf1, from
+tools/gen_sf1.py) and compare rows/schema/values with the driver's
+convention (columns sorted by name, values stringified after a stable
+row sort).
+
+The sf1 point was perf-only until round 9 — this makes "correct at 10x"
+measured data instead of an extrapolation from the three toy SFs.
+
+DuckDB guardrails (the round-8 disk-fill lesson): spill directory
+pinned under /tmp with a 30 GB cap, and every oracle runs under a
+hard interrupt (ORACLE_CAP_S, default 90 s). Oracles that exceed the
+cap are recorded as ``capped`` — the two known recursive-CTE chains
+(the verified-pair graph family) spill > 40 GB uncapped and were each
+measured > 90 s in the round-8 scaling study; a capped oracle is a
+DuckDB-cost fact, not a correctness failure, and the Spark side still
+runs (its timing is recorded).
+
+Output: one JSON line to stdout + a human summary to stderr. PARITY.md
+records the green count and the capped list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+ORACLE_CAP_S = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_CAP", "90"))
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _cmp_frames(spd, opd) -> str:
+    spd = spd.reindex(sorted(spd.columns), axis=1)
+    opd = opd.reindex(sorted(opd.columns), axis=1)
+    if list(spd.columns) != list(opd.columns):
+        return f"schema: {list(spd.columns)} vs {list(opd.columns)}"
+    if spd.shape != opd.shape:
+        return f"rows: {spd.shape} vs {opd.shape}"
+    cols = sorted(spd.columns)
+    spd = spd.sort_values(by=cols).reset_index(drop=True).astype(str)
+    opd = opd.sort_values(by=cols).reset_index(drop=True).astype(str)
+    if not spd.equals(opd):
+        bad = [c for c in cols if not spd[c].equals(opd[c])]
+        return f"values: {bad}"
+    return ""
+
+
+def main() -> None:
+    import duckdb
+
+    from deisa_ray_spark.registry import load_all
+    from deisa_ray_spark.session import get_session
+
+    spark = get_session(
+        app_name="sf1_mirror", shuffle_partitions=max(8, os.cpu_count() or 8)
+    )
+    specs = load_all()
+    results: dict[str, dict] = {}
+    counts = {"green": 0, "mismatch": 0, "capped": 0, "rows_only": 0, "error": 0}
+    for name, spec in sorted(specs.items()):
+        rec: dict = {}
+        t0 = time.time()
+        try:
+            spd = spec.fn(spark, SF1_DIR).toPandas()
+            rec["spark_s"] = round(time.time() - t0, 2)
+            rec["rows"] = int(spd.shape[0])
+        except Exception as e:  # noqa: BLE001 — record and continue
+            rec["status"] = "error"
+            rec["detail"] = f"spark: {type(e).__name__}: {e}"[:300]
+            counts["error"] += 1
+            results[name] = rec
+            print(f"{name}: SPARK ERROR {rec['detail']}", file=sys.stderr)
+            continue
+        if spec.oracle is None:
+            rec["status"] = "rows_only"
+            counts["rows_only"] += 1
+            results[name] = rec
+            print(f"{name}: rows-only ({rec['rows']} rows, "
+                  f"{rec['spark_s']}s)", file=sys.stderr)
+            continue
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
+        con.execute("SET max_temp_directory_size='30GB'")
+        for t in TABLES:
+            p = os.path.join(SF1_DIR, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        timer = threading.Timer(ORACLE_CAP_S, con.interrupt)
+        timer.start()
+        t1 = time.time()
+        try:
+            opd = con.execute(spec.oracle).df()
+            rec["oracle_s"] = round(time.time() - t1, 2)
+        except duckdb.InterruptException:
+            rec["status"] = "capped"
+            rec["oracle_s"] = round(time.time() - t1, 2)
+            counts["capped"] += 1
+            results[name] = rec
+            print(f"{name}: oracle CAPPED at {ORACLE_CAP_S}s "
+                  f"(spark {rec['spark_s']}s ok)", file=sys.stderr)
+            continue
+        except Exception as e:  # noqa: BLE001
+            rec["status"] = "error"
+            rec["detail"] = f"oracle: {type(e).__name__}: {e}"[:300]
+            counts["error"] += 1
+            results[name] = rec
+            print(f"{name}: ORACLE ERROR {rec['detail']}", file=sys.stderr)
+            continue
+        finally:
+            timer.cancel()
+            con.close()
+        diff = _cmp_frames(spd, opd)
+        if diff:
+            rec["status"] = "mismatch"
+            rec["detail"] = diff
+            counts["mismatch"] += 1
+        else:
+            rec["status"] = "green"
+            counts["green"] += 1
+        results[name] = rec
+        print(f"{name}: {rec['status']} ({rec['rows']} rows, spark "
+              f"{rec['spark_s']}s, oracle {rec.get('oracle_s')}s)",
+              file=sys.stderr)
+    summary = {
+        "sf_dir": SF1_DIR,
+        "oracle_cap_s": ORACLE_CAP_S,
+        "n_queries": len(results),
+        **counts,
+        "capped_list": [n for n, r in results.items() if r["status"] == "capped"],
+        "mismatch_list": [n for n, r in results.items()
+                          if r["status"] == "mismatch"],
+        "error_list": [n for n, r in results.items() if r["status"] == "error"],
+        "queries": results,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
