@@ -79,6 +79,7 @@ def load_all() -> dict[str, QuerySpec]:
     import deisa_ray_spark.functions.quality_model  # noqa: F401
     import deisa_ray_spark.functions.dedup  # noqa: F401
     import deisa_ray_spark.functions.pipeline  # noqa: F401
+    import deisa_ray_spark.functions.report  # noqa: F401
     import deisa_ray_spark.functions.sampling  # noqa: F401
     import deisa_ray_spark.functions.similarity  # noqa: F401
     import deisa_ray_spark.functions.multimodal  # noqa: F401
