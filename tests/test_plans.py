@@ -796,3 +796,41 @@ def test_graph_beam_serving_shape(spark):
     plan = plan_of(spark, "sim_graph_beam_topk")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_extents_narrow_stream_one_window_exchange(spark):
+    """Extent chaining: the shared-gram dim joins into the narrow span
+    stream (broadcast at this SF; an equi shuffle-join at scale — either
+    way no cartesian), both gaps-and-islands windows share ONE doc_id
+    exchange+sort, and nothing Python touches the path."""
+    plan = plan_of(spark, "dedup_span_extents")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # lag + running sum are two Window nodes sharing ONE doc_id
+    # exchange — a second hashpartitioning(doc_id) exchange would mean
+    # the windows re-shuffled between themselves
+    assert plan.count("Window (") == 2  # tree nodes (details repeat names)
+    assert plan.count("hashpartitioning(doc_id") == 1
+
+
+def test_pr_curve_narrow_explode_broadcast_weights(spark):
+    """The threshold sweep explodes only a narrow int frame, the NB
+    weight table stays broadcast, and the sweep collapses into a
+    partial agg before its exchange — no Python, no cartesian blowup of
+    anything wide."""
+    plan = plan_of(spark, "txt_quality_pr_curve")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan  # the 13-threshold explode
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_data_card_no_python_bounded_broadcasts(spark):
+    """The card composes artifact aggregates: no Python anywhere, every
+    1-row total rides a broadcast, no unbounded cartesian (the only
+    cross joins are against broadcast 1-row totals)."""
+    plan = plan_of(spark, "report_data_card")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total composition
+    assert "CartesianProduct" not in plan
