@@ -482,7 +482,7 @@ MAX_COSINE_BLOCK = 10_000
       GROUP BY label HAVING count(*) <= {MAX_COSINE_BLOCK}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0
              AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
@@ -1330,44 +1330,49 @@ def _extents_sql() -> str:
     )"""
 
 
+def build_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached extent construction — the plan tests pin this directly
+    (the session-cached frame's explain shows the AQE-materialized cache
+    tree, not the logical build)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.posexplode(_span_hashes()).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
+    shared = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    hits = spans.join(shared, "h").select("doc_id", "pos", "n_docs")
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        hits.withColumn("prev", F.lag("pos").over(wo))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SPAN_K),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("brk").over(wo))
+    )
+    return isl.groupBy("doc_id", "run_id").agg(
+        F.min("pos").alias("start_word"),
+        (F.max("pos") + (SPAN_K - 1)).alias("end_word"),
+        (F.max("pos") + SPAN_K - F.min("pos")).alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.min("n_docs").alias("min_docs_sharing"),
+        F.max("n_docs").alias("max_docs_sharing"),
+    )
+
+
 def _span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, run_id, start_word, end_word, n_words, n_grams,
-    min_docs_sharing, max_docs_sharing) — session-cached; shared by the
-    extent query and the length-distribution rollup."""
-
-    def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        spans = docs.select(
-            "doc_id", F.posexplode(_span_hashes()).alias("pos0", "h")
-        ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
-        shared = (
-            spans.groupBy("h")
-            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
-            .filter(F.col("n_docs") >= 2)
-        )
-        hits = spans.join(shared, "h").select("doc_id", "pos", "n_docs")
-        wo = W.partitionBy("doc_id").orderBy("pos")
-        isl = (
-            hits.withColumn("prev", F.lag("pos").over(wo))
-            .withColumn(
-                "brk",
-                F.when(
-                    F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SPAN_K),
-                    1,
-                ).otherwise(0),
-            )
-            .withColumn("run_id", F.sum("brk").over(wo))
-        )
-        return isl.groupBy("doc_id", "run_id").agg(
-            F.min("pos").alias("start_word"),
-            (F.max("pos") + (SPAN_K - 1)).alias("end_word"),
-            (F.max("pos") + SPAN_K - F.min("pos")).alias("n_words"),
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.min("n_docs").alias("min_docs_sharing"),
-            F.max("n_docs").alias("max_docs_sharing"),
-        )
-
-    return _session_cached(spark, "span_extents", sf_dir, build)
+    """Session-cached extents — shared by the extent query, the
+    length-distribution rollup, and the data card."""
+    return _session_cached(
+        spark, "span_extents", sf_dir,
+        lambda: build_span_extents(spark, sf_dir),
+    )
 
 
 @query(
@@ -2268,7 +2273,7 @@ SEM_DECON_THRESHOLD = 0.35
     b AS (SELECT v FROM e WHERE vec_id % {BENCH_MOD} = 0),
     m AS (
       SELECT e.vec_id, e.label,
-             max(round(list_cosine_similarity(e.v, b.v), 6)) AS max_cos
+             max(round(list_cosine_similarity(e.v, b.v), 6) + 0) AS max_cos
       FROM e JOIN b ON TRUE
       WHERE e.vec_id % {BENCH_MOD} <> 0
       GROUP BY e.vec_id, e.label

@@ -784,7 +784,7 @@ MIN_IMAGE_AREA = 128  #: and image width*height >= this
       SELECT m.media_id, d.source,
              m.width * m.height AS area,
              round(list_cosine_similarity(iv.embedding::DOUBLE[],
-                                          cv.embedding::DOUBLE[]), 6)
+                                          cv.embedding::DOUBLE[]), 6) + 0
                AS clip_score
       FROM media m
       JOIN documents d ON d.doc_id = m.media_id

@@ -322,7 +322,7 @@ ES_TOP_K = 100
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
              round(ln((('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-                       + 1) / 4294967296.0) / n_chars, 6) AS es_key
+                       + 1) / 4294967296.0) / n_chars, 6) + 0 AS es_key
       FROM documents
     )
     SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key
@@ -380,7 +380,10 @@ MMR_KC = 3  #: per-bucket picks in the stratified variant
 
 
 def _mmr_cos_sql(a: str, b: str) -> str:
-    return f"round(list_cosine_similarity({a}, {b}), 6)"
+    # trailing "+ 0" canonicalizes IEEE -0.0 to +0.0 (Spark round already
+    # does; DuckDB round keeps the sign — the samp_weighted_topk sf1
+    # lesson). Comparisons are unaffected (-0.0 == 0.0).
+    return f"round(list_cosine_similarity({a}, {b}), 6) + 0"
 
 
 def _mmr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,7 +440,7 @@ def _mmr_oracle() -> str:
       WHERE s.vec_id <> (SELECT vec_id FROM sel{r})
     )""")
         sels.append(
-            f"SELECT {r} AS rank, vec_id, rel, max_sim, round(score, 6) AS score "
+            f"SELECT {r} AS rank, vec_id, rel, max_sim, round(score, 6) + 0 AS score "
             f"FROM sel{r}"
         )
     return "WITH " + ",".join(parts) + "\n    " + " UNION ALL ".join(sels)
@@ -591,7 +594,7 @@ def _mmr_strat_oracle() -> str:
     )""")
         sels.append(
             f"SELECT {r} AS rank, vec_id, label, rel, max_sim, "
-            f"round(score, 6) AS score FROM msel{r}"
+            f"round(score, 6) + 0 AS score FROM msel{r}"
         )
     return "WITH " + ",".join(parts) + "\n    " + " UNION ALL ".join(sels)
 

@@ -50,7 +50,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.qid, c.vec_id AS neighbor_id, c.label,
-             round(list_cosine_similarity(q.qe, c.embedding::DOUBLE[]), 6) AS cosine
+             round(list_cosine_similarity(q.qe, c.embedding::DOUBLE[]), 6) + 0 AS cosine
       FROM q JOIN embeddings c ON c.vec_id <> q.qid
     ),
     ranked AS (
@@ -114,14 +114,14 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT q.qid, q.qe, cent.label,
                row_number() OVER (PARTITION BY q.qid
-                 ORDER BY round(list_cosine_similarity(q.qe, cent.cvec), 6) DESC,
+                 ORDER BY round(list_cosine_similarity(q.qe, cent.cvec), 6) + 0 DESC,
                           cent.label) AS rn
         FROM q CROSS JOIN cent
       ) WHERE rn <= {IVF_PROBES}
     ),
     scored AS (
       SELECT a.qid, a.cell, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(a.qe, c.embedding::DOUBLE[]), 6) AS cosine
+             round(list_cosine_similarity(a.qe, c.embedding::DOUBLE[]), 6) + 0 AS cosine
       FROM assign a JOIN embeddings c ON c.label = a.cell AND c.vec_id <> a.qid
     )
     SELECT qid, cell, neighbor_id, cosine, rank FROM (
@@ -363,7 +363,7 @@ def _rp_bucket_sql(col: str) -> str:
           FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.qid, c.vec_id AS neighbor_id, c.bucket,
-             round(list_cosine_similarity(q.qe, c.e), 6) AS cosine
+             round(list_cosine_similarity(q.qe, c.e), 6) + 0 AS cosine
       FROM q JOIN e c ON c.bucket = q.probe
       WHERE c.vec_id <> q.qid
     ),
@@ -813,16 +813,16 @@ def mrl_prefix_table(
       SELECT q.qid, q.qe, b.vec_id AS neighbor_id, b.e,
              row_number() OVER (
                PARTITION BY q.qid
-               ORDER BY round(list_cosine_similarity(q.qp, b.p), 6) DESC,
+               ORDER BY round(list_cosine_similarity(q.qp, b.p), 6) + 0 DESC,
                         b.vec_id ASC) AS crank
       FROM q JOIN base b ON b.vec_id <> q.qid
     ),
     rerank AS (
       SELECT qid, neighbor_id,
-             round(list_cosine_similarity(qe, e), 6) AS cosine,
+             round(list_cosine_similarity(qe, e), 6) + 0 AS cosine,
              row_number() OVER (
                PARTITION BY qid
-               ORDER BY round(list_cosine_similarity(qe, e), 6) DESC,
+               ORDER BY round(list_cosine_similarity(qe, e), 6) + 0 DESC,
                         neighbor_id ASC) AS rank
       FROM coarse WHERE crank <= {MRL_SHORTLIST}
     )
@@ -1009,7 +1009,7 @@ SIM_RANGE_TAU = 0.2
                WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.qid, c.vec_id AS neighbor_id, c.label,
-             round(list_cosine_similarity(q.qe, c.embedding::DOUBLE[]), 6) AS cosine
+             round(list_cosine_similarity(q.qe, c.embedding::DOUBLE[]), 6) + 0 AS cosine
       FROM q JOIN embeddings c ON c.vec_id <> q.qid
     )
     SELECT qid, neighbor_id, label, cosine
@@ -1136,7 +1136,7 @@ RRF_K = 60
       FROM (
         SELECT q.vec_id AS qid, c.vec_id AS doc_id,
                round(list_cosine_similarity(q.embedding::DOUBLE[],
-                                            c.embedding::DOUBLE[]), 6)
+                                            c.embedding::DOUBLE[]), 6) + 0
                  AS cosine
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {N_QUERIES}
@@ -1272,7 +1272,7 @@ def _mrl_rung_oracle(d: int) -> str:
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
                  round(list_cosine_similarity(
                    (q.embedding::DOUBLE[])[1:{d}],
-                   (c.embedding::DOUBLE[])[1:{d}]), 6) DESC,
+                   (c.embedding::DOUBLE[])[1:{d}]), 6) + 0 DESC,
                  c.vec_id) AS rank
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {N_QUERIES}
@@ -1453,7 +1453,7 @@ def _knn_graph_ctes(
     ),
     {p}knn_pairs AS (
       SELECT a.vec_id, a.label, a.depth, b.vec_id AS neighbor_id,
-             round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+             round(list_cosine_similarity(a.e, b.e), 6) + 0 AS cosine
       FROM {p}assigned a JOIN {p}assigned b
         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ),
@@ -1850,7 +1850,7 @@ def _beam_round_sql(pfx: str, r: int, vprev: str, edges: str, width: int) -> str
         SELECT * FROM {vprev}
         UNION ALL
         SELECT c.qid, c.node,
-               round(list_cosine_similarity(q.qe, re.e), 6) AS cosine
+               round(list_cosine_similarity(q.qe, re.e), 6) + 0 AS cosine
         FROM {pfx}c{r} c JOIN bq q USING (qid) JOIN r re ON re.vec_id = c.node
       ) GROUP BY qid, node
     )"""
@@ -1873,7 +1873,7 @@ def _beam_oracle_sql() -> str:
     ),
     uv0 AS MATERIALIZED (
       SELECT q.qid, en.node,
-             round(list_cosine_similarity(q.qe, re.e), 6) AS cosine
+             round(list_cosine_similarity(q.qe, re.e), 6) + 0 AS cosine
       FROM bq q CROSS JOIN u_entries en JOIN r re ON re.vec_id = en.node
       WHERE en.node <> q.qid
     ),{",".join(rounds)}
@@ -2095,7 +2095,7 @@ _BQ_LO_SQL, _BQ_HI_SQL = _bq_halves_sql()
     ),
     rr AS (
       SELECT t.qid, t.neighbor_id, t.hamming,
-             round(list_cosine_similarity(q.qe, s.e), 6) AS cosine
+             round(list_cosine_similarity(q.qe, s.e), 6) + 0 AS cosine
       FROM short t JOIN q ON q.qid = t.qid JOIN s ON s.vec_id = t.neighbor_id
       WHERE t.hrk <= {BQ_SHORTLIST}
     ),
@@ -2210,7 +2210,7 @@ _BQ2_HAM_SQL = " + ".join(
     ),
     rr AS (
       SELECT t.qid, t.neighbor_id, t.hamming,
-             round(list_cosine_similarity(q.qe, s.e), 6) AS cosine
+             round(list_cosine_similarity(q.qe, s.e), 6) + 0 AS cosine
       FROM short t JOIN q ON q.qid = t.qid JOIN s ON s.vec_id = t.neighbor_id
       WHERE t.hrk <= {BQ_SHORTLIST}
     ),

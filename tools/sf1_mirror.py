@@ -34,6 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 ORACLE_CAP_S = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_CAP", "90"))
+#: SPOT-mirror scope: "bench" (default — the headline panel plus the
+#: round-9 additions, the subset whose oracle cost was measured
+#: tractable in the round-8 scaling study) or "all" (every declared
+#: query — the heavy non-bench oracle tail, several of which are
+#: recursive-CTE chains that each burn the full cap, makes this a
+#: multi-hour run; use for a one-off audit, not the per-round mirror).
+SCOPE = os.environ.get("SPARK_GRAFT_SF1_SCOPE", "bench")
+EXTRA_QUERIES = [
+    # round-9 additions not (or only partially) on the bench panel
+    "stream_serve_graph",
+    "txt_unigram_train",
+    "txt_unigram_vocab",
+    "report_data_card",
+    "samp_mmr_topk",
+]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -66,6 +81,11 @@ def main() -> None:
         app_name="sf1_mirror", shuffle_partitions=max(8, os.cpu_count() or 8)
     )
     specs = load_all()
+    if SCOPE == "bench":
+        from bench import BENCH_QUERIES
+
+        wanted = set(BENCH_QUERIES) | set(EXTRA_QUERIES)
+        specs = {n: s for n, s in specs.items() if n in wanted}
     results: dict[str, dict] = {}
     counts = {"green": 0, "mismatch": 0, "capped": 0, "rows_only": 0, "error": 0}
     for name, spec in sorted(specs.items()):
