@@ -1014,17 +1014,26 @@ def contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_ctes() -> str:
+    """CTE fragment ``csh/cbench/ccont`` — the exact-overlap benchmark
+    contamination rule as SQL, twin of :func:`contaminated_ids`; the
+    single fragment behind dedup_decontaminate, stream_decontaminate,
+    and report_data_card."""
+    return f"""csh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
+    cbench AS (SELECT DISTINCT s FROM csh WHERE doc_id % {BENCH_MOD} = 0),
+    ccont AS (SELECT DISTINCT doc_id FROM csh
+              WHERE doc_id % {BENCH_MOD} <> 0
+                AND s IN (SELECT s FROM cbench))"""
+
+
 @query(
     "dedup_decontaminate",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
-    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
-    cont AS (SELECT DISTINCT doc_id FROM sh
-             WHERE doc_id % {BENCH_MOD} <> 0 AND s IN (SELECT s FROM bench))
+    WITH {contamination_ctes()}
     SELECT source,
-           count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+           count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM ccont))
                AS n_removed,
-           count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+           count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM ccont))
                AS n_kept
     FROM documents
     WHERE doc_id % {BENCH_MOD} <> 0

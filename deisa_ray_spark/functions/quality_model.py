@@ -101,6 +101,21 @@ def _nb_ctes() -> str:
     )"""
 
 
+def nb_scoring_ctes() -> str:
+    """Scoring-chain CTE fragment on top of :func:`_nb_ctes`:
+    ``qsc(doc_id, y, logit_fp)`` — the mean-token-weight + doc-feature +
+    prior logit, shared by txt_quality_infer, txt_quality_pr_curve, and
+    report_data_card so the scoring formula exists in exactly one SQL
+    string."""
+    return """tsc AS (SELECT f.doc_id, sum(w_fp) AS s, count(*) AS nf
+            FROM qtokfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
+    dsc AS (SELECT f.doc_id, sum(w_fp) AS s2
+            FROM qdocfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
+    qsc AS (SELECT l.doc_id, l.y,
+                   CAST(b_fp + s2 + (s // nf) AS BIGINT) AS logit_fp
+            FROM qlab l JOIN tsc USING (doc_id) JOIN dsc USING (doc_id), btab)"""
+
+
 def _fid(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % QCM_DIM
 
@@ -230,21 +245,13 @@ def txt_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_quality_infer",
     oracle=f"""
     WITH {_nb_ctes()},
-    tsc AS (SELECT f.doc_id, sum(w_fp) AS s, count(*) AS nf
-            FROM qtokfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
-    dsc AS (SELECT f.doc_id, sum(w_fp) AS s2
-            FROM qdocfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
-    sc AS (SELECT l.doc_id, d.source, l.y,
-                  CAST(b_fp + s2 + (s // nf) AS BIGINT) AS logit_fp
-           FROM qlab l
-           JOIN documents d USING (doc_id)
-           JOIN tsc USING (doc_id) JOIN dsc USING (doc_id), btab)
-    SELECT doc_id, source,
+    {nb_scoring_ctes()}
+    SELECT doc_id, d.source,
            CAST(y AS INT) AS y_rule,
            logit_fp,
            CAST(logit_fp >= 0 AS INT) AS kept,
            CAST((logit_fp >= 0) = (y = 1) AS INT) AS agree
-    FROM sc
+    FROM qsc JOIN documents d USING (doc_id)
     """,
 )
 def txt_quality_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,16 +308,18 @@ def txt_quality_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # //); an undefined ratio (empty denominator at an extreme threshold)
 # is the -1 sentinel on BOTH engines, never NULL (NULL would also break
 # the bigint dtype on the pandas path). The threshold grid is a
-# compile-time constant spanning the observed logit range (bimodal at
-# roughly ±1.3e7 across SFs — see PARITY.md).
+# compile-time constant spanning PAST the observed logit range
+# (bimodal, extremes near ±1.3e7 across SFs), so the recall-1 and
+# recall-0 anchors of the curve exist vs BOTH rules even if a
+# regenerated corpus shifts the modes — see PARITY.md.
 #
-# Scale shape: the scored frame is (doc_id, 3 ints); the 13-way
+# Scale shape: the scored frame is (doc_id, 3 ints); the 17-way
 # threshold explode multiplies only that narrow frame and collapses
-# immediately into a 13-key partial agg (map-side combined) — no wide
+# immediately into a 17-key partial agg (map-side combined) — no wide
 # data rides the explode, no extra corpus scan (infer's plan is reused,
 # the Gopher gate is a narrow projection joined on doc_id).
 # --------------------------------------------------------------------------
-PR_THRESHOLDS = list(range(-12_000_000, 12_000_001, 2_000_000))  #: 13 cuts
+PR_THRESHOLDS = list(range(-16_000_000, 16_000_001, 2_000_000))  #: 17 cuts
 
 
 def _pr_panel_sql(suffix: str, ycol: str) -> str:
@@ -339,50 +348,19 @@ def _pr_ratio_sql(suffix: str) -> str:
 
 
 def _pr_oracle() -> str:
-    from deisa_ray_spark.functions.text import (
-        GOPHER_MAX_MEAN_LEN,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_MEAN_LEN,
-        GOPHER_MIN_STOPWORDS,
-        GOPHER_MIN_TTR,
-        GOPHER_MIN_WORDS,
-    )
+    from deisa_ray_spark.functions.text import gopher_gate_ctes
 
     grid = ", ".join(str(t) for t in PR_THRESHOLDS)
     return f"""
     WITH {_nb_ctes()},
-    tsc AS (SELECT f.doc_id, sum(w_fp) AS s, count(*) AS nf
-            FROM qtokfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
-    dsc AS (SELECT f.doc_id, sum(w_fp) AS s2
-            FROM qdocfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
-    sc AS (SELECT l.doc_id, l.y,
-                  CAST(b_fp + s2 + (s // nf) AS BIGINT) AS logit_fp
-           FROM qlab l JOIN tsc USING (doc_id) JOIN dsc USING (doc_id), btab),
-    ghold AS (
-      SELECT doc_id,
-             CASE WHEN (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-                   AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
-                                          AND {GOPHER_MAX_MEAN_LEN})
-                   AND (ttr >= {GOPHER_MIN_TTR})
-                   AND (n_stop >= {GOPHER_MIN_STOPWORDS})
-                  THEN 1 ELSE 0 END AS yh
-      FROM (SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_words,
-                   list_avg(list_transform(string_split(text, ' '),
-                                           t -> len(t))) AS mean_word_len,
-                   len(list_distinct(string_split(text, ' '))) * 1.0
-                     / len(string_split(text, ' ')) AS ttr,
-                   len(list_filter(string_split(text, ' '),
-                                   t -> t IN ('the', 'a', 'of', 'and')))
-                     AS n_stop
-            FROM documents)
-    ),
+    {nb_scoring_ctes()},
+    {gopher_gate_ctes()},
     grid AS (SELECT unnest([{grid}]) AS thr_fp),
     swept AS (
       SELECT CAST(g.thr_fp AS BIGINT) AS thr_fp,
              CAST(sc.logit_fp >= g.thr_fp AS INT) AS pred,
              sc.y, h.yh
-      FROM sc JOIN ghold h USING (doc_id) CROSS JOIN grid g
+      FROM qsc sc JOIN ghold h USING (doc_id) CROSS JOIN grid g
     ),
     cells AS (
       SELECT thr_fp, {_pr_panel_sql('', 'y')}, {_pr_panel_sql('_h', 'yh')}

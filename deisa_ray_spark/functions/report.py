@@ -46,53 +46,17 @@ def _row(section: str, metric, v_int, v_x1e6=None):
 
 
 def _card_oracle() -> str:
-    from deisa_ray_spark.functions.dedup import BENCH_MOD, _SQL_SHINGLES
-    from deisa_ray_spark.functions.dedup import _extents_sql
-    from deisa_ray_spark.functions.quality_model import _nb_ctes
-    from deisa_ray_spark.functions.text import (
-        GOPHER_MAX_MEAN_LEN,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_MEAN_LEN,
-        GOPHER_MIN_STOPWORDS,
-        GOPHER_MIN_TTR,
-        GOPHER_MIN_WORDS,
-    )
+    from deisa_ray_spark.functions.dedup import BENCH_MOD, _extents_sql
+    from deisa_ray_spark.functions.dedup import contamination_ctes
+    from deisa_ray_spark.functions.quality_model import _nb_ctes, nb_scoring_ctes
+    from deisa_ray_spark.functions.text import gopher_gate_ctes
 
     return f"""
     WITH {_extents_sql()},
     {_nb_ctes()},
-    tsc AS (SELECT f.doc_id, sum(w_fp) AS s, count(*) AS nf
-            FROM qtokfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
-    dsc AS (SELECT f.doc_id, sum(w_fp) AS s2
-            FROM qdocfeats f JOIN wtab USING (fid) GROUP BY f.doc_id),
-    qsc AS (SELECT l.doc_id, l.y,
-                   CAST(b_fp + s2 + (s // nf) AS BIGINT) AS logit_fp
-            FROM qlab l JOIN tsc USING (doc_id) JOIN dsc USING (doc_id), btab),
-    gfeat AS (
-      SELECT doc_id,
-             len(string_split(text, ' ')) AS n_words,
-             list_avg(list_transform(string_split(text, ' '), t -> len(t)))
-               AS mean_word_len,
-             len(list_distinct(string_split(text, ' '))) * 1.0
-               / len(string_split(text, ' ')) AS ttr,
-             len(list_filter(string_split(text, ' '),
-                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
-      FROM documents
-    ),
-    ghold AS (
-      SELECT doc_id,
-             CASE WHEN (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-                   AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
-                                          AND {GOPHER_MAX_MEAN_LEN})
-                   AND (ttr >= {GOPHER_MIN_TTR})
-                   AND (n_stop >= {GOPHER_MIN_STOPWORDS})
-                  THEN 1 ELSE 0 END AS yh
-      FROM gfeat
-    ),
-    csh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
-    cbench AS (SELECT DISTINCT s FROM csh WHERE doc_id % {BENCH_MOD} = 0),
-    ccont AS (SELECT DISTINCT doc_id FROM csh
-              WHERE doc_id % {BENCH_MOD} <> 0 AND s IN (SELECT s FROM cbench)),
+    {nb_scoring_ctes()},
+    {gopher_gate_ctes()},
+    {contamination_ctes()},
     corpus AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -168,6 +132,7 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's own curation artifacts."""
     from deisa_ray_spark.functions.dedup import (
         BENCH_MOD,
+        _session_cached,
         _span_extents,
         contaminated_ids,
     )
@@ -176,14 +141,22 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_toks = F.size(F.split(F.col("text"), " "))
-    corpus = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_toks).alias("n_tokens"),
-        F.sum("n_chars").alias("n_chars"),
-        F.countDistinct("source").alias("n_sources"),
-        F.countDistinct("lang").alias("n_langs"),
-        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
-            "n_exact_dup_docs"
+    # the 1-row corpus aggregate feeds 7 union branches + 2 broadcast
+    # joins — session-cache it so ONE scan serves them all (a per-branch
+    # re-aggregation would be N full corpus scans at 100 TB)
+    corpus = _session_cached(
+        spark,
+        "card_corpus",
+        sf_dir,
+        lambda: docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_toks).alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+                "n_exact_dup_docs"
+            ),
         ),
     )
     tot = F.broadcast(corpus.select("n_docs", "n_tokens"))
@@ -206,10 +179,15 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                   share("n_exact_dup_docs", "n_docs"))
         )
     )
-    ext = _span_extents(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("n_ext"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).alias("dup_words"),
-        F.countDistinct("doc_id").alias("n_ext_docs"),
+    ext = _session_cached(
+        spark,
+        "card_extents",
+        sf_dir,
+        lambda: _span_extents(spark, sf_dir).agg(
+            F.count(F.lit(1)).alias("n_ext"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).alias("dup_words"),
+            F.countDistinct("doc_id").alias("n_ext_docs"),
+        ),
     ).join(tot, F.lit(True))
     frames.append(ext.select(*_row("dedup", "n_dup_extents", F.col("n_ext"))))
     frames.append(
@@ -224,12 +202,17 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = docs.select(
         "doc_id", gopher_features()["keep"].cast("int").alias("yh")
     )
-    q = scored.join(hold, "doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("y_rule").alias("silver_kept"),
-        F.sum("kept").alias("model_kept"),
-        F.sum("yh").alias("gopher_kept"),
-        F.sum((F.col("kept") == F.col("yh")).cast("int")).alias("mg_agree"),
+    q = _session_cached(
+        spark,
+        "card_quality",
+        sf_dir,
+        lambda: scored.join(hold, "doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y_rule").alias("silver_kept"),
+            F.sum("kept").alias("model_kept"),
+            F.sum("yh").alias("gopher_kept"),
+            F.sum((F.col("kept") == F.col("yh")).cast("int")).alias("mg_agree"),
+        ),
     )
     for m, num in (
         ("silver_kept", "silver_kept"),

@@ -451,10 +451,8 @@ def samp_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy MMR: K rounds of argmax(λ·rel − (1−λ)·max_sim) with the
     running max-similarity fold — the diverse-prototype subset."""
     from deisa_ray_spark.functions.dedup import (
-        _session_cached,
         dot_agg,
         free_local_checkpoint,
-        norm_agg,
     )
 
     store = _mmr_store(spark, sf_dir)

@@ -671,11 +671,12 @@ def gopher_features(text_col: str = "text") -> dict[str, Column]:
 
 
 
-@query(
-    "txt_gopher_rules",
-    oracle=f"""
-    WITH feat AS (
-      SELECT doc_id, source,
+def gopher_feat_select_sql(cols: str = "doc_id") -> str:
+    """The Gopher feature SELECT list as ONE SQL fragment — the single
+    source of truth for every oracle that gates on the Gopher rules
+    (txt_gopher_rules, txt_curate_batch, txt_quality_pr_curve,
+    report_data_card), twin of :func:`gopher_features`."""
+    return f"""SELECT {cols},
              len(string_split(text, ' ')) AS n_words,
              list_avg(list_transform(string_split(text, ' '), t -> len(t)))
                AS mean_word_len,
@@ -683,16 +684,44 @@ def gopher_features(text_col: str = "text") -> dict[str, Column]:
                / len(string_split(text, ' ')) AS ttr,
              len(list_filter(string_split(text, ' '),
                              t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
-      FROM documents
+      FROM documents"""
+
+
+def gopher_keep_pred_sql() -> str:
+    """The Gopher keep predicate over the feature columns — pairs with
+    :func:`gopher_feat_select_sql`."""
+    return (
+        f"(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})"
+        f"\n             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}"
+        f" AND {GOPHER_MAX_MEAN_LEN})"
+        f"\n             AND (ttr >= {GOPHER_MIN_TTR})"
+        f"\n             AND (n_stop >= {GOPHER_MIN_STOPWORDS})"
+    )
+
+
+def gopher_gate_ctes(alias: str = "ghold") -> str:
+    """CTE fragment ``{alias}(doc_id, yh)``: the Gopher gate as a 0/1
+    label — the holdout-rule shape the PR curve and the data card
+    consume."""
+    return f"""{alias} AS (
+      SELECT doc_id,
+             CASE WHEN {gopher_keep_pred_sql()}
+                  THEN 1 ELSE 0 END AS yh
+      FROM ({gopher_feat_select_sql()})
+    )"""
+
+
+@query(
+    "txt_gopher_rules",
+    oracle=f"""
+    WITH feat AS (
+      {gopher_feat_select_sql("doc_id, source")}
     )
     SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
            round(mean_word_len, 6) AS mean_word_len,
            round(ttr, 6) AS ttr,
            CAST(n_stop AS BIGINT) AS n_stopwords,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
-             AND (ttr >= {GOPHER_MIN_TTR})
-             AND (n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+           {gopher_keep_pred_sql()} AS keep
     FROM feat
     """,
 )
@@ -960,23 +989,12 @@ def txt_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_curate_batch",
     oracle=f"""
     WITH feat AS (
-      SELECT doc_id, source, lang, md5(text) AS fp,
-             len(string_split(text, ' ')) AS n_words,
-             list_avg(list_transform(string_split(text, ' '), t -> len(t)))
-               AS mean_word_len,
-             len(list_distinct(string_split(text, ' '))) * 1.0
-               / len(string_split(text, ' ')) AS ttr,
-             len(list_filter(string_split(text, ' '),
-                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
-      FROM documents
+      {gopher_feat_select_sql("doc_id, source, lang, md5(text) AS fp")}
     ),
     gated AS (
       SELECT doc_id, source, lang, fp, CAST(n_words AS BIGINT) AS n_words
       FROM feat
-      WHERE (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-        AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
-        AND (ttr >= {GOPHER_MIN_TTR})
-        AND (n_stop >= {GOPHER_MIN_STOPWORDS})
+      WHERE {gopher_keep_pred_sql()}
     )
     SELECT doc_id, source, lang, fp, n_words FROM gated
     WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY fp)

@@ -291,7 +291,10 @@ def uni_viterbi_forward(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out.localCheckpoint()
+    final = out.localCheckpoint()  # eager — copies into fresh blocks
+    for f in frames:  # the per-round states are now dead weight
+        free_local_checkpoint(f)
+    return final
 
 
 def uni_backtrack(
@@ -299,8 +302,10 @@ def uni_backtrack(
 ) -> DataFrame:
     """Walk the backpointers from cur=len(w): one output row per piece
     OCCURRENCE in each word's chosen segmentation: ``(w, piece)``."""
-    cur = words.select("w", F.length("w").alias("cur")).localCheckpoint()
+    cur0 = words.select("w", F.length("w").alias("cur")).localCheckpoint()
+    cur = cur0
     occs = None
+    steps = []
     st = states.select(F.col("w").alias("sw"), "j", "bp")
     for _ in range(rounds):
         alive = cur.filter(F.col("cur") > 0)
@@ -313,16 +318,21 @@ def uni_backtrack(
             )
             .localCheckpoint()
         )
-        # NO per-step free: ``cur`` is a lazy select over the previous
-        # step's checkpoint, and ``occs`` keeps referencing every step's
-        # (w, piece) slice — freeing here would drop blocks the final
-        # usage count still reads (measured: CHECKPOINT_RDD_BLOCK_ID_
-        # NOT_FOUND). The walk frames are word-table-sized and die with
-        # the round's lineage.
+        # NO per-step free mid-walk: ``cur`` is a lazy select over the
+        # previous step's checkpoint and ``occs`` references every
+        # step's (w, piece) slice — freeing here drops blocks the final
+        # materialization still reads (measured:
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Instead the WHOLE walk is
+        # checkpointed once below and the step frames freed after.
+        steps.append(step)
         occ = step.select("w", "piece")
         occs = occ if occs is None else occs.unionByName(occ)
         cur = step.select("w", F.col("cur2").alias("cur"))
-    return occs
+    out = occs.localCheckpoint()  # eager — the walk frames are now dead
+    free_local_checkpoint(cur0)
+    for f in steps:
+        free_local_checkpoint(f)
+    return out
 
 
 def _ln_weights(pieces: DataFrame) -> DataFrame:
@@ -382,9 +392,9 @@ def uni_train_from_words(wf: DataFrame):
         states = uni_viterbi_forward(
             dp_words.select("w"), vocab.select("piece", "w_fp"), maxlen
         )
+        occs = uni_backtrack(states, dp_words.select("w"), maxlen)
         usage = (
-            uni_backtrack(states, dp_words.select("w"), maxlen)
-            .join(dp_words.select("w", "cnt"), "w")
+            occs.join(dp_words.select("w", "cnt"), "w")
             .groupBy("piece")
             .agg(F.sum("cnt").cast("bigint").alias("usage"))
         )
@@ -413,6 +423,7 @@ def uni_train_from_words(wf: DataFrame):
         )
         nxt = _ln_weights(pruned).localCheckpoint()
         free_local_checkpoint(vocab)
+        free_local_checkpoint(occs)
         vocab = nxt
     return vocab, dp_words, maxlen
 
@@ -438,7 +449,9 @@ def uni_encode_words(
         F.lit(1).alias("unk"),
         F.lit(0).cast("bigint").alias("score_fp"),
     )
-    return enc.unionByName(unk).localCheckpoint()
+    out = enc.unionByName(unk).localCheckpoint()  # eager
+    free_local_checkpoint(states)
+    return out
 
 
 #: session-keyed trained-tokenizer cache — (model, dp_words, enc); the
@@ -540,20 +553,32 @@ def txt_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     model's segmentations (train's ``usage`` column is the last
     pre-prune E-step; this is the artifact a serving tokenizer loads,
     with occurrence counts a data card reports)."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
     model, wf, _enc, maxlen = _uni_trained(spark, sf_dir)
-    dp_words = wf.filter(F.length("w") <= UNI_MAX_WORD)
-    states = uni_viterbi_forward(
-        dp_words.select("w"), model.select("piece", "w_fp"), maxlen
-    )
-    vocc = (
-        uni_backtrack(states, dp_words.select("w"), maxlen)
-        .join(dp_words.select("w", "cnt"), "w")
-        .groupBy("piece")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_occurrences"),
-            F.countDistinct("w").cast("bigint").alias("n_words_containing"),
+
+    def build_census() -> DataFrame:
+        dp_words = wf.filter(F.length("w") <= UNI_MAX_WORD)
+        states = uni_viterbi_forward(
+            dp_words.select("w"), model.select("piece", "w_fp"), maxlen
         )
-    )
+        occs = uni_backtrack(states, dp_words.select("w"), maxlen)
+        vocc = (
+            occs.join(dp_words.select("w", "cnt"), "w")
+            .groupBy("piece")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_occurrences"),
+                F.countDistinct("w").cast("bigint").alias("n_words_containing"),
+            )
+            .localCheckpoint()  # eager, piece-table-sized
+        )
+        free_local_checkpoint(states)
+        free_local_checkpoint(occs)
+        return vocc
+
+    # session-cached: every invocation (driver + oracle mirrors) was
+    # re-running the full forward DP + backtrack census
+    vocc = _session_cached(spark, "uni_vocc", sf_dir, build_census)
     return model.join(vocc, "piece", "left").select(
         "piece",
         F.length("piece").cast("int").alias("piece_len"),

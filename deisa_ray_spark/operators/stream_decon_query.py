@@ -20,19 +20,16 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from deisa_ray_spark.functions.dedup import BENCH_MOD, _SQL_SHINGLES
+from deisa_ray_spark.functions.dedup import BENCH_MOD, contamination_ctes
 from deisa_ray_spark.operators.stream_cc_query import stage_ordered_shards
 from deisa_ray_spark.registry import query
 
 N_SHARDS = 3
 
 _ORACLE = f"""
-    WITH sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents),
-    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
-    cont AS (SELECT DISTINCT doc_id FROM sh
-             WHERE doc_id % {BENCH_MOD} <> 0 AND s IN (SELECT s FROM bench))
+    WITH {contamination_ctes()}
     SELECT doc_id, source, lang,
-           doc_id IN (SELECT doc_id FROM cont) AS is_contaminated
+           doc_id IN (SELECT doc_id FROM ccont) AS is_contaminated
     FROM documents
     WHERE doc_id % {BENCH_MOD} <> 0
     """
