@@ -87,3 +87,39 @@ def test_span_extents_invariants(spark):
             # maximality: the next extent's first gram starts more than
             # SPAN_K words after this extent's last gram start
             assert s2 - (e1 - SPAN_K + 1) > SPAN_K
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz of the SQL twin (no Spark in the loop — the mirrors pin
+# Spark == twin; this pins twin == the pure-Python reference on
+# adversarial corpora: gram hits at exactly the SPAN_K chaining
+# boundary, whole-doc duplicates, sub-SPAN_K docs, singleton grams).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.sampled_from(["a", "b", "c", "d"])
+_TEXT = st.lists(_WORD, min_size=0, max_size=26).map(" ".join)
+
+
+@given(st.lists(_TEXT, min_size=2, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_extents_oracle_matches_python_on_random_corpora(texts):
+    import duckdb
+    import pandas as pd
+
+    from deisa_ray_spark.functions.dedup import _extents_sql
+
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH " + _extents_sql() + """
+            SELECT doc_id, start_word, end_word, n_words, n_grams,
+                   min_docs_sharing, max_docs_sharing FROM xextents"""
+        ).fetchall()
+    )
+    want = _ref_extents({int(d): t for d, t in zip(docs.doc_id, docs.text)})
+    assert got == [tuple(w) for w in want]
