@@ -32,6 +32,23 @@ from deisa_ray_spark.registry import query
 from deisa_ray_spark.sources.registry import load_table
 
 
+#: Exact-decimal aggregate fragments, shared VERBATIM by the oracle SQL
+#: and the Spark side (F.expr) of q01/q02/q03: a float sum is
+#: partition-order-dependent, and a rounded float sum flips its last
+#: digit between runs when a group total lands within an ulp of the
+#: rounding boundary (measured on q45 at sf1). Decimal sums are exact →
+#: order-independent → identical across engines and cluster sizes; the
+#: cast to DOUBLE happens once, on the already-rounded exact value.
+_DEC_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+_DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DEC_DISC = "(1 - CAST(l_discount AS DECIMAL(18,2)))"
+_REV_SUM = f"CAST(round(sum({_DEC_PRICE} * {_DEC_DISC}), 2) AS DOUBLE)"
+_CHARGE_SUM = (
+    f"CAST(round(sum(CAST({_DEC_PRICE} * {_DEC_DISC} AS DECIMAL(24,4))"
+    f" * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -42,16 +59,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-           round(avg(l_quantity), 4)                                          AS avg_qty,
-           round(avg(l_extendedprice), 4)                                     AS avg_price,
-           round(avg(l_discount), 4)                                          AS avg_disc,
-           count(*)                                                           AS count_order
+           CAST(round(sum({_DEC_QTY}), 2) AS DOUBLE)        AS sum_qty,
+           CAST(round(sum({_DEC_PRICE}), 2) AS DOUBLE)      AS sum_base_price,
+           {_REV_SUM}                                       AS sum_disc_price,
+           {_CHARGE_SUM}                                    AS sum_charge,
+           round(CAST(sum({_DEC_QTY}) AS DOUBLE) / count(*), 4)   AS avg_qty,
+           round(CAST(sum({_DEC_PRICE}) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4)                             AS avg_disc,
+           count(*)                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -60,20 +78,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship aggregate query (reference analogue: global sum/mean
     reductions, tests/test_analytics.py:36-42, here over a relational
-    fact table)."""
+    fact table). Aggregates are exact-decimal fragments shared verbatim
+    with the oracle (_REV_SUM et al. — see their comment)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.expr(f"CAST(round(sum({_DEC_QTY}), 2) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(round(sum({_DEC_PRICE}), 2) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(_REV_SUM).alias("sum_disc_price"),
+            F.expr(_CHARGE_SUM).alias("sum_charge"),
+            F.expr(f"round(CAST(sum({_DEC_QTY}) AS DOUBLE) / count(*), 4)").alias("avg_qty"),
+            F.expr(f"round(CAST(sum({_DEC_PRICE}) AS DOUBLE) / count(*), 4)").alias("avg_price"),
+            F.expr("round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+                   " / count(*), 4)").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -85,9 +104,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q02_top_customers_by_revenue",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_REV_SUM} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -104,7 +123,7 @@ def q02_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.expr(_REV_SUM).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
     )
@@ -116,9 +135,9 @@ def q02_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q03_regional_revenue",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_REV_SUM} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -141,7 +160,7 @@ def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.expr(_REV_SUM).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -201,8 +220,10 @@ def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q06_revenue_forecast",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    oracle=f"""
+    SELECT CAST(round(sum({_DEC_PRICE}
+                          * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -213,7 +234,10 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(
         (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.expr(
+            f"CAST(round(sum({_DEC_PRICE}"
+            f" * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)"
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -197,7 +197,9 @@ def q30_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _Q31 = """
     SELECT l_partkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS part_value
     FROM lineitem
     GROUP BY l_partkey
     HAVING sum(l_extendedprice * (1 - l_discount)) >
@@ -257,12 +259,13 @@ def q34_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _Q36 = """
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                cast(extract(year FROM l_shipdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN supplier ON s_suppkey  = l_suppkey
@@ -296,7 +299,9 @@ def q36_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lineitem scan still prunes to the 4 referenced columns.
 # --------------------------------------------------------------------------
 _Q37 = """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
@@ -347,7 +352,9 @@ def q38_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q39 = """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -426,7 +433,9 @@ def q41_bulk_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _Q44 = """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -453,9 +462,17 @@ def q44_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and region broadcast; the only exchanges are the two fact-side keyed
 # shuffles (orders⋈lineitem build) and the final 25-group aggregate.
 # --------------------------------------------------------------------------
+# revenue is summed in EXACT decimal (both engines), rounded on the
+# exact value, and cast to double only at the end: a float sum is
+# partition-order-dependent, and at sf1 one nation's total landed
+# within 1 ulp of the .005 rounding boundary — the rounded float
+# flipped between RUNS of the same engine. Exact decimal is also the
+# order-independent form a 100 TB aggregation needs.
 _Q45 = """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -488,11 +505,13 @@ def q45_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _Q46 = """
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_3'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
     FROM (
         SELECT cast(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
                n2.n_name AS nation
         FROM part, supplier, lineitem, orders, customer,
              nation n1, nation n2, region
@@ -566,7 +585,9 @@ def q47_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _Q48 = """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
