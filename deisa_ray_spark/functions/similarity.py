@@ -1656,6 +1656,22 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the toy-SF cost is fixed job count; the entry-scan term the hierarchy
 # removes is the one that grows with corpus size).
 #
+# MEASURED LIMIT at the 10x point (tools/beam_recall.py on the
+# generated sf1, 20k vectors): recall@10 = 0.64 with this config — the
+# fixed (SERVE_K, BEAM_B, BEAM_R) budget under-covers as the corpus
+# grows, the expected HNSW-family trade (their answer: ef/M grow with
+# n). A self-cell multi-probe seed (every co-member of the query's own
+# bucket under all four views) was implemented, exact-oracled green,
+# and MEASURED WORSE: 0.50 at sf1 — high-cosine same-cell seeds crowd
+# the BEAM_B frontier and kill exploration diversity, and same-cell
+# nodes were already reachable via their own kNN edges. So the binding
+# constraint at 10x is edge richness / hop budget, not local coverage;
+# the scale path is corpus-sized (SERVE_K, B) growth — a serving-time
+# knob in a real store, a compile-time constant here because the
+# unrolled SQL twin needs literal widths. Documented rather than
+# silently tuned: raising the constants would also raise every toy-SF
+# bench cost.
+#
 # Scale shape: graph + views + assignment are session-cached artifacts
 # (build is O(n·cap) per view — bounded blocks, never corpus-quadratic);
 # serving touches ONLY (qid, node) frames of ≤ entries + R·B·degree rows
