@@ -1667,10 +1667,17 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nodes were already reachable via their own kNN edges. So the binding
 # constraint at 10x is edge richness / hop budget, not local coverage;
 # the scale path is corpus-sized (SERVE_K, B) growth — a serving-time
-# knob in a real store, a compile-time constant here because the
-# unrolled SQL twin needs literal widths. Documented rather than
-# silently tuned: raising the constants would also raise every toy-SF
-# bench cost.
+# knob in a real store, exposed here via graph_beam_topk(serve_k,
+# beam_b, beam_r, ...) while the DECLARED query keeps the compile-time
+# defaults (the unrolled SQL twin needs literal widths). Measured tier
+# sweep at sf1 (tools/beam_recall.py SPARK_GRAFT_BEAM_SCALED=1 /
+# graph_beam_topk directly): (16,32,R3) 0.64 -> (32,64,R3) 0.78 ->
+# (32,64,R4) 0.80 -> (32,96,R4) 0.82 -> (48,96,R3) 0.90 — out-link
+# budget dominates (HNSW's M-grows-with-n), hops add little once edges
+# are rich. Per-query work stays bounded (same structure, larger
+# constants); the build stays O(n·cap). The defaults are NOT raised:
+# that would triple every toy-SF bench cost for data the toy SFs don't
+# need.
 #
 # Scale shape: graph + views + assignment are session-cached artifacts
 # (build is O(n·cap) per view — bounded blocks, never corpus-quadratic);
@@ -1732,25 +1739,30 @@ def _geo_code_sql(view: int, col: str = "embedding") -> str:
     ) + " AS VARCHAR)"
 
 
-def serve_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def serve_edges(
+    spark: SparkSession, sf_dir: str, serve_k: int = SERVE_K
+) -> DataFrame:
     """Session-cached undirected serving edge set ``(src, dst)``: the
     block-artifact kNN edges ∪ per-view geometric kNN edges, symmetrized
     and deduped. Each view reuses knn_assigned/knn_graph_from_assigned
     with the view code as the coarse key — same bounded-block guarantees
-    at any corpus size."""
+    at any corpus size. ``serve_k`` is the per-node out-link budget —
+    the production knob that must GROW with corpus size (HNSW's M; see
+    the 10x measurement note above); the declared query uses the
+    compile-time default so its unrolled SQL twin stays literal."""
     from deisa_ray_spark.functions.dedup import _session_cached
 
     def build() -> DataFrame:
         emb = _emb(spark, sf_dir)
-        # SERVE_K out-links per node per view (richer than the k=5 block
+        # serve_k out-links per node per view (richer than the k=5 block
         # artifact — see the SERVE_K note); the block view reuses the
         # cached assignment, so only the pair+rank stage reruns.
         directed = knn_graph_from_assigned(
-            knn_assigned_cached(spark, sf_dir), k=SERVE_K
+            knn_assigned_cached(spark, sf_dir), k=serve_k
         ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
         for v in range(GEO_VIEWS):
             view_graph = knn_graph_from_assigned(
-                knn_assigned(emb, key=_geo_code(F.col("e"), v)), k=SERVE_K
+                knn_assigned(emb, key=_geo_code(F.col("e"), v)), k=serve_k
             )
             directed = directed.unionByName(
                 view_graph.select(
@@ -1761,7 +1773,8 @@ def serve_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
 
-    return _session_cached(spark, "serve_edges", sf_dir, build, eager=True)
+    tag = "serve_edges" if serve_k == SERVE_K else f"serve_edges_k{serve_k}"
+    return _session_cached(spark, tag, sf_dir, build, eager=True)
 
 
 def _upper_sample(idcol: Column) -> Column:
@@ -1787,7 +1800,9 @@ def upper_assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def upper_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def upper_edges(
+    spark: SparkSession, sf_dir: str, serve_k: int = SERVE_K
+) -> DataFrame:
     """Session-cached undirected upper-layer edge set ``(src, dst)`` —
     the same bounded-block kNN machinery over the 1/16 sample,
     symmetrized like the base serving graph."""
@@ -1795,7 +1810,7 @@ def upper_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         directed = knn_graph_from_assigned(
-            upper_assigned_cached(spark, sf_dir), k=SERVE_K
+            upper_assigned_cached(spark, sf_dir), k=serve_k
         ).select(
             F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
         )
@@ -1803,7 +1818,8 @@ def upper_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
 
-    return _session_cached(spark, "upper_edges", sf_dir, build, eager=True)
+    tag = "upper_edges" if serve_k == SERVE_K else f"upper_edges_k{serve_k}"
+    return _session_cached(spark, tag, sf_dir, build, eager=True)
 
 
 def _upper_ctes() -> str:
@@ -1953,12 +1969,24 @@ def _beam_expand(
     return v
 
 
-@query("sim_graph_beam_topk", oracle=_beam_oracle_sql())
-def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_beam_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    serve_k: int = SERVE_K,
+    beam_b: int = BEAM_B,
+    beam_r: int = BEAM_R,
+    upper_b: int = UPPER_B,
+    upper_r: int = UPPER_R,
+) -> DataFrame:
+    """The serving search with the production knobs exposed: per-node
+    out-link budget, beam widths, hop counts. The declared query runs
+    the compile-time defaults (its unrolled SQL twin needs literals);
+    tools/beam_recall.py measures corpus-scaled tiers through this
+    entry (the 10x answer — see the module note above)."""
     from deisa_ray_spark.functions.dedup import dot_agg
 
-    edges = serve_edges(spark, sf_dir)
-    uedges = upper_edges(spark, sf_dir)
+    edges = serve_edges(spark, sf_dir, serve_k)
+    uedges = upper_edges(spark, sf_dir, serve_k)
     store = knn_assigned_cached(spark, sf_dir)  # (vec_id, e, nrm, bucket, ...)
     q = store.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -1999,14 +2027,19 @@ def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Upper beam over the sampled layer, then the base beam seeded from
     # EVERYTHING the upper search visited (their exact cosines carry
     # over — the base hop-1 frontier selection prunes to BEAM_B anyway).
-    uv = _beam_expand(uv, uedges, UPPER_R, UPPER_B, score)
-    v = _beam_expand(uv, edges, BEAM_R, BEAM_B, score)
+    uv = _beam_expand(uv, uedges, upper_r, upper_b, score)
+    v = _beam_expand(uv, edges, beam_r, beam_b, score)
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("node"))
     return (
         v.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "rank", F.col("node").alias("neighbor_id"), "cosine")
     )
+
+
+@query("sim_graph_beam_topk", oracle=_beam_oracle_sql())
+def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_beam_topk(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

@@ -141,3 +141,29 @@ def test_thermo_hamming_recall_vs_bruteforce(spark):
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.8, f"mean recall {mean_recall:.3f}"
+
+
+def test_graph_beam_knobs_default_equals_declared(spark):
+    """The parameterized serving engine with compile-time defaults IS
+    the declared query; a non-default tier still returns a valid
+    full-coverage top-k frame (the corpus-scaled serving path)."""
+    from deisa_ray_spark.functions.similarity import (
+        N_QUERIES,
+        TOP_K,
+        graph_beam_topk,
+        sim_graph_beam_topk,
+    )
+
+    declared = {(r["qid"], r["rank"], r["neighbor_id"])
+                for r in sim_graph_beam_topk(spark, SF_DIR).collect()}
+    default = {(r["qid"], r["rank"], r["neighbor_id"])
+               for r in graph_beam_topk(spark, SF_DIR).collect()}
+    assert declared == default
+    tier = graph_beam_topk(spark, SF_DIR, serve_k=24, beam_b=48).collect()
+    assert len({r["qid"] for r in tier}) == min(
+        N_QUERIES, len({r["qid"] for r in tier})
+    )
+    per_q = {}
+    for r in tier:
+        per_q.setdefault(r["qid"], set()).add(r["rank"])
+    assert all(ranks == set(range(1, TOP_K + 1)) for ranks in per_q.values())

@@ -25,15 +25,33 @@ def main() -> None:
     )
     from deisa_ray_spark.functions import similarity as S
 
+    import math
+
+    scaled = os.environ.get("SPARK_GRAFT_BEAM_SCALED") == "1"
     for sf_dir in dirs:
         bf = {
             (r["qid"], r["neighbor_id"])
             for r in S.sim_bruteforce_topk(spark, sf_dir).collect()
         }
+        if scaled:
+            # corpus-scaled serving tier (the HNSW ef/M-grows-with-n
+            # posture): out-links and beam width grow ~log2 of the
+            # corpus-size multiple over the toy reference point.
+            from deisa_ray_spark.sources.registry import load_table
+
+            n = load_table(spark, sf_dir, "embeddings").count()
+            mult = max(1, int(math.log2(max(n / 2000, 1))) + 1)
+            serve_k, beam_b = S.SERVE_K * mult, S.BEAM_B * mult
+            print(f"# scaled tier: n={n} mult={mult} "
+                  f"serve_k={serve_k} beam_b={beam_b}")
+        else:
+            serve_k, beam_b = S.SERVE_K, S.BEAM_B
         t0 = time.time()
         beam = {
             (r["qid"], r["neighbor_id"])
-            for r in S.sim_graph_beam_topk(spark, sf_dir).collect()
+            for r in S.graph_beam_topk(
+                spark, sf_dir, serve_k=serve_k, beam_b=beam_b
+            ).collect()
         }
         dt = time.time() - t0
         n_base_blocks = (
