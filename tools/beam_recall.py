@@ -12,28 +12,32 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 
 def main() -> None:
     dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # the engine session factory (NOT a bare builder: the scaled-tier
+    # k=48 graph builds at sf1 OOM the 1g stock driver default)
+    from deisa_ray_spark.session import get_session
+
+    spark = get_session(app_name="beam_recall", shuffle_partitions=32)
     from deisa_ray_spark.functions import similarity as S
 
     import math
 
+    # SPARK_GRAFT_BEAM_SCALED: "1" = corpus-derived multiplier sweep;
+    # "tier" = the DECLARED sim_graph_beam_topk_scaled constants
+    # (SCALED_SERVE_K, SCALED_BEAM_B) — the r10 contract measurement.
     scaled = os.environ.get("SPARK_GRAFT_BEAM_SCALED") == "1"
+    tier = os.environ.get("SPARK_GRAFT_BEAM_SCALED") == "tier"
     for sf_dir in dirs:
         bf = {
             (r["qid"], r["neighbor_id"])
             for r in S.sim_bruteforce_topk(spark, sf_dir).collect()
         }
-        if scaled:
+        if tier:
+            serve_k, beam_b = S.SCALED_SERVE_K, S.SCALED_BEAM_B
+            print(f"# declared scaled tier: serve_k={serve_k} beam_b={beam_b}")
+        elif scaled:
             # corpus-scaled serving tier (the HNSW ef/M-grows-with-n
             # posture): out-links and beam width grow ~log2 of the
             # corpus-size multiple over the toy reference point.

@@ -134,6 +134,17 @@ def main() -> None:
                   f"(spark {rec['spark_s']}s ok)", file=sys.stderr)
             continue
         except Exception as e:  # noqa: BLE001
+            # Some DuckDB versions surface con.interrupt() as a generic
+            # duckdb.Error("INTERRUPT Error: ...") instead of
+            # InterruptException — still a cap, not an oracle error.
+            if "INTERRUPT" in str(e).upper():
+                rec["status"] = "capped"
+                rec["oracle_s"] = round(time.time() - t1, 2)
+                counts["capped"] += 1
+                results[name] = rec
+                print(f"{name}: oracle CAPPED at {ORACLE_CAP_S}s "
+                      f"(spark {rec['spark_s']}s ok)", file=sys.stderr)
+                continue
             rec["status"] = "error"
             rec["detail"] = f"oracle: {type(e).__name__}: {e}"[:300]
             counts["error"] += 1
