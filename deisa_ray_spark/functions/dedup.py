@@ -844,10 +844,18 @@ def verified_pairs_ctes() -> str:
     threshold", mirroring :func:`_jaccard_pairs` Spark-side. Every
     oracle that consumes the pair graph (clustering, splits, audits,
     triangles, the funnel) composes THIS fragment so the pair semantics
-    cannot drift between oracles."""
+    cannot drift between oracles.
+
+    MATERIALIZED on ``e``/``p`` (+ ``edges``/``nodes``/``comps``
+    downstream, r10): DuckDB inlines plain CTEs PER REFERENCE — the
+    PageRank oracle's unrolled round chain referenced ``edges`` every
+    round and re-ran this whole shingle self-join (~30 s at sf1) each
+    time, blowing the sf1 mirror's 90 s cap; materialized, the full
+    keep_best/pagerank oracles run ~18 s at sf1 (the BPE
+    inlining-is-exponential lesson applied to the graph family)."""
     return f"""sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS (
+    e AS MATERIALIZED (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+    p AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
              any_value(a.n) AS na, any_value(b.n) AS nb
       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -865,15 +873,15 @@ def cc_oracle_ctes() -> str:
     component computation, mirroring the shared _jaccard_pairs/cc_labels
     builders Spark-side, so the oracles cannot drift."""
     return f"""{verified_pairs_ctes()},
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
               UNION SELECT doc_b, doc_a FROM p),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
     reach(id, comp) AS (
       SELECT id, id FROM nodes
       UNION
       SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
     ),
-    comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
+    comps AS MATERIALIZED (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
