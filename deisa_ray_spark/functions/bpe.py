@@ -68,10 +68,12 @@ WORD_RE = r"\A[a-z]+\z"
 # --------------------------------------------------------------------------
 # shared oracle CTE chain
 # --------------------------------------------------------------------------
-def bpe_oracle_cte_prefix(k: int = BPE_MERGES) -> str:
+def bpe_oracle_cte_prefix(k: int = BPE_MERGES, extra_where: str = "") -> str:
     """CTEs ``r0..r{k}`` (vocab with encoded symbol string per round)
     and ``best1..best{k}`` (the round's winning pair). Caller wraps in
-    ``WITH {prefix} SELECT …``."""
+    ``WITH {prefix} SELECT …``. ``extra_where`` is appended to the
+    word-frequency filter (the holdout A/B trains on a lexicon slice);
+    the default keeps the chain byte-identical to the pre-r10 form."""
     rounds = []
     for i in range(1, k + 1):
         rounds.append(f"""
@@ -106,10 +108,48 @@ def bpe_oracle_cte_prefix(k: int = BPE_MERGES) -> str:
       FROM (SELECT w, count(*) AS cnt
             FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
                   FROM documents)
-            WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)
+            WHERE regexp_matches(w, '^[a-z]+$')"""
+        + extra_where
+        + """ GROUP BY w)
     ),"""
         + ",".join(rounds)
     )
+
+
+def bpe_oracle_apply_ctes(words_cte: str, k: int = BPE_MERGES,
+                          tag: str = "ba") -> str:
+    """CTEs ``{tag}0..{tag}{k}`` applying an ALREADY-TRAINED merge chain
+    (``best1..best{k}`` from :func:`bpe_oracle_cte_prefix`, which must
+    precede this fragment in the WITH) to an arbitrary word set
+    ``words_cte`` — the open-vocabulary encode: unseen words start as
+    characters and receive exactly the merges they contain. Ends in
+    ``{tag}enc(w, n_tok)``."""
+    parts = [f"""
+    {tag}0 AS MATERIALIZED (
+      SELECT w,
+             regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g')
+               || chr(1)||'</w>'||chr(1) AS s
+      FROM {words_cte}
+    )"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    {tag}{i} AS MATERIALIZED (
+      SELECT w,
+             CASE WHEN EXISTS (SELECT 1 FROM best{i})
+                  THEN replace(s,
+                       (SELECT chr(1)||pa||chr(1)||chr(1)||pb||chr(1)
+                        FROM best{i}),
+                       (SELECT chr(1)||pa||pb||chr(1) FROM best{i}))
+                  ELSE s END AS s
+      FROM {tag}{i-1}
+    )""")
+    parts.append(f"""
+    {tag}enc AS MATERIALIZED (
+      SELECT w, CAST(len(string_split(substring(s, 2, length(s)-2),
+                                      chr(1)||chr(1))) AS BIGINT) AS n_tok
+      FROM {tag}{k}
+    )""")
+    return ",".join(parts)
 
 
 # --------------------------------------------------------------------------
@@ -195,6 +235,33 @@ def bpe_train_from_words(wf: DataFrame, k: int = BPE_MERGES):
         free_local_checkpoint(cur)  # superseded round — never read again
         cur = nxt
     return merges, cur
+
+
+def bpe_apply_merges(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply a TRAINED merge table to an arbitrary ``words(w)`` frame —
+    the open-vocabulary encode twin of :func:`bpe_oracle_apply_ctes`:
+    unseen words start as characters and receive exactly the merges
+    they contain. Returns ``(w, n_tok)``.
+
+    The merge table is a bounded K-row model artifact (K = BPE_MERGES),
+    so collecting it driver-side is the sanctioned model-read; the
+    merges become LITERAL replace expressions in ONE projection — a
+    single whole-stage-codegen map over the word set, no per-round
+    joins or checkpoints."""
+    rows = sorted(merges.collect(), key=lambda r: r["round"])
+    s = F.concat(
+        F.regexp_replace("w", "(.)", _SEP + "$1" + _SEP),
+        F.lit(_SEP + _EOW + _SEP),
+    )
+    for r in rows:
+        s = F.replace(
+            s,
+            F.lit(_SEP + r["lhs"] + _SEP + _SEP + r["rhs"] + _SEP),
+            F.lit(_SEP + r["lhs"] + r["rhs"] + _SEP),
+        )
+    return words.select("w", s.alias("s")).select(
+        "w", F.size(_syms()).cast("bigint").alias("n_tok")
+    )
 
 
 def _word_freq(docs: DataFrame) -> DataFrame:

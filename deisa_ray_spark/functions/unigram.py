@@ -135,10 +135,14 @@ def _bt_ctes(tag: str, states: str, words: str) -> str:
     return ",".join(parts)
 
 
-def uni_oracle_model_ctes() -> str:
+def uni_oracle_model_ctes(extra_where: str = "") -> str:
     """Seeding + UNI_ROUNDS hard-EM rounds, ending in ``uni_model(piece,
     usage, w_fp, is_single)``. ``uwords(w, cnt)`` is the DP word table
-    (len <= UNI_MAX_WORD); ``uwords_all`` includes over-length words."""
+    (len <= UNI_MAX_WORD); ``uwords_all`` includes over-length words.
+    ``extra_where`` filters the TRAINING word table ``uwords`` only
+    (the holdout A/B trains on a lexicon slice); ``uwords_all`` always
+    stays the full corpus lexicon. Default keeps the chain
+    byte-identical."""
     parts = [f"""
     uwords_all AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS cnt
@@ -147,7 +151,8 @@ def uni_oracle_model_ctes() -> str:
       WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
     ),
     uwords AS MATERIALIZED (
-      SELECT w, cnt FROM uwords_all WHERE length(w) <= {UNI_MAX_WORD}
+      SELECT w, cnt FROM uwords_all
+      WHERE length(w) <= {UNI_MAX_WORD}{extra_where}
     ),
     usubs AS MATERIALIZED (
       SELECT substring(w, i, L) AS piece, CAST(sum(cnt) AS BIGINT) AS pcnt

@@ -68,9 +68,11 @@ _SEP = "\x01"  #: symbol sentinel (cannot occur in [a-z#]+ symbols)
 # --------------------------------------------------------------------------
 # shared oracle CTE chain — training
 # --------------------------------------------------------------------------
-def wp_oracle_train_ctes(k: int = WP_MERGES) -> str:
+def wp_oracle_train_ctes(k: int = WP_MERGES, extra_where: str = "") -> str:
     """CTEs ``w0..w{k}`` (word-state per round) and ``wbest1..wbest{k}``
-    (the round's likelihood-argmax pair)."""
+    (the round's likelihood-argmax pair). ``extra_where`` is appended
+    to the word-frequency filter (the holdout A/B trains on a lexicon
+    slice); the default keeps the chain byte-identical."""
     rounds = []
     for i in range(1, k + 1):
         rounds.append(f"""
@@ -116,15 +118,26 @@ def wp_oracle_train_ctes(k: int = WP_MERGES) -> str:
       FROM (SELECT w, count(*) AS cnt
             FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
                   FROM documents)
-            WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)
+            WHERE regexp_matches(w, '^[a-z]+$')"""
+        + extra_where
+        + """ GROUP BY w)
     ),"""
         + ",".join(rounds)
     )
 
 
-def wp_oracle_encode_ctes(k: int = WP_MERGES, lmax: int = WP_MAX_WORD_LEN) -> str:
+def wp_oracle_encode_ctes(
+    k: int = WP_MERGES,
+    lmax: int = WP_MAX_WORD_LEN,
+    extra_where: str = "",
+    words_cte: str = "(SELECT DISTINCT w FROM w0)",
+) -> str:
     """Training chain + ``wpieces`` (final vocab) + longest-match rounds
-    ``e0..e{lmax}`` ending in ``wp_enc(w, n_pieces, unk)``."""
+    ``e0..e{lmax}`` ending in ``wp_enc(w, n_pieces, unk)``.
+    ``extra_where`` filters the TRAIN word-frequency; ``words_cte`` is
+    the word set to ENCODE (default: the training words) — the holdout
+    A/B trains on a lexicon slice and encodes everything (longest-match
+    handles unseen words natively: no match -> UNK)."""
     rounds = []
     for i in range(1, lmax + 1):
         rounds.append(f"""
@@ -154,7 +167,7 @@ def wp_oracle_encode_ctes(k: int = WP_MERGES, lmax: int = WP_MAX_WORD_LEN) -> st
       FROM e{i-1} e LEFT JOIN m{i} m USING (w)
     )""")
     return (
-        wp_oracle_train_ctes(k)
+        wp_oracle_train_ctes(k, extra_where)
         + f""",
     wpieces AS MATERIALIZED (
       SELECT DISTINCT unnest(string_split(substring(s, 2, length(s)-2),
@@ -166,7 +179,7 @@ def wp_oracle_encode_ctes(k: int = WP_MERGES, lmax: int = WP_MAX_WORD_LEN) -> st
              CASE WHEN length(w) > {lmax} THEN '' ELSE w END AS rem,
              CASE WHEN length(w) > {lmax} THEN 1 ELSE 0 END AS n_pieces,
              CASE WHEN length(w) > {lmax} THEN 1 ELSE 0 END AS unk
-      FROM (SELECT DISTINCT w FROM w0)
+      FROM {words_cte}
     ),"""
         + ",".join(rounds)
         + f""",
@@ -267,18 +280,24 @@ def wp_train_from_words(wf: DataFrame, k: int = WP_MERGES):
     return merges, cur
 
 
-def wp_encode_words(vocab_state: DataFrame, lmax: int = WP_MAX_WORD_LEN) -> DataFrame:
+def wp_encode_words(
+    vocab_state: DataFrame,
+    lmax: int = WP_MAX_WORD_LEN,
+    words: "DataFrame | None" = None,
+) -> DataFrame:
     """Greedy longest-match-first encode of the distinct words against
     the final piece vocabulary: ``(w, n_pieces, unk)``. Each round
     explodes the remaining suffix's prefixes and EQUI-joins them to the
     piece set (theta-free), consumes >= 1 character, and words that ever
-    fail to match collapse to one UNK token."""
+    fail to match collapse to one UNK token. ``words`` overrides the
+    word set to encode (default: the training words) — the holdout A/B
+    encodes unseen words, which UNK out when no piece matches."""
     pieces = (
         vocab_state.select(F.explode(_syms()).alias("piece")).distinct().localCheckpoint()
     )
     over = F.length("w") > lmax
     state = (
-        vocab_state.select("w")
+        (vocab_state.select("w") if words is None else words.select("w"))
         .distinct()
         .select(
             "w",
@@ -529,4 +548,159 @@ def txt_tokenizer_fertility_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("uni_n_pieces") / F.count(F.lit(1)), 6).alias("uni_fertility"),
         F.sum("uni_unk").cast("bigint").alias("uni_unk_occurrences"),
         F.round(F.sum("uni_n_pieces") / F.sum("n_tok"), 6).alias("uni_over_bpe"),
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_tokenizer_fertility_holdout — OPEN-VOCABULARY tokenizer A/B: the
+# in-lexicon A/B above is honest about what it measures (the unigram
+# 1.58 pieces/word headline is lexicon memorization on the synthetic
+# fixed vocab), so this query measures what it can NOT: generalization
+# to words the tokenizers never saw. A DOC-level split yields zero
+# unseen words here (every lexicon word appears in both slices even on
+# the Heaps-grown sf1 corpus — measured), so the holdout is a LEXICON
+# slice: words whose md5 first hex < HOLDOUT_HEX_LT (~1/4) are withheld
+# from ALL THREE trainers; everything is then encoded and reported per
+# slice (held=0 in-lexicon vs held=1 unseen).
+#
+# Encoding unseen words exercises each family's real open-vocab path:
+# BPE applies the trained merge table to raw characters (no UNK by
+# construction), WordPiece longest-matches against the trained pieces
+# and UNKs on any gap, Unigram Viterbi-decodes over the trained piece
+# weights and UNKs only when a character was never seen in training
+# (unreachable DP) or the word is over-length. The gap between held=0
+# and held=1 fertility IS the memorization measurement.
+#
+# Scale shape: everything runs on the (tiny, lexicon-sized) word-freq
+# table; the corpus is touched exactly once by the word-freq explode.
+# The trained artifacts are session-cached like the in-lexicon A/B's.
+# --------------------------------------------------------------------------
+HOLDOUT_HEX_LT = "4"  #: md5(w) first hex < this → held out (~4/16 of lexicon)
+_TRAIN_WHERE = f" AND substr(md5(w), 1, 1) >= '{HOLDOUT_HEX_LT}'"
+
+
+def _holdout_oracle() -> str:
+    from deisa_ray_spark.functions.bpe import (
+        bpe_oracle_apply_ctes,
+        bpe_oracle_cte_prefix,
+    )
+    from deisa_ray_spark.functions.unigram import (
+        UNI_MAX_WORD,
+        _fwd_ctes,
+        uni_oracle_model_ctes,
+    )
+
+    return f"""
+    WITH hw AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CASE WHEN substr(md5(w), 1, 1) < '{HOLDOUT_HEX_LT}'
+                       THEN 1 ELSE 0 END AS INT) AS held
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    ),
+    {bpe_oracle_cte_prefix(extra_where=_TRAIN_WHERE)},
+    {bpe_oracle_apply_ctes("(SELECT w FROM hw)")},
+    {wp_oracle_encode_ctes(extra_where=_TRAIN_WHERE,
+                           words_cte="(SELECT w FROM hw)")},
+    {uni_oracle_model_ctes(extra_where=_TRAIN_WHERE)},
+    uhw AS MATERIALIZED (
+      SELECT w, cnt FROM hw WHERE length(w) <= {UNI_MAX_WORD}
+    ),
+    {_fwd_ctes("uh_", "uni_model", "uhw")},
+    uh_enc AS MATERIALIZED (
+      SELECT s.w, CAST(s.np AS BIGINT) AS n_pieces
+      FROM uh_s s WHERE s.j = length(s.w) AND s.j > 0
+    )
+    SELECT held,
+           CAST(count(*) AS BIGINT) AS n_words_distinct,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           round(sum(cnt * n_tok) * 1.0 / sum(cnt), 6) AS bpe_fertility,
+           round(sum(cnt * wp_np) * 1.0 / sum(cnt), 6) AS wp_fertility,
+           CAST(sum(cnt * wp_unk) AS BIGINT) AS wp_unk_occurrences,
+           round(sum(cnt * coalesce(u.n_pieces, 1)) * 1.0 / sum(cnt), 6)
+             AS uni_fertility,
+           CAST(sum(cnt * (CASE WHEN u.n_pieces IS NULL THEN 1 ELSE 0 END))
+                AS BIGINT) AS uni_unk_occurrences
+    FROM hw
+    LEFT JOIN baenc USING (w)
+    LEFT JOIN (SELECT w, n_pieces AS wp_np, unk AS wp_unk FROM wp_enc)
+      USING (w)
+    LEFT JOIN uh_enc u ON u.w = hw.w
+    GROUP BY held
+    """
+
+
+def _tok_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-word frame ``(w, cnt, held, n_tok, wp_np,
+    wp_unk, uni_np, uni_unk)``: all three tokenizers trained on the
+    md5-threshold train slice of the lexicon, every word encoded."""
+    from deisa_ray_spark.functions.bpe import (
+        _word_freq,
+        bpe_apply_merges,
+        bpe_train_from_words,
+    )
+    from deisa_ray_spark.functions.dedup import _session_cached
+    from deisa_ray_spark.functions.unigram import (
+        uni_encode_words,
+        uni_train_from_words,
+    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        wf = (
+            _word_freq(docs)
+            .withColumn(
+                "held",
+                (F.substring(F.md5("w"), 1, 1) < HOLDOUT_HEX_LT).cast("int"),
+            )
+            .localCheckpoint()  # read by 3 trainers + the final join
+        )
+        train_wf = wf.filter(F.col("held") == 0).select("w", "cnt")
+        merges, _vocab = bpe_train_from_words(train_wf)
+        benc = bpe_apply_merges(wf.select("w"), merges)
+        _wm, wstate = wp_train_from_words(train_wf)
+        wenc = wp_encode_words(wstate, words=wf.select("w")).select(
+            "w",
+            F.col("n_pieces").alias("wp_np"),
+            F.col("unk").alias("wp_unk"),
+        )
+        model, _dpw, _ml = uni_train_from_words(train_wf)
+        uenc = uni_encode_words(wf.select("w", "cnt"), model).select(
+            "w",
+            F.col("n_pieces").alias("uni_np"),
+            F.col("unk").alias("uni_unk"),
+        )
+        return (
+            wf.join(benc, "w", "left")
+            .join(wenc, "w", "left")
+            .join(uenc, "w", "left")
+        )
+
+    return _session_cached(spark, "tok_holdout", sf_dir, build, eager=True)
+
+
+@query("txt_tokenizer_fertility_holdout", oracle=_holdout_oracle())
+def txt_tokenizer_fertility_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tok_holdout(spark, sf_dir)
+    return t.groupBy("held").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words_distinct"),
+        F.sum("cnt").cast("bigint").alias("n_occurrences"),
+        F.round(F.sum(F.col("cnt") * F.col("n_tok")) / F.sum("cnt"), 6).alias(
+            "bpe_fertility"
+        ),
+        F.round(F.sum(F.col("cnt") * F.col("wp_np")) / F.sum("cnt"), 6).alias(
+            "wp_fertility"
+        ),
+        F.sum(F.col("cnt") * F.col("wp_unk")).cast("bigint").alias(
+            "wp_unk_occurrences"
+        ),
+        F.round(
+            F.sum(F.col("cnt") * F.coalesce(F.col("uni_np"), F.lit(1)))
+            / F.sum("cnt"),
+            6,
+        ).alias("uni_fertility"),
+        F.sum(F.col("cnt") * F.coalesce(F.col("uni_unk"), F.lit(1)))
+        .cast("bigint")
+        .alias("uni_unk_occurrences"),
     )
