@@ -602,7 +602,8 @@ def q16_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_range_join_ship_window",
     oracle="""
     SELECT o.o_orderkey, count(*) AS n_items_in_window,
-           round(sum(l.l_extendedprice), 2) AS window_revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS window_revenue
     FROM orders o JOIN lineitem l
       ON l.l_orderkey = o.o_orderkey
      AND l.l_shipdate >= o.o_orderdate
@@ -619,7 +620,13 @@ def q17_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_items_in_window"),
-        F.round(F.sum("l_extendedprice"), 2).alias("window_revenue"),
+        # exact-decimal sum (the q45 boundary-flip discipline): money
+        # sums land exactly on .005 boundaries, so a double sum can
+        # flip round()'s last digit between runs/engines
+        F.expr(
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)"
+            " AS DOUBLE)"
+        ).alias("window_revenue"),
     )
 
 
@@ -664,7 +671,8 @@ def q18_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(CAST(extract(year FROM o_orderdate) AS VARCHAR), 'ALL') AS yr,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderpriority, extract(year FROM o_orderdate))
     """,
@@ -675,7 +683,13 @@ def q19_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.cube("o_orderpriority", "yr_num")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)"
+                " AS DOUBLE)"
+            ).alias("total"),
+        )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce(F.col("yr_num").cast("string"), F.lit("ALL")).alias("yr"),
@@ -699,7 +713,9 @@ def q19_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            dense_rank()       OVER w AS drank,
            ntile(4)           OVER w AS quartile,
            round(cume_dist()  OVER w, 6) AS cdist,
-           round(sum(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING), 2) AS running_total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (w ROWS UNBOUNDED PRECEDING), 2)
+                AS DOUBLE) AS running_total
     FROM orders
     WHERE o_custkey < 50
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
@@ -717,9 +733,16 @@ def q20_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drank"),
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # exact-decimal running sum (the q45 discipline): the frame
+        # order is total, but decimal keeps every prefix exact too
         F.round(
-            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
-        ).alias("running_total"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -883,7 +906,9 @@ def q27_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q28_unpivot_lineitem",
     oracle="""
-    SELECT l_returnflag, metric, round(sum(val), 2) AS total, count(*) AS n
+    SELECT l_returnflag, metric,
+           CAST(round(sum(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           count(*) AS n
     FROM (
       SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
       UNION ALL
@@ -908,7 +933,11 @@ def q28_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("discount"),
     )
     return long.groupBy("l_returnflag", "metric").agg(
-        F.round(F.sum("val"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+        # all three unpivoted metrics are 2-decimal money columns, so
+        # the exact-decimal sum discipline applies to the shared slot
+        F.expr("CAST(round(sum(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE)")
+        .alias("total"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

@@ -48,7 +48,8 @@ _Q22 = """
            cast(grouping(o_orderpriority) AS INT) AS g_pri,
            cast(grouping(o_orderstatus)  AS INT) AS g_st,
            count(*)                               AS n_orders,
-           round(sum(o_totalprice), 2)            AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)                        AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus), ())
@@ -91,7 +92,8 @@ def q23_exists_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the fixture so the average is bit-exact across engines.
 # --------------------------------------------------------------------------
 _Q24 = """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#2'
@@ -551,12 +553,18 @@ def q46_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate), shrinking the build side Catalyst broadcasts.
 # --------------------------------------------------------------------------
 _Q47 = """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name AS nation,
                cast(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-               l_extendedprice * (1 - l_discount)
-                 - (0.1 * p_retailprice) * l_quantity AS amount
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(24,4))
+                 - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))
+                        AS DECIMAL(24,4)) * CAST(0.1 AS DECIMAL(2,1))
+                 AS amount
         FROM part, supplier, lineitem, orders, nation
         WHERE s_suppkey = l_suppkey
           AND p_partkey = l_partkey
@@ -705,7 +713,8 @@ _Q52_CODES = """('01', '02', '03', '04', '05', '06', '07', '08', '09',
 
 _Q52 = f"""
     SELECT cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS totacctbal
     FROM (
         SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode,
                c_acctbal
