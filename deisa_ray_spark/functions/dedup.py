@@ -1833,10 +1833,13 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banded O(n) pipeline (shared session-cached signature/band tables, so
 # the audit adds one left join over the pair set, not a recompute).
 # --------------------------------------------------------------------------
-@query(
-    "dedup_lsh_recall_audit",
-    oracle=f"""
-    WITH {lsh_oracle_cte_prefix()},
+def lsh_audit_ctes() -> str:
+    """The banded-LSH recall-audit chain ending in ``marked(bucket,
+    caught)`` — one row per true shared-shingle pair with its
+    integer-exact Jaccard decile and whether the banded candidate
+    generation caught it. Shared by dedup_lsh_recall_audit and the data
+    card's retrieval section (single source, the card discipline)."""
+    return f"""{lsh_oracle_cte_prefix()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -1855,17 +1858,12 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              c.doc_a IS NOT NULL AS caught
       FROM truth t
       LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
-    )
-    SELECT CAST(bucket AS BIGINT) AS bucket,
-           round(bucket / 10.0, 1) AS jaccard_lo,
-           CAST(count(*) AS BIGINT) AS n_true_pairs,
-           CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
-           round(sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-             AS recall
-    FROM marked GROUP BY bucket
-    """,
-)
-def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def lsh_audit_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`lsh_audit_ctes`'s ``marked``: ``(bucket,
+    caught)`` per true pair, session-cached band tables reused."""
     sh = _shingle_sets(spark, sf_dir)
     bands = _session_cached(
         spark,
@@ -1887,10 +1885,27 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("caught", F.lit(True))
     )
     truth = shared_shingle_pairs(spark, sf_dir)
-    marked = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+    return truth.join(cand, ["doc_a", "doc_b"], "left").select(
         F.expr("10 * n_common div (na + nb - n_common)").alias("bucket"),
         F.coalesce("caught", F.lit(False)).alias("caught"),
     )
+
+
+@query(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH {lsh_audit_ctes()}
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           round(bucket / 10.0, 1) AS jaccard_lo,
+           CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           round(sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS recall
+    FROM marked GROUP BY bucket
+    """,
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marked = lsh_audit_marked(spark, sf_dir)
     return marked.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
         F.round(F.first("bucket") / 10.0, 1).alias("jaccard_lo"),
         F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),

@@ -46,17 +46,59 @@ def _row(section: str, metric, v_int, v_x1e6=None):
 
 
 def _card_oracle() -> str:
-    from deisa_ray_spark.functions.dedup import BENCH_MOD, _extents_sql
-    from deisa_ray_spark.functions.dedup import contamination_ctes
+    from deisa_ray_spark.functions.bpe import BPE_MERGES, bpe_oracle_cte_prefix
+    from deisa_ray_spark.functions.dedup import (
+        BENCH_MOD,
+        JACCARD_THRESHOLD,
+        _extents_sql,
+        contamination_ctes,
+        lsh_audit_ctes,
+    )
     from deisa_ray_spark.functions.quality_model import _nb_ctes, nb_scoring_ctes
+    from deisa_ray_spark.functions.similarity import _geo_code_sql
     from deisa_ray_spark.functions.text import gopher_gate_ctes
+    from deisa_ray_spark.functions.unigram import uni_oracle_encode_ctes
+    from deisa_ray_spark.functions.wordpiece import wp_oracle_encode_ctes
 
+    thresh_bucket = int(JACCARD_THRESHOLD * 10)
     return f"""
     WITH {_extents_sql()},
     {_nb_ctes()},
     {nb_scoring_ctes()},
     {gopher_gate_ctes()},
     {contamination_ctes()},
+    {lsh_audit_ctes()},
+    {bpe_oracle_cte_prefix()},
+    {wp_oracle_encode_ctes()},
+    {uni_oracle_encode_ctes()},
+    tokw AS (SELECT CAST(sum(cnt) AS BIGINT) AS occ FROM r0),
+    tokb AS (
+      SELECT CAST(sum(cnt * len(string_split(substring(s, 2, length(s)-2),
+                                             chr(1)||chr(1)))) AS BIGINT)
+               AS pieces
+      FROM r{BPE_MERGES}
+    ),
+    tokwp AS (
+      SELECT CAST(sum(w0.cnt * e2.n_pieces) AS BIGINT) AS pieces,
+             CAST(sum(w0.cnt * e2.unk) AS BIGINT) AS unk
+      FROM wp_enc e2 JOIN w0 USING (w)
+    ),
+    toku AS (
+      SELECT CAST(sum(uw.cnt * u.n_pieces) AS BIGINT) AS pieces,
+             CAST(sum(uw.cnt * u.unk) AS BIGINT) AS unk,
+             CAST(sum(uw.cnt) AS BIGINT) AS occ
+      FROM uni_enc u JOIN uwords uw USING (w)
+    ),
+    embt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+             CAST(count(DISTINCT {_geo_code_sql(0)}) AS BIGINT) AS n_geo_cells
+      FROM embeddings
+    ),
+    embl AS (
+      SELECT CAST(max(n) AS BIGINT) AS largest
+      FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)
+    ),
     corpus AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -123,6 +165,41 @@ def _card_oracle() -> str:
            CAST((SELECT count(*) FROM ccont) AS BIGINT),
            (SELECT count(*) FROM ccont) * 1000000
              // (SELECT count(*) FROM documents WHERE doc_id % {BENCH_MOD} <> 0)
+    UNION ALL SELECT 'embedding', 'n_vectors', n_vectors, -1 FROM embt
+    UNION ALL SELECT 'embedding', 'n_labels', n_labels, -1 FROM embt
+    UNION ALL SELECT 'embedding', 'n_geo_cells', n_geo_cells, -1 FROM embt
+    UNION ALL
+    SELECT 'embedding', 'largest_label_members', largest,
+           CAST(largest * 1000000 // (SELECT n_vectors FROM embt) AS BIGINT)
+    FROM embl
+    UNION ALL
+    SELECT 'retrieval', 'lsh_pairs_above_thresh',
+           CAST(count(*) AS BIGINT),
+           CAST(CASE WHEN count(*) = 0 THEN -1
+                ELSE sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1000000
+                     // count(*) END AS BIGINT)
+    FROM marked WHERE bucket >= {thresh_bucket}
+    UNION ALL SELECT 'tokenizer', 'word_occurrences', occ, -1 FROM tokw
+    UNION ALL
+    SELECT 'tokenizer', 'bpe_pieces', pieces,
+           CAST(pieces * 1000000 // (SELECT occ FROM tokw) AS BIGINT)
+    FROM tokb
+    UNION ALL
+    SELECT 'tokenizer', 'wp_pieces', pieces,
+           CAST(pieces * 1000000 // (SELECT occ FROM tokw) AS BIGINT)
+    FROM tokwp
+    UNION ALL
+    SELECT 'tokenizer', 'wp_unk_occurrences', unk,
+           CAST(unk * 1000000 // (SELECT occ FROM tokw) AS BIGINT)
+    FROM tokwp
+    UNION ALL
+    SELECT 'tokenizer', 'uni_pieces', pieces,
+           CAST(pieces * 1000000 // occ AS BIGINT)
+    FROM toku
+    UNION ALL
+    SELECT 'tokenizer', 'uni_unk_occurrences', unk,
+           CAST(unk * 1000000 // occ AS BIGINT)
+    FROM toku
     """
 
 
@@ -238,6 +315,99 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         cont.select(*_row("contamination", "n_contaminated", F.col("n_cont"),
                           share("n_cont", "n_nonbench")))
     )
+
+    # v2 sections (r10): embedding-space health, LSH retrieval audit,
+    # tokenizer fertility — each composed from its owning module's
+    # single-source builders and session-cached to one 1-row frame.
+    from deisa_ray_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        lsh_audit_marked,
+    )
+    from deisa_ray_spark.functions.similarity import _emb, _geo_code
+
+    def build_embed() -> DataFrame:
+        embf = _emb(spark, sf_dir)
+        base = embf.agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.countDistinct(_geo_code(F.col("e"), 0)).alias("n_geo_cells"),
+        )
+        big = (
+            embf.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("largest"))
+        )
+        return base.join(F.broadcast(big), F.lit(True))
+
+    embt = _session_cached(spark, "card_embedding", sf_dir, build_embed)
+    for m in ("n_vectors", "n_labels", "n_geo_cells"):
+        frames.append(embt.select(*_row("embedding", m, F.col(m))))
+    frames.append(
+        embt.select(*_row("embedding", "largest_label_members",
+                          F.col("largest"), share("largest", "n_vectors")))
+    )
+    ret = _session_cached(
+        spark,
+        "card_lsh",
+        sf_dir,
+        lambda: lsh_audit_marked(spark, sf_dir)
+        .filter(F.col("bucket") >= int(JACCARD_THRESHOLD * 10))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("caught").cast("int")).alias("n_caught"),
+        ),
+    )
+    frames.append(
+        ret.select(*_row(
+            "retrieval", "lsh_pairs_above_thresh", F.col("n_pairs"),
+            F.when(F.col("n_pairs") == 0, F.lit(-1))
+            .otherwise(F.expr("n_caught * 1000000 DIV n_pairs")),
+        ))
+    )
+
+    def build_tok() -> DataFrame:
+        from deisa_ray_spark.functions.bpe import _bpe_trained
+        from deisa_ray_spark.functions.bpe import _syms as _bpe_syms
+        from deisa_ray_spark.functions.unigram import _uni_trained
+        from deisa_ray_spark.functions.wordpiece import _wp_trained
+
+        _bm, bvocab = _bpe_trained(spark, sf_dir)
+        bp = bvocab.agg(
+            F.sum("cnt").alias("occ"),
+            F.sum(F.col("cnt") * F.size(_bpe_syms())).alias("bpe_pieces"),
+        )
+        _wm, wstate, wpe = _wp_trained(spark, sf_dir)
+        wp = wpe.join(wstate.select("w", "cnt"), "w").agg(
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias("wp_pieces"),
+            F.sum(F.col("cnt") * F.col("unk")).alias("wp_unk"),
+        )
+        _um, uni_wf, uni_enc, _ml = _uni_trained(spark, sf_dir)
+        un = uni_enc.join(uni_wf.select("w", "cnt"), "w").agg(
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias("uni_pieces"),
+            F.sum(F.col("cnt") * F.col("unk")).alias("uni_unk"),
+            F.sum("cnt").alias("uni_occ"),
+        )
+        return bp.join(F.broadcast(wp), F.lit(True)).join(
+            F.broadcast(un), F.lit(True)
+        )
+
+    tok = _session_cached(spark, "card_tokenizer", sf_dir, build_tok)
+    frames.append(tok.select(*_row("tokenizer", "word_occurrences",
+                                   F.col("occ"))))
+    frames.append(tok.select(*_row("tokenizer", "bpe_pieces",
+                                   F.col("bpe_pieces"),
+                                   share("bpe_pieces", "occ"))))
+    frames.append(tok.select(*_row("tokenizer", "wp_pieces",
+                                   F.col("wp_pieces"),
+                                   share("wp_pieces", "occ"))))
+    frames.append(tok.select(*_row("tokenizer", "wp_unk_occurrences",
+                                   F.col("wp_unk"), share("wp_unk", "occ"))))
+    frames.append(tok.select(*_row("tokenizer", "uni_pieces",
+                                   F.col("uni_pieces"),
+                                   share("uni_pieces", "uni_occ"))))
+    frames.append(tok.select(*_row("tokenizer", "uni_unk_occurrences",
+                                   F.col("uni_unk"),
+                                   share("uni_unk", "uni_occ"))))
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
