@@ -1755,28 +1755,47 @@ def serve_edges(
     from deisa_ray_spark.functions.dedup import _session_cached
 
     def build() -> DataFrame:
-        emb = _emb(spark, sf_dir)
-        # serve_k out-links per node per view (richer than the k=5 block
-        # artifact — see the SERVE_K note); the block view reuses the
-        # cached assignment, so only the pair+rank stage reruns.
-        directed = knn_graph_from_assigned(
-            knn_assigned_cached(spark, sf_dir), k=serve_k
-        ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        for v in range(GEO_VIEWS):
-            view_graph = knn_graph_from_assigned(
-                knn_assigned(emb, key=_geo_code(F.col("e"), v)), k=serve_k
-            )
-            directed = directed.unionByName(
-                view_graph.select(
-                    F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
-                )
-            )
-        return directed.unionByName(
-            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        # the block view reuses the cached assignment, so only the
+        # pair+rank stage reruns
+        return serve_edges_from(
+            _emb(spark, sf_dir),
+            serve_k=serve_k,
+            block_assigned=knn_assigned_cached(spark, sf_dir),
+        )
 
     tag = "serve_edges" if serve_k == SERVE_K else f"serve_edges_k{serve_k}"
     return _session_cached(spark, tag, sf_dir, build, eager=True)
+
+
+def serve_edges_from(
+    emb: DataFrame,
+    serve_k: int = SERVE_K,
+    block_assigned: "DataFrame | None" = None,
+) -> DataFrame:
+    """Build the undirected serving edge set from an arbitrary vector
+    frame ``(vec_id, label, e)`` — the single-source builder behind
+    :func:`serve_edges`, also used by the incremental serve-graph
+    upsert tests to state the full-rebuild equivalence over a
+    keep-latest member set. ``block_assigned`` supplies a pre-computed
+    block-view assignment (the session cache); default assigns fresh.
+    serve_k out-links per node per view (richer than the k=5 block
+    artifact — see the SERVE_K note)."""
+    directed = knn_graph_from_assigned(
+        block_assigned if block_assigned is not None else knn_assigned(emb),
+        k=serve_k,
+    ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    for v in range(GEO_VIEWS):
+        view_graph = knn_graph_from_assigned(
+            knn_assigned(emb, key=_geo_code(F.col("e"), v)), k=serve_k
+        )
+        directed = directed.unionByName(
+            view_graph.select(
+                F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+            )
+        )
+    return directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
 
 
 def _upper_sample(idcol: Column) -> Column:
@@ -1811,17 +1830,30 @@ def upper_edges(
     from deisa_ray_spark.functions.dedup import _session_cached
 
     def build() -> DataFrame:
-        directed = knn_graph_from_assigned(
-            upper_assigned_cached(spark, sf_dir), k=serve_k
-        ).select(
-            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        return upper_edges_from(
+            None, serve_k=serve_k,
+            assigned=upper_assigned_cached(spark, sf_dir),
         )
-        return directed.unionByName(
-            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
 
     tag = "upper_edges" if serve_k == SERVE_K else f"upper_edges_k{serve_k}"
     return _session_cached(spark, tag, sf_dir, build, eager=True)
+
+
+def upper_edges_from(
+    emb_sampled: "DataFrame | None",
+    serve_k: int = SERVE_K,
+    assigned: "DataFrame | None" = None,
+) -> DataFrame:
+    """Upper-layer edges from an (already md5-sampled) vector frame —
+    the single-source builder behind :func:`upper_edges`; the upsert
+    tests pass the keep-latest sampled member set."""
+    directed = knn_graph_from_assigned(
+        assigned if assigned is not None else knn_assigned(emb_sampled),
+        k=serve_k,
+    ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    return directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
 
 
 def _upper_ctes(serve_k: int = SERVE_K) -> str:

@@ -38,7 +38,25 @@ state (the previous complete version is read, the new one written, so a
 re-run of batch b regenerates v{b} identically). Rewriting the edge
 state per batch is the parquet-only simplification — production would
 MERGE into Delta or dynamically overwrite (view, grp) partitions; the
-group-replacement logic is identical.
+group-replacement logic is identical. Two honesty notes on that
+simplification: (a) the per-batch COMPUTE is group-local, but the
+parquet rewrite of the carried-forward edges is O(total edges) — the
+"work per batch is independent of corpus size" claim below holds for
+assignment/ranking work, not for this state I/O (a Delta MERGE removes
+it); (b) superseded ``edges/v*`` versions are PRUNED after each commit
+(the latest two are kept: the newest serves reads, its predecessor is
+what an idempotent replay of the newest batch reads), so state disk
+stays bounded instead of accumulating one full edge copy per batch.
+
+UPSERT semantics (r10): a re-sent ``vec_id`` REPLACES its previous
+version — the member set is keep-latest-per-vec_id (highest batch id
+wins), and the group census for each view includes the re-sent ids'
+OLD coarse keys as well as their new ones, so the stale vector's old
+groups are rebuilt without it and its new groups with it. The
+full-rebuild equivalence contract then reads: maintained state ==
+rebuild over the keep-latest vector set. A duplicate vec_id WITHIN one
+batch is ambiguous (which version wins?) and raises ContractError —
+same-batch dedup is the producer's job.
 
 Work per batch is O(Σ touched-group sizes · cap-bounded pair work) —
 independent of corpus size when batches touch few groups, degenerating
@@ -49,9 +67,13 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from deisa_ray_spark.errors import ContractError
 
 from deisa_ray_spark.functions.similarity import (
     GEO_VIEWS,
@@ -106,29 +128,72 @@ class IncrementalServeGraph:
             return self.spark.createDataFrame([], EDGES_SCHEMA)
         return self.spark.read.parquet(versions[-1][1])
 
-    def _members(self) -> DataFrame:
+    def _members_all(self) -> DataFrame:
+        """Every stored vector version ``(vec_id, label, e, _b)`` —
+        re-sent ids appear once per sending batch."""
         paths = sorted(glob.glob(os.path.join(self.state_dir, "vectors", "b*")))
         df = self.spark.read.parquet(*paths)
         return df.select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("e"),
+            "_b",
+        )
+
+    def _members(self) -> DataFrame:
+        """The LIVE vector set: keep-latest-per-vec_id (upsert)."""
+        w = W.partitionBy("vec_id").orderBy(F.desc("_b"))
+        return (
+            self._members_all()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "label", "e")
         )
 
     # -- the batch step ----------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("overwrite").parquet(
+        # duplicate vec_id within ONE batch is an ambiguous upsert
+        # (which version wins?) — producer contract violation
+        dup = (
+            batch.groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        if dup.limit(1).count() > 0:
+            raise ContractError(
+                "duplicate vec_id within one serve-graph batch — "
+                "same-batch upsert order is undefined; dedup upstream"
+            )
+        batch.withColumn("_b", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "vectors", f"b{batch_id}")
         )
         members = self._members()
         bvecs = batch.select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
         )
+        # prior versions of RE-SENT ids: their OLD coarse keys must join
+        # the census so the stale vector's groups rebuild without it
+        # (semi join — never a driver-side id list)
+        old_versions = (
+            self._members_all()
+            .filter(F.col("_b") < batch_id)
+            .join(bvecs.select("vec_id"), "vec_id", "semi")
+            .select("vec_id", "label", "e")
+        )
         state = self._latest_edges(below=None if batch_id is None else batch_id)
         for view, key_fn, sample in _views():
             b = sample(bvecs) if sample else bvecs
-            # bounded collect: the batch's distinct coarse keys — the
-            # group-key census (≤ 2^GEO_BITS codes / label cardinality),
-            # metadata-scale at any corpus size.
-            groups = [r[0] for r in b.select(key_fn().alias("g")).distinct().collect()]
+            old = sample(old_versions) if sample else old_versions
+            # bounded collect: the batch's distinct coarse keys (new ∪
+            # re-sent-old) — the group-key census (≤ 2^GEO_BITS codes /
+            # label cardinality), metadata-scale at any corpus size.
+            groups = [
+                r[0]
+                for r in b.select(key_fn().alias("g"))
+                .unionByName(old.select(key_fn().alias("g")))
+                .distinct()
+                .collect()
+            ]
             if not groups:
                 continue
             m = sample(members) if sample else members
@@ -148,6 +213,17 @@ class IncrementalServeGraph:
         state.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "edges", f"v{batch_id}")
         )
+        self._prune_versions()
+
+    def _prune_versions(self, keep: int = 2) -> None:
+        """Drop superseded edge-state versions, keeping the newest
+        ``keep`` committed ones: the newest serves reads; its
+        predecessor is what an idempotent replay of the newest batch
+        reads (foreachBatch only ever redelivers the most recent
+        batch). Without this the state dir accumulates one full edge
+        copy per batch."""
+        for _, p in self._edge_versions()[:-keep]:
+            shutil.rmtree(p, ignore_errors=True)
 
     # -- drivers -------------------------------------------------------------
     def run_available(self, src_dir: str, ckpt_dir: str) -> None:

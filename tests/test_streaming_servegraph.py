@@ -58,3 +58,77 @@ def test_restart_resumes_and_converges(spark, tmp_path):
     p2.run_available(str(src), ckpt)
     assert _edge_set(p2.base_edges()) == _edge_set(serve_edges(spark, SF_DIR))
     assert _edge_set(p2.upper_edges()) == _edge_set(upper_edges(spark, SF_DIR))
+
+
+def test_upsert_resent_vec_id_replaces(spark, tmp_path):
+    """A re-sent vec_id with a CHANGED label+embedding must replace its
+    old version: the maintained state equals a full rebuild over the
+    keep-latest vector set (old groups rebuilt without the stale row,
+    new groups with the fresh one)."""
+    from deisa_ray_spark.functions.similarity import (
+        _upper_sample,
+        serve_edges_from,
+        upper_edges_from,
+    )
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.limit(200).cache()
+    # updated versions of 5 vectors: different label, shifted embedding
+    updated = (
+        base.filter(F.col("vec_id") < 5)
+        .withColumn("label", F.col("label") + 1)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: -x),
+        )
+    )
+    state = str(tmp_path / "state")
+    proc = IncrementalServeGraph(spark, state)
+    proc.process_batch(base, 0)
+    proc.process_batch(updated, 1)
+    live = (
+        base.filter(F.col("vec_id") >= 5)
+        .unionByName(updated)
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+    )
+    expected_base = serve_edges_from(live)
+    expected_upper = upper_edges_from(live.filter(_upper_sample(F.col("vec_id"))))
+    assert _edge_set(proc.base_edges()) == _edge_set(expected_base)
+    assert _edge_set(proc.upper_edges()) == _edge_set(expected_upper)
+
+
+def test_same_batch_duplicate_raises(spark, tmp_path):
+    from deisa_ray_spark.errors import ContractError
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(10)
+    dup_batch = emb.unionByName(emb.limit(1))
+    proc = IncrementalServeGraph(spark, str(tmp_path / "state"))
+    with pytest.raises(ContractError):
+        proc.process_batch(dup_batch, 0)
+
+
+def test_edge_versions_pruned(spark, tmp_path):
+    """After N batches only the newest two committed edge versions
+    remain on disk (newest serves reads; predecessor covers an
+    idempotent replay of the newest batch)."""
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(90)
+    proc = IncrementalServeGraph(spark, str(tmp_path / "state"))
+    for i in range(3):
+        batch = emb.filter(
+            (F.col("vec_id") >= 30 * i) & (F.col("vec_id") < 30 * (i + 1))
+        )
+        proc.process_batch(batch, i)
+    assert [v for v, _ in proc._edge_versions()] == [1, 2]
