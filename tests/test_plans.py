@@ -841,7 +841,7 @@ def test_pr_curve_narrow_explode_broadcast_weights(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    assert "Generate" in plan  # the 13-threshold explode
+    assert "Generate" in plan  # the len(PR_THRESHOLDS)-way (17) explode
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 

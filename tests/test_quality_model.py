@@ -67,6 +67,32 @@ def test_keep_frontier_is_integer_exact(spark):
     assert bad == 0
 
 
+def test_pr_grid_covers_logit_range(spark):
+    """PR_THRESHOLDS is a compile-time grid chosen to span PAST the
+    observed logit extremes (~±1.3e7). If a regenerated or larger
+    corpus pushes logit_fp outside ±16e6, the curve's recall-1 /
+    recall-0 anchors silently disappear and the invariants test breaks
+    with no pointer to the cause — fail HERE with one instead."""
+    from deisa_ray_spark.functions.quality_model import (
+        PR_THRESHOLDS,
+        txt_quality_infer,
+    )
+
+    lo, hi = (
+        txt_quality_infer(spark, SF_DIR)
+        .agg(F.min("logit_fp"), F.max("logit_fp"))
+        .collect()[0]
+    )
+    assert PR_THRESHOLDS[0] <= lo, (
+        f"corpus logit min {lo} fell below the PR_THRESHOLDS grid floor "
+        f"{PR_THRESHOLDS[0]} — widen the grid in quality_model.py"
+    )
+    assert hi < PR_THRESHOLDS[-1], (
+        f"corpus logit max {hi} reached the PR_THRESHOLDS grid top "
+        f"{PR_THRESHOLDS[-1]} — widen the grid in quality_model.py"
+    )
+
+
 def test_pr_curve_invariants(spark):
     """The sweep must behave like a PR curve: positives predicted shrink
     monotonically as the threshold rises, the lowest threshold reaches
