@@ -48,6 +48,11 @@ EXTRA_QUERIES = [
     "txt_unigram_vocab",
     "report_data_card",
     "samp_mmr_topk",
+    # round-10: the open-vocabulary tokenizer holdout A/B (kept off the
+    # bench panel — it triples tokenizer training per run — but its 10x
+    # correctness point belongs in the mirror); the formerly-capped
+    # graph-family pair re-enters via the bench panel automatically.
+    "txt_tokenizer_fertility_holdout",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
