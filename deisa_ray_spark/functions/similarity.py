@@ -1755,12 +1755,29 @@ def serve_edges(
     from deisa_ray_spark.functions.dedup import _session_cached
 
     def build() -> DataFrame:
-        # the block view reuses the cached assignment, so only the
-        # pair+rank stage reruns
+        # Assignments are k-INDEPENDENT (bucket refinement never looks
+        # at the out-link budget), so every tier shares the cached
+        # block + per-view assignments and re-runs only pair+rank —
+        # the default and scaled tiers coexisting in one session (the
+        # bench) pay the assignment exchanges once, not per tier.
+        emb = _emb(spark, sf_dir)
+        geo_assigned = [
+            _session_cached(
+                spark,
+                f"geo_assign_v{v}",
+                sf_dir,
+                (lambda vv: lambda: knn_assigned(
+                    emb, key=_geo_code(F.col("e"), vv)
+                ))(v),
+                eager=True,
+            )
+            for v in range(GEO_VIEWS)
+        ]
         return serve_edges_from(
-            _emb(spark, sf_dir),
+            emb,
             serve_k=serve_k,
             block_assigned=knn_assigned_cached(spark, sf_dir),
+            geo_assigned=geo_assigned,
         )
 
     tag = "serve_edges" if serve_k == SERVE_K else f"serve_edges_k{serve_k}"
@@ -1771,23 +1788,27 @@ def serve_edges_from(
     emb: DataFrame,
     serve_k: int = SERVE_K,
     block_assigned: "DataFrame | None" = None,
+    geo_assigned: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Build the undirected serving edge set from an arbitrary vector
     frame ``(vec_id, label, e)`` — the single-source builder behind
     :func:`serve_edges`, also used by the incremental serve-graph
     upsert tests to state the full-rebuild equivalence over a
-    keep-latest member set. ``block_assigned`` supplies a pre-computed
-    block-view assignment (the session cache); default assigns fresh.
-    serve_k out-links per node per view (richer than the k=5 block
-    artifact — see the SERVE_K note)."""
+    keep-latest member set. ``block_assigned`` / ``geo_assigned``
+    supply pre-computed (k-independent) assignments — the session
+    caches; default assigns fresh. serve_k out-links per node per view
+    (richer than the k=5 block artifact — see the SERVE_K note)."""
     directed = knn_graph_from_assigned(
         block_assigned if block_assigned is not None else knn_assigned(emb),
         k=serve_k,
     ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
     for v in range(GEO_VIEWS):
-        view_graph = knn_graph_from_assigned(
-            knn_assigned(emb, key=_geo_code(F.col("e"), v)), k=serve_k
+        assigned = (
+            geo_assigned[v]
+            if geo_assigned is not None
+            else knn_assigned(emb, key=_geo_code(F.col("e"), v))
         )
+        view_graph = knn_graph_from_assigned(assigned, k=serve_k)
         directed = directed.unionByName(
             view_graph.select(
                 F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
