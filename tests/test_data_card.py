@@ -23,7 +23,7 @@ def test_card_sections_and_share_closure(spark):
     card = _card(spark)
     assert set(card) == {
         "corpus", "mixture_source", "mixture_lang", "dedup", "quality",
-        "contamination",
+        "contamination", "embedding", "retrieval", "tokenizer",
     }
     n_docs = card["corpus"]["n_docs"][0]
     for sec in ("mixture_source", "mixture_lang"):
@@ -47,3 +47,33 @@ def test_card_cross_checks_owning_queries(spark):
     inf = txt_quality_infer(spark, SF_DIR).collect()
     assert card["quality"]["model_kept"][0] == sum(r["kept"] for r in inf)
     assert card["quality"]["silver_kept"][0] == sum(r["y_rule"] for r in inf)
+
+
+def test_card_v2_sections_cross_check(spark):
+    """The r10 sections must agree with their owning queries/tables."""
+    from deisa_ray_spark.functions.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_lsh_recall_audit,
+    )
+    from deisa_ray_spark.sources.registry import load_table
+
+    card = _card(spark)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert card["embedding"]["n_vectors"][0] == emb.count()
+    assert card["embedding"]["n_labels"][0] == (
+        emb.select("label").distinct().count()
+    )
+    aud = dedup_lsh_recall_audit(spark, SF_DIR).collect()
+    above = [r for r in aud if r["bucket"] >= int(JACCARD_THRESHOLD * 10)]
+    n_pairs, n_caught = card["retrieval"]["lsh_pairs_above_thresh"]
+    assert n_pairs == sum(r["n_true_pairs"] for r in above)
+    if n_pairs:
+        assert n_caught == (
+            sum(r["n_caught"] for r in above) * 1_000_000 // n_pairs
+        )
+    # tokenizer fertility millionths must sit between 1 and 20 pieces
+    # per word and order consistently with the A/B's measured ranking
+    toks = card["tokenizer"]
+    assert toks["word_occurrences"][0] > 0
+    for fam in ("bpe_pieces", "wp_pieces", "uni_pieces"):
+        assert 1_000_000 <= toks[fam][1] <= 20_000_000
