@@ -84,10 +84,14 @@ def _card_oracle() -> str:
       FROM wp_enc e2 JOIN w0 USING (w)
     ),
     toku AS (
+      -- uwords_all, NOT the length-capped uwords: uni_enc's unk=1 rows
+      -- are exactly the over-length words, which uwords would drop —
+      -- the Spark twin joins the full word-freq frame (_uni_trained's
+      -- wf), so a capped join would diverge on the first 13+-char word
       SELECT CAST(sum(uw.cnt * u.n_pieces) AS BIGINT) AS pieces,
              CAST(sum(uw.cnt * u.unk) AS BIGINT) AS unk,
              CAST(sum(uw.cnt) AS BIGINT) AS occ
-      FROM uni_enc u JOIN uwords uw USING (w)
+      FROM uni_enc u JOIN uwords_all uw USING (w)
     ),
     embt AS (
       SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -130,14 +130,20 @@ class IncrementalServeGraph:
 
     def _members_all(self) -> DataFrame:
         """Every stored vector version ``(vec_id, label, e, _b)`` —
-        re-sent ids appear once per sending batch."""
+        re-sent ids appear once per sending batch. Pre-upsert state
+        (vectors written before the ``_b`` column existed) reads as
+        ``_b = -1``: those runs were append-only, so at most one
+        version of each vec_id predates the upgrade and keep-latest
+        ordering stays well-defined."""
         paths = sorted(glob.glob(os.path.join(self.state_dir, "vectors", "b*")))
-        df = self.spark.read.parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if "_b" not in df.columns:
+            df = df.withColumn("_b", F.lit(-1))
         return df.select(
             "vec_id",
             "label",
             F.col("embedding").cast("array<double>").alias("e"),
-            "_b",
+            F.coalesce(F.col("_b"), F.lit(-1)).alias("_b"),
         )
 
     def _members(self) -> DataFrame:
@@ -167,7 +173,15 @@ class IncrementalServeGraph:
         batch.withColumn("_b", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "vectors", f"b{batch_id}")
         )
-        members = self._members()
+        # ONE materialization each per batch: members feeds every view's
+        # subset filter AND the final state write, old_versions feeds
+        # every view's census — un-checkpointed, each reference would
+        # re-read the whole vectors/b* history and re-run the keep-latest
+        # window (~2 scans x views per batch, against the module's
+        # work-per-batch contract).
+        from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
+        members = self._members().localCheckpoint(eager=True)
         bvecs = batch.select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
         )
@@ -179,6 +193,7 @@ class IncrementalServeGraph:
             .filter(F.col("_b") < batch_id)
             .join(bvecs.select("vec_id"), "vec_id", "semi")
             .select("vec_id", "label", "e")
+            .localCheckpoint(eager=True)
         )
         state = self._latest_edges(below=None if batch_id is None else batch_id)
         for view, key_fn, sample in _views():
@@ -213,6 +228,9 @@ class IncrementalServeGraph:
         state.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "edges", f"v{batch_id}")
         )
+        # superseded this batch — the written state is the lineage sink
+        free_local_checkpoint(members)
+        free_local_checkpoint(old_versions)
         self._prune_versions()
 
     def _prune_versions(self, keep: int = 2) -> None:

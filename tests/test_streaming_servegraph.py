@@ -132,3 +132,36 @@ def test_edge_versions_pruned(spark, tmp_path):
         )
         proc.process_batch(batch, i)
     assert [v for v, _ in proc._edge_versions()] == [1, 2]
+
+
+def test_pre_upsert_state_upgrades(spark, tmp_path):
+    """vectors/b* written BEFORE the _b column existed (append-only
+    runs) must keep working: old rows read as _b = -1 and lose
+    keep-latest to any re-sent version."""
+    from deisa_ray_spark.functions.similarity import serve_edges_from
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    import pyspark.sql.functions as F
+
+    import os
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.limit(100).cache()
+    state = str(tmp_path / "state")
+    proc = IncrementalServeGraph(spark, state)
+    proc.process_batch(base, 0)
+    # simulate a pre-upgrade b0: strip the _b column from the stored files
+    stripped = spark.read.parquet(state + "/vectors/b0").drop("_b")
+    stripped.write.mode("overwrite").parquet(state + "/vectors/b0_tmp")
+    shutil.rmtree(state + "/vectors/b0")
+    os.rename(state + "/vectors/b0_tmp", state + "/vectors/b0")
+    updated = (
+        base.filter(F.col("vec_id") < 3)
+        .withColumn("label", F.col("label") + 1)
+    )
+    proc.process_batch(updated, 1)
+    live = base.filter(F.col("vec_id") >= 3).unionByName(updated).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    assert _edge_set(proc.base_edges()) == _edge_set(serve_edges_from(live))

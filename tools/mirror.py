@@ -28,9 +28,6 @@ os.environ.setdefault("SPARK_GRAFT_SF1_SCOPE", "all")
 
 if __name__ == "__main__":
     # import AFTER the env defaults — sf1_mirror reads them at import
-    import importlib
-
     import tools.sf1_mirror as m
 
-    importlib.reload(m)  # pick up the env defaults set above
     m.main()
