@@ -2095,10 +2095,21 @@ def graph_beam_topk(
             )
         )
 
-    uv = score(
-        q.select("qid")
-        .crossJoin(F.broadcast(entries))
-        .filter(F.col("node") != F.col("qid"))
+    # Entry scoring is TIER-INDEPENDENT (entries come from the upper
+    # assignment, scores are exact cosines) — session-cached so the
+    # default and scaled tiers share one materialization per session.
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    uv = _session_cached(
+        spark,
+        "beam_uv0",
+        sf_dir,
+        lambda: score(
+            q.select("qid")
+            .crossJoin(F.broadcast(entries))
+            .filter(F.col("node") != F.col("qid"))
+        ),
+        eager=True,
     )
     # Upper beam over the sampled layer, then the base beam seeded from
     # EVERYTHING the upper search visited (their exact cosines carry
