@@ -1393,6 +1393,7 @@ def _knn_graph_ctes(
     prefix: str = "",
     where_sql: str = "",
     k: int = KNN_K,
+    src: str = "embeddings",
 ) -> str:
     """DuckDB CTE chain ending in ``{prefix}knn_graph(vec_id, label,
     depth, rank, neighbor_id, cosine)`` — the oracle twin of
@@ -1425,7 +1426,7 @@ def _knn_graph_ctes(
     {p}r AS MATERIALIZED (
       SELECT vec_id, label, embedding::DOUBLE[] AS e,
              {key_sql} || '|' || {sem_bits_sql(deepest_bits)} AS {dk}
-      FROM embeddings {where_sql}
+      FROM {src} {where_sql}
     ),
     {p}st AS MATERIALIZED (
       SELECT {dk}, count(*) AS n{deep} FROM {p}r GROUP BY {dk}),
@@ -1877,10 +1878,12 @@ def upper_edges_from(
     ).distinct()
 
 
-def _upper_ctes(serve_k: int = SERVE_K) -> str:
+def _upper_ctes(serve_k: int = SERVE_K, src: str = "embeddings") -> str:
     """Oracle twin of the upper layer: a prefixed bounded-block chain
     over the md5-sampled rows, symmetrized edges, per-bucket entries."""
-    return _knn_graph_ctes(prefix="u_", where_sql=_UPPER_WHERE, k=serve_k) + """,
+    return _knn_graph_ctes(
+        prefix="u_", where_sql=_UPPER_WHERE, k=serve_k, src=src
+    ) + """,
     u_directed AS (SELECT vec_id AS src, neighbor_id AS dst FROM u_knn_graph),
     u_edges AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
@@ -1893,14 +1896,16 @@ def _upper_ctes(serve_k: int = SERVE_K) -> str:
     )"""
 
 
-def _serve_edges_ctes(serve_k: int = SERVE_K) -> str:
+def _serve_edges_ctes(serve_k: int = SERVE_K, src: str = "embeddings") -> str:
     """Oracle twin of serve_edges: the block chain + one prefixed chain
     per geometric view, unioned directed edges, symmetrized+deduped."""
-    chains = [_knn_graph_ctes(k=serve_k)]
+    chains = [_knn_graph_ctes(k=serve_k, src=src)]
     edge_selects = ["SELECT vec_id AS src, neighbor_id AS dst FROM knn_graph"]
     for v in range(GEO_VIEWS):
         chains.append(
-            _knn_graph_ctes(key_sql=_geo_code_sql(v), prefix=f"g{v}_", k=serve_k)
+            _knn_graph_ctes(
+                key_sql=_geo_code_sql(v), prefix=f"g{v}_", k=serve_k, src=src
+            )
         )
         edge_selects.append(
             f"SELECT vec_id AS src, neighbor_id AS dst FROM g{v}_knn_graph"

@@ -51,6 +51,43 @@ _ORACLE = f"""
     """
 
 
+def _fingerprint(proc) -> DataFrame:
+    """Per-(layer, src%8-bucket) rollup of the maintained edge state:
+    count + distinct sources + sum-of-32-bit-md5 checksum — any lost,
+    duplicated, or altered edge shifts a cell. Materialized eagerly so
+    the caller may delete the temp state dir."""
+    tagged = (
+        proc.base_edges()
+        .select(F.lit("base").alias("layer"), "src", "dst")
+        .unionByName(
+            proc.upper_edges().select(
+                F.lit("upper").alias("layer"), "src", "dst"
+            )
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.col("src").cast("string"), F.col("dst").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = tagged.groupBy(
+        "layer", (F.col("src") % 8).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.countDistinct("src").cast("bigint").alias("n_src"),
+        F.sum(h).cast("bigint").alias("checksum"),
+    )
+    return out.localCheckpoint(eager=True)
+
+
 @query("stream_serve_graph", oracle=_ORACLE)
 def stream_serve_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage vector shards, maintain the serving graph incrementally,
@@ -64,36 +101,96 @@ def stream_serve_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_ordered_shards(emb, f"{work}/src", N_SHARDS, order_col="vec_id")
         proc = IncrementalServeGraph(spark, f"{work}/state")
         proc.run_available(f"{work}/src", f"{work}/ckpt")
-        tagged = (
-            proc.base_edges()
-            .select(F.lit("base").alias("layer"), "src", "dst")
-            .unionByName(
-                proc.upper_edges().select(
-                    F.lit("upper").alias("layer"), "src", "dst"
-                )
+        return _fingerprint(proc)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# stream_serve_graph_upsert — the UPSERT maintenance contract as a
+# declared, ORACLE-CHECKED query (r10): batch 0 streams the full vector
+# table, batch 1 RE-SENDS the first UPSERT_IDS vectors with a changed
+# label (+1) and a negated embedding. The maintainer must REPLACE them
+# (keep-latest members; the re-sent ids' old coarse groups rebuild
+# without the stale rows), so the exact oracle is the BATCH serve-graph
+# CTE chain evaluated over the keep-latest vector set — expressed as a
+# single CASE projection over the embeddings table (negation is exact
+# in IEEE, so both engines transform bit-identically), with the same
+# per-(layer, bucket) fingerprint rollup on top.
+# --------------------------------------------------------------------------
+UPSERT_IDS = 8  #: vec_id < this are re-sent modified in batch 1
+
+_UPSERT_SRC = f"""
+    emb_up AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN vec_id < {UPSERT_IDS} THEN label + 1
+                  ELSE label END AS label,
+             CASE WHEN vec_id < {UPSERT_IDS}
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings
+    )"""
+
+_UPSERT_ORACLE = f"""
+    WITH {_UPSERT_SRC},
+    {_serve_edges_ctes(src="emb_up")},
+    {_upper_ctes(src="emb_up")},
+    tagged AS (
+      SELECT 'base' AS layer, src, dst FROM serve_edges
+      UNION ALL
+      SELECT 'upper' AS layer, src, dst FROM u_edges
+    )
+    SELECT layer, src % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+           CAST(sum({_EDGE_HASH}) AS BIGINT) AS checksum
+    FROM tagged GROUP BY layer, src % 8
+    """
+
+
+def _stage_batches(dfs, dest: str) -> None:
+    """Write each frame as ONE parquet file under ``dest`` with strictly
+    increasing mtimes, so FileStreamSource (oldest-mtime-first) delivers
+    them as batches 0..n-1 in list order."""
+    import glob
+    import os
+    import time
+
+    os.makedirs(dest, exist_ok=True)
+    for i, df in enumerate(dfs):
+        tmp = f"{dest}_w{i}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{dest}/b{i}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+    base = time.time()
+    n = len(dfs)
+    for i in range(n):
+        ts = base - (n - i)
+        os.utime(f"{dest}/b{i}.parquet", (ts, ts))
+
+
+@query("stream_serve_graph_upsert", oracle=_UPSERT_ORACLE)
+def stream_serve_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the full table then a modified re-send of the first
+    UPSERT_IDS vectors; fingerprint the maintained state, which must
+    equal the batch rebuild over the keep-latest vector set."""
+    from deisa_ray_spark.sources.registry import load_table
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    work = tempfile.mkdtemp(prefix="stream_servegraph_up_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        resent = (
+            emb.filter(F.col("vec_id") < UPSERT_IDS)
+            .withColumn("label", F.col("label") + 1)
+            .withColumn(
+                "embedding", F.transform(F.col("embedding"), lambda x: -x)
             )
         )
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "_", F.col("src").cast("string"), F.col("dst").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        out = tagged.groupBy(
-            "layer", (F.col("src") % 8).alias("bucket")
-        ).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
-            F.countDistinct("src").cast("bigint").alias("n_src"),
-            F.sum(h).cast("bigint").alias("checksum"),
-        )
-        # materialize before the temp state dir disappears
-        return out.localCheckpoint(eager=True)
+        _stage_batches([emb, resent], f"{work}/src")
+        proc = IncrementalServeGraph(spark, f"{work}/state")
+        proc.run_available(f"{work}/src", f"{work}/ckpt")
+        return _fingerprint(proc)
     finally:
         shutil.rmtree(work, ignore_errors=True)

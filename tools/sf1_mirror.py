@@ -53,6 +53,7 @@ EXTRA_QUERIES = [
     # correctness point belongs in the mirror); the formerly-capped
     # graph-family pair re-enters via the bench panel automatically.
     "txt_tokenizer_fertility_holdout",
+    "stream_serve_graph_upsert",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
