@@ -101,11 +101,13 @@ BENCH_QUERIES = [
     "dedup_span_extents",
     "dedup_extent_length_hist",
     "txt_quality_pr_curve",
-    # round-10 headline addition: the corpus-scaled graph-ANN serving
+    # round-10 headline additions: the corpus-scaled graph-ANN serving
     # tier — the declared 10x contract (recall@10 0.94 measured at sf1
-    # where the default tier drops to 0.64). Benched because a user at
-    # 10x corpus size runs THIS tier, not the default.
+    # where the default tier drops to 0.64; benched because a user at
+    # 10x corpus size runs THIS tier, not the default) — and the
+    # snapshot mixture-drift card (one-scan stack + keyed partial agg).
     "sim_graph_beam_topk_scaled",
+    "report_snapshot_drift",
 ]
 
 

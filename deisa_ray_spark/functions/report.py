@@ -416,3 +416,133 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# --------------------------------------------------------------------------
+# report_snapshot_drift — DISTRIBUTION drift between two corpus
+# snapshots: the check a pipeline runs before swapping a training
+# corpus (did the source/language/length mixture move?). Complements
+# txt_snapshot_delta, which diffs doc-level MEMBERSHIP (added/removed/
+# changed); this diffs the MIXTURE: per dimension (source, lang,
+# power-of-two token-length bucket), each bucket's share of snapshot v1
+# vs v2 in millionths, and the absolute share drift — plus one rollup
+# row per dimension whose drift cell is the summed absolute drift (2x
+# the total-variation distance, integer-exact).
+#
+# Snapshots reuse txt_snapshot_delta's deterministic definitions
+# (text.SNAP_V1_MOD / SNAP_V2_MOD — single source); the "edited" docs
+# of the delta query are irrelevant here (mixture dims don't read the
+# fingerprint). All cells are counts or truncating-DIV millionths —
+# bit-exact both engines, no doubles.
+#
+# Scale shape: ONE corpus scan — the three dimensions unpivot via
+# stack() into a narrow (dim, bucket, v1, v2) stream before the
+# (dim, bucket)-keyed partial agg; totals ride a broadcast 1-row frame;
+# the per-dim rollup aggregates the tiny bucketed frame again.
+# --------------------------------------------------------------------------
+def _drift_oracle() -> str:
+    from deisa_ray_spark.functions.text import SNAP_V1_MOD, SNAP_V2_MOD
+
+    return f"""
+    WITH snap AS (
+      SELECT source, lang,
+             CASE WHEN n >= 1024 THEN '1024' WHEN n >= 512 THEN '512'
+                  WHEN n >= 256 THEN '256'  WHEN n >= 128 THEN '128'
+                  WHEN n >= 64  THEN '64'   ELSE '32' END AS len_bucket,
+             CASE WHEN doc_id % {SNAP_V1_MOD} <> 0 THEN 1 ELSE 0 END AS v1,
+             CASE WHEN doc_id % {SNAP_V2_MOD} <> 0 THEN 1 ELSE 0 END AS v2
+      FROM (SELECT doc_id, source, lang,
+                   len(string_split(text, ' ')) AS n FROM documents)
+    ),
+    tot AS (SELECT CAST(sum(v1) AS BIGINT) AS t1,
+                   CAST(sum(v2) AS BIGINT) AS t2 FROM snap),
+    melted AS (
+      SELECT 'source' AS dim, source AS bucket, v1, v2 FROM snap
+      UNION ALL SELECT 'lang', lang, v1, v2 FROM snap
+      UNION ALL SELECT 'len_bucket', len_bucket, v1, v2 FROM snap
+    ),
+    bucketed AS (
+      SELECT dim, bucket,
+             CAST(sum(v1) AS BIGINT) AS n_v1,
+             CAST(sum(v2) AS BIGINT) AS n_v2,
+             CAST(sum(v1) * 1000000 // (SELECT t1 FROM tot) AS BIGINT)
+               AS share_v1_x1e6,
+             CAST(sum(v2) * 1000000 // (SELECT t2 FROM tot) AS BIGINT)
+               AS share_v2_x1e6
+      FROM melted GROUP BY dim, bucket
+    )
+    SELECT dim, bucket, n_v1, n_v2, share_v1_x1e6, share_v2_x1e6,
+           CAST(abs(share_v1_x1e6 - share_v2_x1e6) AS BIGINT) AS drift_x1e6
+    FROM bucketed
+    UNION ALL
+    SELECT dim, '__tv_total', CAST(sum(n_v1) AS BIGINT),
+           CAST(sum(n_v2) AS BIGINT),
+           CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT),
+           CAST(sum(abs(share_v1_x1e6 - share_v2_x1e6)) AS BIGINT)
+    FROM bucketed GROUP BY dim
+    """
+
+
+@query("report_snapshot_drift", oracle=_drift_oracle())
+def report_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.text import SNAP_V1_MOD, SNAP_V2_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    len_bucket = (
+        F.when(n >= 1024, "1024").when(n >= 512, "512").when(n >= 256, "256")
+        .when(n >= 128, "128").when(n >= 64, "64").otherwise("32")
+    )
+    snap = docs.select(
+        "source",
+        "lang",
+        len_bucket.alias("len_bucket"),
+        (F.col("doc_id") % SNAP_V1_MOD != 0).cast("int").alias("v1"),
+        (F.col("doc_id") % SNAP_V2_MOD != 0).cast("int").alias("v2"),
+    )
+    melted = snap.select(
+        F.expr(
+            "stack(3, 'source', source, 'lang', lang, "
+            "'len_bucket', len_bucket) AS (dim, bucket)"
+        ),
+        "v1",
+        "v2",
+    )
+    tot = F.broadcast(
+        snap.agg(F.sum("v1").alias("t1"), F.sum("v2").alias("t2"))
+    )
+    bucketed = (
+        melted.groupBy("dim", "bucket")
+        .agg(
+            F.sum("v1").cast("bigint").alias("n_v1"),
+            F.sum("v2").cast("bigint").alias("n_v2"),
+        )
+        .join(tot, F.lit(True))
+        .select(
+            "dim",
+            "bucket",
+            "n_v1",
+            "n_v2",
+            F.expr("n_v1 * 1000000 DIV t1").cast("bigint")
+            .alias("share_v1_x1e6"),
+            F.expr("n_v2 * 1000000 DIV t2").cast("bigint")
+            .alias("share_v2_x1e6"),
+        )
+    )
+    per_bucket = bucketed.withColumn(
+        "drift_x1e6",
+        F.abs(F.col("share_v1_x1e6") - F.col("share_v2_x1e6")).cast("bigint"),
+    )
+    rollup = bucketed.groupBy("dim").agg(
+        F.sum("n_v1").cast("bigint").alias("n_v1"),
+        F.sum("n_v2").cast("bigint").alias("n_v2"),
+        F.lit(1000000).cast("bigint").alias("share_v1_x1e6"),
+        F.lit(1000000).cast("bigint").alias("share_v2_x1e6"),
+        F.sum(F.abs(F.col("share_v1_x1e6") - F.col("share_v2_x1e6")))
+        .cast("bigint")
+        .alias("drift_x1e6"),
+    ).select(
+        "dim", F.lit("__tv_total").alias("bucket"), "n_v1", "n_v2",
+        "share_v1_x1e6", "share_v2_x1e6", "drift_x1e6",
+    )
+    return per_bucket.unionByName(rollup)

@@ -1262,6 +1262,13 @@ def txt_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic snapshot definitions shared by txt_snapshot_delta and
+#: report_snapshot_drift (report.py) — v1 omits doc_id % SNAP_V1_MOD
+#: == 0, v2 omits doc_id % SNAP_V2_MOD == 0
+SNAP_V1_MOD = 13
+SNAP_V2_MOD = 11
+
+
 # --------------------------------------------------------------------------
 # txt_snapshot_delta — corpus snapshot diff: the dataset-versioning
 # report every recurring-crawl pipeline produces (what changed between
@@ -1280,15 +1287,15 @@ def txt_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "txt_snapshot_delta",
-    oracle="""
+    oracle=f"""
     WITH v1 AS (
       SELECT doc_id, source, md5(text) AS fp FROM documents
-      WHERE doc_id % 13 <> 0
+      WHERE doc_id % {SNAP_V1_MOD} <> 0
     ),
     v2 AS (
       SELECT doc_id, source,
              md5(text || CASE WHEN doc_id % 7 = 0 THEN 'v2' ELSE '' END) AS fp
-      FROM documents WHERE doc_id % 11 <> 0
+      FROM documents WHERE doc_id % {SNAP_V2_MOD} <> 0
     ),
     joined AS (
       SELECT coalesce(v1.source, v2.source) AS source,
@@ -1308,10 +1315,10 @@ def txt_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txt_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    v1 = docs.filter(F.col("doc_id") % 13 != 0).select(
+    v1 = docs.filter(F.col("doc_id") % SNAP_V1_MOD != 0).select(
         "doc_id", "source", F.md5("text").alias("fp")
     )
-    v2 = docs.filter(F.col("doc_id") % 11 != 0).select(
+    v2 = docs.filter(F.col("doc_id") % SNAP_V2_MOD != 0).select(
         "doc_id",
         "source",
         F.md5(
