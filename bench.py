@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     # snapshot mixture-drift card (one-scan stack + keyed partial agg).
     "sim_graph_beam_topk_scaled",
     "report_snapshot_drift",
+    "samp_mixture_rebalance",
 ]
 
 

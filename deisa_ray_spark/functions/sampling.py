@@ -723,3 +723,138 @@ def samp_mmr_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         free_local_checkpoint(state)
         state = nxt
     return out
+
+
+# --------------------------------------------------------------------------
+# samp_mixture_rebalance — the REPAIR action for snapshot mixture drift
+# (report_snapshot_drift detects it; this fixes it): downsample the
+# current snapshot (v2) per source so its mixture matches the previous
+# snapshot's (v1), via the engine's deterministic md5 gate. Snapshots
+# are the shared text.SNAP_V1_MOD/SNAP_V2_MOD definitions.
+#
+# Fully INTEGER thresholds (stronger than the float keep_rate gates
+# above): per source, target share s1 = n1*1e6 DIV t1 and current share
+# s2 = n2*1e6 DIV t2 are millionths; keep rate = min(1e6, s1*1e6 DIV
+# s2) — max intermediate 1e12, overflow-free at ANY corpus size (the
+# naive n1*t2*1e6 form overflows int64 at ~1e10 docs). The gate
+# compares u_x1e6 = md5-prefix * 1e6 DIV 2^32 < rate — pure integer,
+# bit-identical across engines/runs/cluster sizes.
+#
+# Scale shape: one corpus scan for the per-source counts (keyed partial
+# agg), rates broadcast (O(sources) rows), one filtered scan for the
+# gate + per-source rollup. No corpus shuffle.
+# --------------------------------------------------------------------------
+def _rebalance_oracle() -> str:
+    from deisa_ray_spark.functions.text import SNAP_V1_MOD, SNAP_V2_MOD
+
+    return f"""
+    WITH snap AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {SNAP_V1_MOD} <> 0 THEN 1 ELSE 0 END AS v1,
+             CASE WHEN doc_id % {SNAP_V2_MOD} <> 0 THEN 1 ELSE 0 END AS v2
+      FROM documents
+    ),
+    cnt AS (SELECT source, CAST(sum(v1) AS BIGINT) AS n1,
+                   CAST(sum(v2) AS BIGINT) AS n2
+            FROM snap GROUP BY source),
+    tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                   CAST(sum(n2) AS BIGINT) AS t2 FROM cnt),
+    thr AS (
+      SELECT source, n1, n2,
+             CAST(n1 * 1000000 // (SELECT t1 FROM tot) AS BIGINT) AS s1,
+             CAST(n2 * 1000000 // (SELECT t2 FROM tot) AS BIGINT) AS s2
+      FROM cnt
+    ),
+    rates AS (
+      SELECT source, n1, n2, s1,
+             CAST(CASE WHEN s2 = 0 THEN 0
+                  ELSE least(1000000, s1 * 1000000 // s2) END AS BIGINT)
+               AS rate_x1e6
+      FROM thr
+    ),
+    gated AS (
+      SELECT s.source, r.n2, r.s1, r.rate_x1e6,
+             CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) * 1000000 // 4294967296 AS u_x1e6
+      FROM snap s JOIN rates r USING (source) WHERE s.v2 = 1
+    ),
+    kept AS (
+      SELECT source, rate_x1e6, s1,
+             CAST(count(*) AS BIGINT) AS n_v2,
+             CAST(count(*) FILTER (u_x1e6 < rate_x1e6) AS BIGINT) AS n_kept
+      FROM gated GROUP BY source, rate_x1e6, s1
+    ),
+    tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total_kept FROM kept)
+    SELECT source, n_v2, rate_x1e6, n_kept,
+           s1 AS share_target_x1e6,
+           CAST(n_kept * 1000000 // (SELECT total_kept FROM tk) AS BIGINT)
+             AS share_after_x1e6
+    FROM kept
+    """
+
+
+@query("samp_mixture_rebalance", oracle=_rebalance_oracle())
+def samp_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.text import SNAP_V1_MOD, SNAP_V2_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % SNAP_V1_MOD != 0).cast("int").alias("v1"),
+        (F.col("doc_id") % SNAP_V2_MOD != 0).cast("int").alias("v2"),
+    )
+    cnt = snap.groupBy("source").agg(
+        F.sum("v1").cast("bigint").alias("n1"),
+        F.sum("v2").cast("bigint").alias("n2"),
+    )
+    tot = F.broadcast(
+        cnt.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    )
+    rates = (
+        cnt.join(tot, F.lit(True))
+        .select(
+            "source",
+            "n1",
+            "n2",
+            F.expr("n1 * 1000000 DIV t1").cast("bigint").alias("s1"),
+            F.expr("n2 * 1000000 DIV t2").cast("bigint").alias("s2"),
+        )
+        .select(
+            "source",
+            "n1",
+            "n2",
+            "s1",
+            F.when(F.col("s2") == 0, F.lit(0))
+            .otherwise(F.least(F.lit(1000000), F.expr("s1 * 1000000 DIV s2")))
+            .cast("bigint")
+            .alias("rate_x1e6"),
+        )
+    )
+    gated = (
+        snap.filter(F.col("v2") == 1)
+        .join(F.broadcast(rates), "source")
+        .withColumn(
+            "u_x1e6",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) * 1000000 DIV 4294967296"
+            ),
+        )
+    )
+    kept = gated.groupBy("source", "rate_x1e6", "s1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v2"),
+        F.count(F.when(F.col("u_x1e6") < F.col("rate_x1e6"), 1))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+    tk = F.broadcast(kept.agg(F.sum("n_kept").alias("total_kept")))
+    return kept.join(tk, F.lit(True)).select(
+        "source",
+        "n_v2",
+        "rate_x1e6",
+        "n_kept",
+        F.col("s1").alias("share_target_x1e6"),
+        F.expr("n_kept * 1000000 DIV total_kept").cast("bigint")
+        .alias("share_after_x1e6"),
+    )
