@@ -858,3 +858,103 @@ def samp_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_kept * 1000000 DIV total_kept").cast("bigint")
         .alias("share_after_x1e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# samp_kcenter_coreset — greedy k-center (farthest-point traversal,
+# Gonzalez 1985): the max-min diversity selector. Where MMR blends
+# relevance with diversity, k-center is the pure coverage objective —
+# every round picks the vector FARTHEST from the selected set (argmin of
+# the running max cosine-to-selected), the greedy 2-approximation of the
+# k-center clustering / coreset-seeding objective that data-pruning
+# pipelines use to seed diverse training subsets.
+#
+# Same unrolled-round machinery as samp_mmr_topk: state is ONE narrow
+# (vec_id, max_sim) frame, each of the K rounds is one TakeOrdered(1)
+# argmin + one map against the broadcast 1-row pick + a GREATEST fold,
+# localCheckpoint-ed and freed per round — O(K·n) total, no pairwise
+# stage. First pick is the lowest vec_id (all-tied state, vec_id
+# tie-break). cov_sim emitted per pick is the coverage similarity at
+# selection time (rank 1 carries the -1.0 init sentinel): the k-th value
+# is the similarity radius the selected set achieves over the corpus.
+# Determinism: every cosine rounded to 6 before comparison, ties by
+# vec_id (the MMR discipline).
+# --------------------------------------------------------------------------
+KCENTER_K = 8  #: coreset size (unrolled rounds)
+
+
+def _kcenter_oracle() -> str:
+    parts = [f"""
+    kbase AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    kst0 AS MATERIALIZED (
+      SELECT vec_id, e, CAST(-1.0 AS DOUBLE) AS max_sim FROM kbase
+    )"""]
+    sels = []
+    for r in range(1, KCENTER_K + 1):
+        parts.append(f"""
+    ksel{r} AS MATERIALIZED (
+      SELECT vec_id, e, max_sim FROM kst{r - 1}
+      ORDER BY max_sim, vec_id
+      LIMIT 1
+    ),
+    kst{r} AS MATERIALIZED (
+      SELECT s.vec_id, s.e,
+             greatest(s.max_sim,
+                      {_mmr_cos_sql('s.e', '(SELECT e FROM ksel' + str(r) + ')')})
+                 AS max_sim
+      FROM kst{r - 1} s
+      WHERE s.vec_id <> (SELECT vec_id FROM ksel{r})
+    )""")
+        sels.append(
+            f"SELECT {r} AS rank, vec_id, max_sim + 0 AS cov_sim FROM ksel{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n    " + " UNION ALL ".join(sels)
+
+
+@query("samp_kcenter_coreset", oracle=_kcenter_oracle())
+def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point traversal: K rounds of argmin(max cosine to
+    the selected set) — the max-min-diverse coreset."""
+    from deisa_ray_spark.functions.dedup import dot_agg, free_local_checkpoint
+
+    store = _mmr_store(spark, sf_dir)
+
+    def cos(e_col, n_col, oe, on) -> "F.Column":
+        return F.round(dot_agg(e_col, oe) / (n_col * on), 6)
+
+    state = store.select(
+        "vec_id", "e", "nrm", F.lit(-1.0).alias("max_sim")
+    ).localCheckpoint(eager=True)
+    out = None
+    for r in range(1, KCENTER_K + 1):
+        sel = (
+            state.orderBy("max_sim", "vec_id")
+            .limit(1)
+            .select(F.lit(r).alias("rank"), "vec_id", "e", "nrm", "max_sim")
+            .localCheckpoint(eager=True)  # 1 row — the round's pick
+        )
+        row = sel.select("rank", "vec_id", (F.col("max_sim") + 0).alias("cov_sim"))
+        out = row if out is None else out.unionAll(row)
+        pick = sel.select(
+            F.col("vec_id").alias("p_id"), F.col("e").alias("pe"),
+            F.col("nrm").alias("pn"),
+        )
+        nxt = (
+            state.join(F.broadcast(pick), F.lit(True))
+            .filter(F.col("vec_id") != F.col("p_id"))
+            .select(
+                "vec_id",
+                "e",
+                "nrm",
+                F.greatest(
+                    F.col("max_sim"),
+                    cos(F.col("e"), F.col("nrm"), F.col("pe"), F.col("pn")),
+                ).alias("max_sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_local_checkpoint(state)
+        state = nxt
+    return out

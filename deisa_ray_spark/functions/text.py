@@ -1788,3 +1788,129 @@ def txt_effective_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight_effective"),
     )
+
+
+# --------------------------------------------------------------------------
+# txt_bm25_topk — ranked SPARSE retrieval: Okapi BM25 top-K documents
+# for a fixed query panel (the first BM25_N_QUERIES documents as
+# more-like-this queries, their first BM25_QUERY_TERMS distinct tokens
+# as query terms; self-hits excluded). Completes the retrieval surface:
+# dense ANN (sim_*), hybrid RRF (sim_hybrid_rrf_topk), and TF-IDF
+# weighting (txt_tfidf) existed — this is the lexical RANKER those
+# pipelines mix with.
+#
+# Scale shape (the inverted-index probe, expressed relationally): the
+# query-term set is tiny and BROADCAST — the fan-in join against the
+# exploded corpus prunes to candidate postings in the SAME scan that
+# tokenizes (no full-vocab df table is ever built: document frequencies
+# aggregate over candidate postings only). Doc length rides the explode
+# (max(dl) per (doc, term) group), so BM25's length normalization costs
+# no second corpus join; corpus-level (n_docs, sum_dl) is one 2-column
+# aggregate broadcast as a single row. One partial-agg shuffle on
+# (doc_id, term), a term-window for document frequency (a window, not a
+# self-join — a join back onto tf would re-tokenize the corpus), one
+# shuffle on (qid, doc_id), then per-query top-K via row_number
+# (WindowGroupLimit pushes the K cut below the sort).
+#
+# Determinism: idf and the saturation term are identical double
+# expressions in both engines (literals 2.2 / 1.2 / 0.75 parse to the
+# same doubles); per-term contributions are rounded to 6 before the sum,
+# the sum rounded again; ranking orders by the ROUNDED score with
+# doc_id tie-break.
+# --------------------------------------------------------------------------
+BM25_N_QUERIES = 5  #: query panel size (doc_id < this)
+BM25_QUERY_TERMS = 8  #: leading distinct tokens per query
+BM25_TOP_K = 5  #: results per query
+BM25_K1 = 1.2  #: term-frequency saturation
+BM25_B = 0.75  #: length-normalization strength
+
+
+@query(
+    "txt_bm25_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT DISTINCT doc_id AS qid, ts[u.i] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id < {BM25_N_QUERIES}),
+           unnest(range(1, least(len(ts), {BM25_QUERY_TERMS}) + 1)) u(i)
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tc, max(dl) AS dl FROM (
+        SELECT doc_id, len(ts) AS dl, unnest(ts) AS term
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      )
+      WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    tfd AS (
+      SELECT doc_id, term, tc, dl,
+             count(*) OVER (PARTITION BY term) AS df
+      FROM tf
+    ),
+    st AS (
+      SELECT count(*) AS n_docs, sum(len(string_split(text, ' '))) AS sum_dl
+      FROM documents
+    ),
+    scored AS (
+      SELECT q.qid, tfd.doc_id,
+             round(sum(round(
+               ln((st.n_docs - tfd.df + 0.5) / (tfd.df + 0.5) + 1.0)
+               * ((tfd.tc * 2.2)
+                  / (tfd.tc + {BM25_K1} * (1 - {BM25_B}
+                     + {BM25_B} * ((tfd.dl * st.n_docs) / st.sum_dl))))
+             , 6)), 6) AS score
+      FROM q JOIN tfd USING (term) CROSS JOIN st
+      WHERE tfd.doc_id <> q.qid
+      GROUP BY q.qid, tfd.doc_id
+    )
+    SELECT qid, rank, doc_id, score FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOP_K}
+    """,
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    qterms = (
+        docs.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), F.posexplode(ts).alias("pos", "term"))
+        .filter(F.col("pos") < BM25_QUERY_TERMS)
+        .select("qid", "term")
+        .distinct()
+    )
+    qset = qterms.select("term").distinct()
+    tf = (
+        docs.select("doc_id", F.size(ts).alias("dl"), F.explode(ts).alias("term"))
+        .join(F.broadcast(qset), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tc"), F.max("dl").alias("dl"))
+    )
+    # document frequency as a window over the candidate postings — NOT a
+    # self-join back onto tf (which would re-tokenize the corpus: Spark
+    # does not reuse the exchange across the two consumers)
+    tfd = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    st = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size(ts)).alias("sum_dl")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tc") * 2.2) / (
+        F.col("tc")
+        + BM25_K1
+        * (1 - BM25_B + BM25_B * ((F.col("dl") * F.col("n_docs")) / F.col("sum_dl")))
+    )
+    scored = (
+        tfd.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(st))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(F.round(idf * sat, 6)), 6).alias("score"))
+    )
+    rank_w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "rank", "doc_id", "score")
+    )

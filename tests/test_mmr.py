@@ -130,3 +130,60 @@ def test_mmr_stratified_objective_near_global_greedy(spark):
     glob = sum(r["score"] for r in samp_mmr_topk(spark, SF_DIR).collect())
     strat = sum(r["score"] for r in samp_mmr_stratified(spark, SF_DIR).collect())
     assert strat >= 0.9 * glob, (strat, glob)
+
+
+# ---------------------------------------------------------------------------
+# k-center (farthest-point traversal) — the max-min sibling of MMR
+# ---------------------------------------------------------------------------
+
+
+def _ref_kcenter(vecs: dict[int, list[float]], k: int):
+    max_sim = {i: -1.0 for i in vecs}
+    picks = []
+    remaining = set(vecs)
+    for r in range(1, k + 1):
+        best = min(remaining, key=lambda i: (max_sim[i], i))
+        picks.append((r, best, max_sim[best]))
+        remaining.discard(best)
+        for i in remaining:
+            max_sim[i] = max(max_sim[i], _cos6(vecs[i], vecs[best]))
+    return picks
+
+
+def test_kcenter_matches_python_reference_on_corpus(spark):
+    from deisa_ray_spark.functions.sampling import KCENTER_K, samp_kcenter_coreset
+
+    got = [
+        (r["rank"], r["vec_id"], r["cov_sim"])
+        for r in samp_kcenter_coreset(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    import duckdb
+
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in duckdb.sql(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    }
+    want = _ref_kcenter(vecs, KCENTER_K)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 1e-9
+
+
+def test_kcenter_coverage_radius_monotone(spark):
+    """cov_sim is non-decreasing over ranks (each pick is the CURRENT
+    farthest point, so the uncovered radius can only shrink), and the
+    first pick is the lowest vec_id with the -1.0 init sentinel."""
+    from deisa_ray_spark.functions.sampling import samp_kcenter_coreset
+
+    rows = samp_kcenter_coreset(spark, SF_DIR).orderBy("rank").collect()
+    assert rows[0]["cov_sim"] == -1.0
+    import duckdb
+
+    min_id = duckdb.sql(
+        f"SELECT min(vec_id) FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert rows[0]["vec_id"] == min_id
+    sims = [r["cov_sim"] for r in rows[1:]]
+    assert all(a <= b for a, b in zip(sims, sims[1:]))

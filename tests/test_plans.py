@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -853,3 +854,21 @@ def test_data_card_no_python_bounded_broadcasts(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total composition
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_single_postings_scan_broadcast_probe(spark):
+    """BM25: the query-term set broadcasts into the tokenizing scan (the
+    inverted-index probe), document frequency is a window over the
+    candidate postings — the corpus is tokenized ONCE (one (doc_id, term)
+    partial-agg exchange), no cartesian, no Python, and the per-query
+    top-K runs under WindowGroupLimit."""
+    plan = plan_of(spark, "txt_bm25_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    # exactly ONE candidate-postings aggregation exchange: a df-by-join
+    # formulation would re-tokenize the corpus into a second one
+    n_posting_exchanges = len(
+        re.findall(r"Arguments: hashpartitioning\(doc_id#\d+L, term#\d+", plan)
+    )
+    assert n_posting_exchanges == 1, plan
