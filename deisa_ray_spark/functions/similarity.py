@@ -2429,3 +2429,65 @@ def sim_thermo_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "hamming", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# emb_outlier_scores — the ACTION half of emb_cluster_stats' diagnostic:
+# the corpus vectors least cosine-similar to their OWN cluster centroid,
+# i.e. the mislabeled/noise candidates an embedding-space QA pass prunes
+# (or re-clusters) before bucketed semantic dedup trusts the labels.
+# cluster_stats says WHICH clusters have a long min-tail; this lists the
+# vectors that form it.
+#
+# Scale shape (same as cluster_stats): centroids via one (label, dim)
+# partial agg (k·d keys), packed per label and broadcast back; scoring
+# is map-side only; the global bottom-K is one TakeOrdered — no window,
+# no wide shuffle. Determinism: cosine rounded to 6, doubly tie-broken
+# by vec_id.
+# --------------------------------------------------------------------------
+OUTLIER_K = 20  #: prune-candidate list size
+
+
+@query(
+    "emb_outlier_scores",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id, label, u.i - 1 AS dim, (embedding::DOUBLE[])[u.i] AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+    ),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, avg(v) AS c FROM vals GROUP BY label, dim)
+      GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], cent.cvec), 6) + 0
+             AS cos_centroid
+    FROM embeddings e JOIN cent USING (label)
+    ORDER BY cos_centroid, e.vec_id
+    LIMIT {OUTLIER_K}
+    """,
+)
+def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("e"), F.col("cvec")), 6).alias("cos_centroid"),
+        )
+        .orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+        .limit(OUTLIER_K)
+    )
