@@ -154,3 +154,60 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# sink_docs_jsonl_checksum — the DELIVERY end of the funnel: the document
+# table exported as doc_id-range JSONL shards (sinks.write_docs_jsonl,
+# the format training jobs consume) and read back under an explicit
+# schema; the declared output is a corpus checksum over the ROUND-TRIPPED
+# rows, oracled against the same checksum computed directly on the
+# source parquet — i.e. the export is pinned LOSSLESS (JSON string
+# escaping, bigint fidelity, shard completeness) rather than assumed.
+#
+# Checksum design: content hash = md5 of (text|lang|source) truncated to
+# 32 bits, weighted by (doc_id % 1000 + 1) — weights make silent row
+# SWAPS visible, the 1000-cap keeps the sum far from bigint overflow at
+# any SF (2^32 · 10^3 · n_docs ≪ 2^63 up to ~10^6 docs per checksum
+# group; beyond that the checksum would shard by range, same plan).
+# Scale: export is one range-shuffle + distributed write; the checksum
+# is one partial-agg scan of the shards.
+# --------------------------------------------------------------------------
+@query(
+    "sink_docs_jsonl_checksum",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(sum(CAST(('0x' || substr(md5(text || '|' || lang || '|' || source), 1, 8))
+                    AS BIGINT) * (doc_id % 1000 + 1)) AS BIGINT) AS content_sum
+    FROM documents
+    """,
+)
+def sink_docs_jsonl_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from deisa_ray_spark.operators.grid_ops import _scratch
+    from deisa_ray_spark.sinks import write_docs_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(_scratch("docs_jsonl"), os.path.basename(sf_dir))
+    write_docs_jsonl(docs, path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(path)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("text"), F.col("lang"), F.col("source"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.sum(h * (F.col("doc_id") % 1000 + 1)).alias("content_sum"),
+    )

@@ -603,3 +603,18 @@ def read_netcdf(fname: str, name: str) -> np.ndarray:
         return netcdf3.read(os.path.expanduser(fname))[name][0]
     with xr.open_dataset(os.path.expanduser(fname)) as ds:
         return ds[name].values
+
+
+def write_docs_jsonl(docs: DataFrame, path: str, n_shards: int = 4) -> None:
+    """Training-data delivery sink: the curated document table as
+    ``n_shards`` doc_id-range JSONL shard files — the format LLM training
+    jobs actually consume. ``repartitionByRange`` gives contiguous,
+    size-balanced shards whose lexicographic file order is doc_id order
+    (the samplers' epoch-shard contract); the write is fully distributed
+    (one executor-side file per range partition, the corpus never
+    touches the driver)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local: sinks keeps imports lazy)
+
+    docs.repartitionByRange(n_shards, F.col("doc_id")).write.mode(
+        "overwrite"
+    ).json(path)

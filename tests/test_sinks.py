@@ -469,3 +469,29 @@ def test_zarr_and_hdf5_sinks_are_rank_agnostic(spark, tmp_path):
     np.testing.assert_array_equal(
         sinks.read_netcdf(nc, "field3d"), expected.astype(np.float64)
     )
+
+
+def test_docs_jsonl_shards_are_docid_ranges(spark, tmp_path):
+    """The delivery sink's shard files are contiguous doc_id ranges in
+    lexicographic file order (the epoch-shard contract) and round-trip
+    losslessly."""
+    import glob
+    import json
+
+    from deisa_ray_spark.sinks import write_docs_jsonl
+    from deisa_ray_spark.sources.registry import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "jsonl")
+    write_docs_jsonl(docs, out, n_shards=4)
+    files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(files) == 4
+    prev_max = -1
+    total = 0
+    for f in files:
+        ids = [json.loads(l)["doc_id"] for l in open(f) if l.strip()]
+        total += len(ids)
+        assert min(ids) > prev_max  # contiguous, strictly increasing ranges
+        prev_max = max(ids)
+    assert total == docs.count()
