@@ -109,6 +109,18 @@ BENCH_QUERIES = [
     "sim_graph_beam_topk_scaled",
     "report_snapshot_drift",
     "samp_mixture_rebalance",
+    # round-10 session-2 additions: the standalone lexical ranker (single
+    # postings scan), the max-min coreset selector, the embedding-space
+    # prune list, streamed mergeable-sketch maintenance, the JSONL
+    # delivery sink round-trip, and the Heaps vocab-growth curve.
+    "txt_bm25_topk",
+    "samp_kcenter_coreset",
+    "emb_outlier_scores",
+    "stream_cms_heavy_hitters",
+    "sink_docs_jsonl_checksum",
+    "txt_vocab_growth",
+    "txt_boilerplate_prefixes",
+    "report_term_drift",
 ]
 
 

@@ -546,3 +546,89 @@ def report_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_v1_x1e6", "share_v2_x1e6", "drift_x1e6",
     )
     return per_bucket.unionByName(rollup)
+
+
+# --------------------------------------------------------------------------
+# report_term_drift — TOKEN-level drift between the deterministic corpus
+# snapshots (shared text.SNAP_V1_MOD/SNAP_V2_MOD — single source with
+# txt_snapshot_delta/report_snapshot_drift): the TERM_DRIFT_K tokens
+# whose corpus frequency share moved most between v1 and v2, in integer
+# millionths. report_snapshot_drift says whether the (source, lang,
+# length) MIXTURE moved; this says which VOCABULARY moved — the
+# topical-drift alarm (a crawler suddenly over-sampling one domain shows
+# up here before it shows up in source shares).
+#
+# Scale shape: one tokenizing scan with both membership flags as 0/1
+# ints (no second pass per snapshot), one (token)-key partial agg,
+# 1-row broadcast totals, global top-K via TakeOrdered. Integer
+# discipline: shares are n·1e6 DIV total (n ≤ total keeps the product
+# under int64 up to ~9e12 occurrences of a single token — Zipf keeps
+# the head far below that at any real corpus); drift is an integer, so
+# ranking is exact with token tie-break.
+# --------------------------------------------------------------------------
+TERM_DRIFT_K = 20
+
+
+def _term_drift_oracle() -> str:
+    from deisa_ray_spark.functions.text import SNAP_V1_MOD, SNAP_V2_MOD
+
+    return f"""
+    WITH toks AS (
+      SELECT CASE WHEN doc_id % {SNAP_V1_MOD} <> 0 THEN 1 ELSE 0 END AS v1,
+             CASE WHEN doc_id % {SNAP_V2_MOD} <> 0 THEN 1 ELSE 0 END AS v2,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    per AS (
+      SELECT tok, CAST(sum(v1) AS BIGINT) AS n_v1, CAST(sum(v2) AS BIGINT) AS n_v2
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(n_v1) AS BIGINT) AS t1, CAST(sum(n_v2) AS BIGINT) AS t2
+      FROM per
+    )
+    SELECT tok, n_v1, n_v2,
+           n_v1 * 1000000 // t1 AS share_v1_x1e6,
+           n_v2 * 1000000 // t2 AS share_v2_x1e6,
+           abs(n_v1 * 1000000 // t1 - n_v2 * 1000000 // t2) AS drift_x1e6
+    FROM per CROSS JOIN tot
+    ORDER BY drift_x1e6 DESC, tok
+    LIMIT {TERM_DRIFT_K}
+    """
+
+
+@query("report_term_drift", oracle=_term_drift_oracle())
+def report_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.functions.text import SNAP_V1_MOD, SNAP_V2_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % SNAP_V1_MOD != 0).cast("int").alias("v1"),
+        (F.col("doc_id") % SNAP_V2_MOD != 0).cast("int").alias("v2"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    per = toks.groupBy("tok").agg(
+        F.sum("v1").cast("bigint").alias("n_v1"),
+        F.sum("v2").cast("bigint").alias("n_v2"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_v1").cast("bigint").alias("t1"),
+            F.sum("n_v2").cast("bigint").alias("t2"),
+        )
+    )
+    s1 = F.expr("n_v1 * 1000000 DIV t1")
+    s2 = F.expr("n_v2 * 1000000 DIV t2")
+    return (
+        per.join(tot)
+        .select(
+            "tok",
+            "n_v1",
+            "n_v2",
+            s1.alias("share_v1_x1e6"),
+            s2.alias("share_v2_x1e6"),
+            F.abs(s1 - s2).alias("drift_x1e6"),
+        )
+        .orderBy(F.desc("drift_x1e6"), F.asc("tok"))
+        .limit(TERM_DRIFT_K)
+    )

@@ -1914,3 +1914,146 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("qid", "rank", "doc_id", "score")
     )
+
+
+# --------------------------------------------------------------------------
+# txt_vocab_growth — Heaps-law vocabulary-growth curve: distinct token
+# types vs tokens consumed over VOCAB_GROWTH_BUCKETS cumulative doc_id-
+# range prefixes of the corpus. The corpus-health diagnostic behind
+# tokenizer-vocab sizing and dedup sanity (a curve that flattens too
+# fast means duplicated text; one that never flattens means noise/OCR
+# junk). Integer-exact end to end.
+#
+# Scale shape — cumulative DISTINCT without any windowed distinct: a
+# token type contributes to the prefix where it FIRST appears, so
+# min-bucket per type (one (token)-key partial agg over the exploded
+# stream) turns the cumulative-distinct curve into a 10-row running sum.
+# Bucket assignment is a pure projection against the broadcast 1-row
+# max-id; no global rank/row_number over the corpus.
+# --------------------------------------------------------------------------
+VOCAB_GROWTH_BUCKETS = 10
+
+
+@query(
+    "txt_vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    toks AS (
+      SELECT CAST(doc_id * {VOCAB_GROWTH_BUCKETS} // mx.n AS INT) AS bucket,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents CROSS JOIN mx
+    ),
+    first_seen AS (SELECT tok, min(bucket) AS fb FROM toks GROUP BY tok),
+    new_types AS (SELECT fb AS bucket, count(*) AS n_new_types
+                  FROM first_seen GROUP BY fb),
+    tok_counts AS (SELECT bucket, count(*) AS n_tokens_bucket
+                   FROM toks GROUP BY bucket)
+    SELECT t.bucket,
+           coalesce(n.n_new_types, 0) AS n_new_types,
+           CAST(sum(coalesce(n.n_new_types, 0))
+                OVER (ORDER BY t.bucket) AS BIGINT) AS n_types_cum,
+           t.n_tokens_bucket,
+           CAST(sum(t.n_tokens_bucket)
+                OVER (ORDER BY t.bucket) AS BIGINT) AS n_tokens_cum
+    FROM tok_counts t LEFT JOIN new_types n ON n.bucket = t.bucket
+    """,
+)
+def txt_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("n")))
+    toks = docs.join(mx).select(
+        (F.col("doc_id") * VOCAB_GROWTH_BUCKETS / F.col("n"))
+        .cast("int")
+        .alias("bucket"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    new_types = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    tok_counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens_bucket")
+    )
+    cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        tok_counts.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+            "n_tokens_bucket",
+        )
+        .select(
+            "bucket",
+            "n_new_types",
+            F.sum("n_new_types").over(cum).cast("bigint").alias("n_types_cum"),
+            "n_tokens_bucket",
+            F.sum("n_tokens_bucket").over(cum).cast("bigint").alias("n_tokens_cum"),
+        )
+        .select(
+            "bucket", "n_new_types", "n_types_cum", "n_tokens_bucket", "n_tokens_cum"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# txt_boilerplate_prefixes — template/boilerplate detection: the most
+# common leading-token prefixes per source, with their share of the
+# source's documents. Crawled sources carry navigation chrome, cookie
+# banners, and license headers that repeat verbatim at document start;
+# the per-source prefix ranking is the signal a boilerplate-strip stage
+# (CCNet/RefinedWeb-style) thresholds on. Integer-exact (counts +
+# truncating-DIV millionth shares).
+#
+# Scale shape: prefix is a pure projection (first BP_PREFIX_TOKENS
+# tokens — no explode), one (source, prefix) partial-agg shuffle, per-
+# source top-K under WindowGroupLimit, per-source totals broadcast back.
+# --------------------------------------------------------------------------
+BP_PREFIX_TOKENS = 4  #: leading tokens forming the template fingerprint
+BP_TOP_K = 3  #: prefixes reported per source
+
+
+@query(
+    "txt_boilerplate_prefixes",
+    oracle=f"""
+    WITH pref AS (
+      SELECT source,
+             array_to_string((string_split(text, ' '))[1:{BP_PREFIX_TOKENS}], ' ')
+               AS prefix
+      FROM documents
+    ),
+    cnt AS (SELECT source, prefix, count(*) AS n_docs
+            FROM pref GROUP BY source, prefix),
+    tot AS (SELECT source, count(*) AS n_total FROM pref GROUP BY source)
+    SELECT source, rank, prefix, n_docs,
+           n_docs * 1000000 // n_total AS share_x1e6
+    FROM (
+      SELECT c.source, c.prefix, c.n_docs, t.n_total,
+             row_number() OVER (PARTITION BY c.source
+                                ORDER BY c.n_docs DESC, c.prefix) AS rank
+      FROM cnt c JOIN tot t USING (source)
+    ) WHERE rank <= {BP_TOP_K}
+    """,
+)
+def txt_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "source",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, BP_PREFIX_TOKENS), " "
+        ).alias("prefix"),
+    )
+    cnt = pref.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = pref.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    rank_w = W.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("prefix"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= BP_TOP_K)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "rank",
+            "prefix",
+            "n_docs",
+            F.expr("n_docs * 1000000 DIV n_total").alias("share_x1e6"),
+        )
+    )
