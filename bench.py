@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "txt_vocab_growth",
     "txt_boilerplate_prefixes",
     "report_term_drift",
+    "emb_kmeans_exact",
 ]
 
 

@@ -2491,3 +2491,149 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
         .limit(OUTLIER_K)
     )
+
+
+# --------------------------------------------------------------------------
+# emb_kmeans_exact — Lloyd k-means as a DECLARED, exactly-oracled
+# trainer, in integer fixed point end to end: coordinates quantized once
+# (floor(v·1e6 + 0.5) — the emb_scalar_quantize half-up discipline, so
+# both engines agree bit-for-bit), squared-L2 distances are exact
+# bigints, centroid updates are floor-means of integer sums, assignment
+# argmin tie-breaks by cluster id. The PageRank/BPE/Unigram round
+# structure applied to clustering: KM_ROUNDS unrolled Lloyd rounds, each
+# one narrow (vec_id, cluster, dist) agg + one argmin window + one
+# (cluster, dim) re-estimation agg, localCheckpoint-ed per round. The
+# MLlib path (sim_kmeans_ivf_topk) remains the scale trainer under a
+# recall contract; THIS is the exact-semantics twin a correctness gate
+# can hash.
+#
+# Scale shape: per round the exploded (vec, dim) stream joins the
+# BROADCAST K·d centroid table and partial-aggs to (vec, cluster) — the
+# canonical distributed-Lloyd shuffle, O(n·d·K) compute, no pairwise
+# vec×vec stage; re-estimation is one (cluster, dim) keyed agg (K·d
+# keys). Seeds = the K lowest vec_ids (deterministic).
+# Overflow bounds: |v_fp| ≤ ~2e6 ⇒ per-pair d2 ≤ 64·(4e6)² ≈ 1e15;
+# per-cluster inertia sums stay inside int64 up to ~1e4 members per
+# cluster per checksum group at this dimensionality — the declared
+# output therefore emits the floor-MEAN inertia (bigint→double→floor is
+# the identical IEEE path in both engines), not the raw sum.
+# --------------------------------------------------------------------------
+KM_K = 8  #: clusters (seeded from the K lowest vec_ids)
+KM_ROUNDS = 3  #: unrolled Lloyd rounds
+KM_FP = 1_000_000  #: fixed-point coordinate scale
+
+
+def _kmeans_oracle() -> str:
+    parts = [f"""
+    kmvals AS MATERIALIZED (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(floor((embedding::DOUBLE[])[u.i] * {KM_FP} + 0.5) AS BIGINT)
+               AS v_fp
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+    ),
+    kmc0 AS MATERIALIZED (
+      SELECT vec_id AS cluster, dim, v_fp AS c_fp FROM kmvals
+      WHERE vec_id < {KM_K}
+    )"""]
+    for r in range(1, KM_ROUNDS + 1):
+        parts.append(f"""
+    kmd{r} AS MATERIALIZED (
+      SELECT v.vec_id, c.cluster,
+             sum((v.v_fp - c.c_fp) * (v.v_fp - c.c_fp)) AS dist
+      FROM kmvals v JOIN kmc{r - 1} c USING (dim)
+      GROUP BY v.vec_id, c.cluster
+    ),
+    kma{r} AS MATERIALIZED (
+      SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM kmd{r}
+      ) WHERE rn = 1
+    ),
+    kmc{r} AS MATERIALIZED (
+      SELECT a.cluster, v.dim,
+             CAST(floor(sum(v.v_fp) * 1.0 / count(*)) AS BIGINT) AS c_fp
+      FROM kmvals v JOIN kma{r} a USING (vec_id)
+      GROUP BY a.cluster, v.dim
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT a.cluster,
+           count(*) AS n_members,
+           CAST(floor(sum(a.dist) * 1.0 / count(*)) AS BIGINT)
+             AS inertia_mean,
+           (SELECT CAST(sum(c.c_fp) AS BIGINT) FROM kmc{KM_ROUNDS} c
+            WHERE c.cluster = a.cluster) AS c_fp_sum
+    FROM kma{KM_ROUNDS} a
+    GROUP BY a.cluster
+    """
+    )
+
+
+@query("emb_kmeans_exact", oracle=_kmeans_oracle())
+def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM_ROUNDS unrolled fixed-point Lloyd rounds; returns per-cluster
+    membership, floor-mean inertia, and a centroid fingerprint."""
+    from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
+    emb = _emb(spark, sf_dir)
+    vals = (
+        emb.select("vec_id", F.posexplode("e").alias("dim", "v"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("v") * KM_FP + 0.5).cast("bigint").alias("v_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = vals.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("v_fp").alias("c_fp")
+    )
+    assign = None
+    for r in range(1, KM_ROUNDS + 1):
+        dist = (
+            vals.join(F.broadcast(cent), "dim")
+            .withColumn("d2", (F.col("v_fp") - F.col("c_fp")) * (F.col("v_fp") - F.col("c_fp")))
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum("d2").alias("dist"))
+        )
+        rn_w = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+        nxt_assign = (
+            dist.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", F.col("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if assign is not None:
+            free_local_checkpoint(assign)
+        assign = nxt_assign
+        # re-estimate after EVERY round incl. the last: the declared
+        # centroid fingerprint is the post-final-assignment re-estimate
+        # (the oracle's kmc{KM_ROUNDS}), not the stale round-entry table
+        cent = (
+            vals.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(F.sum("v_fp") * 1.0 / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("c_fp")
+            )
+        )
+    cent_fp = cent.groupBy("cluster").agg(
+        F.sum("c_fp").cast("bigint").alias("c_fp_sum")
+    )
+    out = (
+        assign.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.floor(F.sum("dist") * 1.0 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("inertia_mean"),
+        )
+        .join(cent_fp, "cluster")
+        .select("cluster", "n_members", "inertia_mean", "c_fp_sum")
+    )
+    return out.localCheckpoint(eager=True)
