@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "txt_boilerplate_prefixes",
     "report_term_drift",
     "emb_kmeans_exact",
+    "dedup_tombstone_propagation",
 ]
 
 

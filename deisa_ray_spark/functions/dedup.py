@@ -838,13 +838,17 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     return labels
 
 
-def verified_pairs_ctes() -> str:
+def verified_pairs_ctes(suffix: str = "", doc_filter: str = "") -> str:
     """The verified-pair extraction CTE chain (``sh``, ``e``, ``p``) —
     the ONE SQL definition of "near-dup pair above the Jaccard
     threshold", mirroring :func:`_jaccard_pairs` Spark-side. Every
     oracle that consumes the pair graph (clustering, splits, audits,
     triangles, the funnel) composes THIS fragment so the pair semantics
     cannot drift between oracles.
+
+    ``suffix``/``doc_filter`` parameterize a SECOND chain in the same
+    WITH (tombstone propagation needs before/after graphs); defaults
+    render the original text unchanged.
 
     MATERIALIZED on ``e``/``p`` (+ ``edges``/``nodes``/``comps``
     downstream, r10): DuckDB inlines plain CTEs PER REFERENCE — the
@@ -853,35 +857,40 @@ def verified_pairs_ctes() -> str:
     time, blowing the sf1 mirror's 90 s cap; materialized, the full
     keep_best/pagerank oracles run ~18 s at sf1 (the BPE
     inlining-is-exponential lesson applied to the graph family)."""
-    return f"""sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
-    e AS MATERIALIZED (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
-    p AS MATERIALIZED (
+    x = suffix
+    flt = f" {doc_filter}" if doc_filter else ""
+    return f"""sh{x} AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents{flt}),
+    e{x} AS MATERIALIZED (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh{x}),
+    p{x} AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common,
              any_value(a.n) AS na, any_value(b.n) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM e{x} a JOIN e{x} b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
       HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*))
              >= {JACCARD_THRESHOLD}
     )"""
 
 
-def cc_oracle_ctes() -> str:
+def cc_oracle_ctes(suffix: str = "", doc_filter: str = "") -> str:
     """The verified-pair → recursive-CC CTE chain (``sh``, ``e``, ``p``,
     ``edges``, ``nodes``, ``reach``, ``comps``) shared by every
     clustering-shaped oracle (dedup_cluster_cc, dedup_split_leakage_safe,
     dedup_split_audit) — ONE SQL definition of the pair extraction and
     component computation, mirroring the shared _jaccard_pairs/cc_labels
-    builders Spark-side, so the oracles cannot drift."""
-    return f"""{verified_pairs_ctes()},
-    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
-              UNION SELECT doc_b, doc_a FROM p),
-    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
-    reach(id, comp) AS (
-      SELECT id, id FROM nodes
+    builders Spark-side, so the oracles cannot drift. ``suffix``/
+    ``doc_filter`` render a renamed second chain (before/after graphs);
+    defaults render the original text unchanged."""
+    x = suffix
+    return f"""{verified_pairs_ctes(suffix, doc_filter)},
+    edges{x} AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p{x}
+              UNION SELECT doc_b, doc_a FROM p{x}),
+    nodes{x} AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges{x}),
+    reach{x}(id, comp) AS (
+      SELECT id, id FROM nodes{x}
       UNION
-      SELECT e2.dst, r.comp FROM reach r JOIN edges e2 ON e2.src = r.id
+      SELECT e2.dst, r.comp FROM reach{x} r JOIN edges{x} e2 ON e2.src = r.id
     ),
-    comps AS MATERIALIZED (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
+    comps{x} AS MATERIALIZED (SELECT id, min(comp) AS comp FROM reach{x} GROUP BY id)"""
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,4 +2354,60 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(contaminated, 1).otherwise(0)).cast("bigint").alias("n_removed"),
         F.sum(F.when(~contaminated, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.max("max_cos").alias("top_bench_cosine"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_tombstone_propagation — deletion propagated through DERIVED
+# dedup state (the right-to-be-forgotten contract for a curation
+# pipeline): given a deterministic tombstone set (doc_id % TOMB_MOD ==
+# 0, the stand-in for deletion requests), recompute the near-dup
+# cluster map over the POST-DELETE graph and report every surviving
+# document whose canonical changed. Deleting a doc does more than drop
+# its row: a cluster whose canonical died elects a new minimum, and a
+# component bridged ONLY by a deleted doc splits — both effects fall
+# out of re-running CC on the filtered pair graph, never patched by
+# hand. Surviving docs that drop out of the graph entirely become their
+# own canonical (coalesce to self — the singleton rule shared with
+# dedup_split_leakage_safe).
+#
+# Scale shape: the before-map rides the session-cached cc_comps; the
+# after-map is one CC run over the FILTERED verified-pair list (edge
+# filtering is a pure predicate on the cached pairs — no new shingle
+# self-join); the diff is one equi-join on doc id. Oracle: the shared
+# CC chain rendered twice via its suffix/filter parameterization —
+# before and after graphs composed in one WITH RECURSIVE, zero fragment
+# duplication.
+# --------------------------------------------------------------------------
+TOMB_MOD = 7  #: deterministic tombstone slice (doc_id % TOMB_MOD == 0)
+
+
+@query(
+    "dedup_tombstone_propagation",
+    oracle=f"""
+    WITH RECURSIVE {cc_oracle_ctes()},
+    {cc_oracle_ctes("_t", f"WHERE doc_id % {TOMB_MOD} <> 0")}
+    SELECT b.id AS doc_id,
+           CAST(b.comp AS BIGINT) AS canon_before,
+           CAST(coalesce(a.comp, b.id) AS BIGINT) AS canon_after
+    FROM comps b LEFT JOIN comps_t a ON a.id = b.id
+    WHERE b.id % {TOMB_MOD} <> 0
+      AND b.comp <> coalesce(a.comp, b.id)
+    """,
+)
+def dedup_tombstone_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = cc_pairs(spark, sf_dir)
+    before = cc_comps(spark, sf_dir)
+    alive = (F.col("doc_a") % TOMB_MOD != 0) & (F.col("doc_b") % TOMB_MOD != 0)
+    after = cc_labels(pairs.filter(alive))
+    return (
+        before.alias("b")
+        .filter(F.col("id") % TOMB_MOD != 0)
+        .join(after.alias("a"), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("b.comp").cast("bigint").alias("canon_before"),
+            F.coalesce(F.col("a.comp"), F.col("id")).cast("bigint").alias("canon_after"),
+        )
+        .filter(F.col("canon_before") != F.col("canon_after"))
     )
