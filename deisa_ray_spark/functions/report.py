@@ -50,10 +50,12 @@ def _card_oracle() -> str:
     from deisa_ray_spark.functions.dedup import (
         BENCH_MOD,
         JACCARD_THRESHOLD,
+        TOMB_MOD,
         _extents_sql,
         contamination_ctes,
         lsh_audit_ctes,
     )
+    from deisa_ray_spark.functions.text import BP_PREFIX_TOKENS
     from deisa_ray_spark.functions.quality_model import _nb_ctes, nb_scoring_ctes
     from deisa_ray_spark.functions.similarity import _geo_code_sql
     from deisa_ray_spark.functions.text import gopher_gate_ctes
@@ -112,6 +114,25 @@ def _card_oracle() -> str:
              CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                  AS n_exact_dup_docs
       FROM documents
+    ),
+    vocabv AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    tplv AS (
+      SELECT CAST(max(n) AS BIGINT) AS top_prefix FROM (
+        SELECT count(*) AS n FROM (
+          SELECT array_to_string((string_split(text, ' '))[1:{BP_PREFIX_TOKENS}],
+                                 ' ') AS p
+          FROM documents
+        ) GROUP BY p
+      )
+    ),
+    tombv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tomb,
+             CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+               AS tomb_tokens
+      FROM documents WHERE doc_id % {TOMB_MOD} = 0
     )
     SELECT 'corpus' AS section, 'n_docs' AS metric, n_docs AS v_int,
            CAST(-1 AS BIGINT) AS v_x1e6 FROM corpus
@@ -204,6 +225,22 @@ def _card_oracle() -> str:
     SELECT 'tokenizer', 'uni_unk_occurrences', unk,
            CAST(unk * 1000000 // occ AS BIGINT)
     FROM toku
+    UNION ALL
+    SELECT 'vocabulary', 'n_token_types', n_types,
+           n_types * 1000000 // (SELECT n_tokens FROM corpus)
+    FROM vocabv
+    UNION ALL
+    SELECT 'templates', 'top_prefix_docs', top_prefix,
+           top_prefix * 1000000 // (SELECT n_docs FROM corpus)
+    FROM tplv
+    UNION ALL
+    SELECT 'deletions', 'tombstone_docs', n_tomb,
+           n_tomb * 1000000 // (SELECT n_docs FROM corpus)
+    FROM tombv
+    UNION ALL
+    SELECT 'deletions', 'tombstone_tokens', tomb_tokens,
+           tomb_tokens * 1000000 // (SELECT n_tokens FROM corpus)
+    FROM tombv
     """
 
 
@@ -412,6 +449,63 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames.append(tok.select(*_row("tokenizer", "uni_unk_occurrences",
                                    F.col("uni_unk"),
                                    share("uni_unk", "uni_occ"))))
+
+    # v3 sections (r10, cont.): vocabulary size, template (boilerplate)
+    # concentration, and the pending-deletion footprint — single-scan
+    # integer aggregates over the shared corpus totals, each constant
+    # (BP_PREFIX_TOKENS, TOMB_MOD) imported from its owning module.
+    # Canonical-change counts stay in dedup_tombstone_propagation: its
+    # oracle needs the recursive CC chain, which the card oracle
+    # deliberately avoids (the card must stay cap-safe at sf1).
+    from deisa_ray_spark.functions.dedup import TOMB_MOD
+    from deisa_ray_spark.functions.text import BP_PREFIX_TOKENS
+
+    vocab = _session_cached(
+        spark,
+        "card_vocab",
+        sf_dir,
+        lambda: docs.select(F.explode(F.split("text", " ")).alias("tok")).agg(
+            F.countDistinct("tok").alias("n_types")
+        ),
+    ).join(tot, F.lit(True))
+    frames.append(
+        vocab.select(*_row("vocabulary", "n_token_types", F.col("n_types"),
+                           share("n_types", "n_tokens")))
+    )
+    tpl = _session_cached(
+        spark,
+        "card_templates",
+        sf_dir,
+        lambda: docs.select(
+            F.array_join(
+                F.slice(F.split("text", " "), 1, BP_PREFIX_TOKENS), " "
+            ).alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("top_prefix")),
+    ).join(tot, F.lit(True))
+    frames.append(
+        tpl.select(*_row("templates", "top_prefix_docs", F.col("top_prefix"),
+                         share("top_prefix", "n_docs")))
+    )
+    tomb = _session_cached(
+        spark,
+        "card_tombstones",
+        sf_dir,
+        lambda: docs.filter(F.col("doc_id") % TOMB_MOD == 0).agg(
+            F.count(F.lit(1)).alias("n_tomb"),
+            F.coalesce(F.sum(n_toks), F.lit(0)).alias("tomb_tokens"),
+        ),
+    ).join(tot, F.lit(True))
+    frames.append(
+        tomb.select(*_row("deletions", "tombstone_docs", F.col("n_tomb"),
+                          share("n_tomb", "n_docs")))
+    )
+    frames.append(
+        tomb.select(*_row("deletions", "tombstone_tokens",
+                          F.col("tomb_tokens"), share("tomb_tokens", "n_tokens")))
+    )
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)

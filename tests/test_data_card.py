@@ -24,6 +24,7 @@ def test_card_sections_and_share_closure(spark):
     assert set(card) == {
         "corpus", "mixture_source", "mixture_lang", "dedup", "quality",
         "contamination", "embedding", "retrieval", "tokenizer",
+        "vocabulary", "templates", "deletions",
     }
     n_docs = card["corpus"]["n_docs"][0]
     for sec in ("mixture_source", "mixture_lang"):
@@ -77,3 +78,28 @@ def test_card_v2_sections_cross_check(spark):
     assert toks["word_occurrences"][0] > 0
     for fam in ("bpe_pieces", "wp_pieces", "uni_pieces"):
         assert 1_000_000 <= toks[fam][1] <= 20_000_000
+
+
+def test_card_v3_sections_cross_check(spark):
+    """vocabulary / templates / deletions must agree with their owning
+    queries and constants."""
+    from deisa_ray_spark.functions.dedup import TOMB_MOD
+    from deisa_ray_spark.functions.text import (
+        txt_boilerplate_prefixes,
+        txt_vocab_growth,
+    )
+    from deisa_ray_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    card = _card(spark)
+    growth = txt_vocab_growth(spark, SF_DIR).collect()
+    final = max(growth, key=lambda r: r["bucket"])
+    assert card["vocabulary"]["n_token_types"][0] == final["n_types_cum"]
+    bp = txt_boilerplate_prefixes(spark, SF_DIR).collect()
+    # the card's global top prefix count is >= any per-source top count
+    assert card["templates"]["top_prefix_docs"][0] >= max(
+        r["n_docs"] for r in bp
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    n_tomb = docs.filter(F.col("doc_id") % TOMB_MOD == 0).count()
+    assert card["deletions"]["tombstone_docs"][0] == n_tomb
