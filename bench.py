@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "report_term_drift",
     "emb_kmeans_exact",
     "dedup_tombstone_propagation",
+    "stream_vocab_growth",
 ]
 
 

@@ -1934,12 +1934,15 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_GROWTH_BUCKETS = 10
 
 
-@query(
-    "txt_vocab_growth",
-    oracle=f"""
+def vocab_growth_oracle(n_buckets: int) -> str:
+    """The Heaps-curve SQL, parameterized by bucket count — shared by
+    the batch query (VOCAB_GROWTH_BUCKETS) and the streaming twin
+    (bucket == shard == micro-batch), so the two surfaces cannot
+    drift."""
+    return f"""
     WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
     toks AS (
-      SELECT CAST(doc_id * {VOCAB_GROWTH_BUCKETS} // mx.n AS INT) AS bucket,
+      SELECT CAST(doc_id * {n_buckets} // mx.n AS INT) AS bucket,
              unnest(string_split(text, ' ')) AS tok
       FROM documents CROSS JOIN mx
     ),
@@ -1956,7 +1959,12 @@ VOCAB_GROWTH_BUCKETS = 10
            CAST(sum(t.n_tokens_bucket)
                 OVER (ORDER BY t.bucket) AS BIGINT) AS n_tokens_cum
     FROM tok_counts t LEFT JOIN new_types n ON n.bucket = t.bucket
-    """,
+    """
+
+
+@query(
+    "txt_vocab_growth",
+    oracle=vocab_growth_oracle(VOCAB_GROWTH_BUCKETS),
 )
 def txt_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

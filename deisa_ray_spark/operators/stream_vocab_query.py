@@ -1,0 +1,85 @@
+"""Streaming vocabulary growth as a declared, ORACLE-CHECKED query:
+documents staged as DETERMINISTIC doc_id-bucket shards (the same
+``doc_id·N DIV (max_id+1)`` projection the batch Heaps curve buckets
+by — range-sampled shard boundaries would make the curve
+non-deterministic), streamed through IncrementalVocab, the per-batch
+growth stats returned.
+
+Oracle: the SHARED bucket-parameterized ``vocab_growth_oracle`` at
+N_SHARDS buckets, with ``bucket`` renamed to ``batch_id`` — for
+in-order contiguous shards, "first seen in batch b" == "first bucket"
+exactly, so the streamed curve hash-matches the batch SQL.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deisa_ray_spark.functions.text import vocab_growth_oracle
+from deisa_ray_spark.registry import query
+
+N_SHARDS = 3
+
+_ORACLE = f"""
+    SELECT bucket AS batch_id, n_new_types, n_types_cum,
+           n_tokens_bucket AS n_tokens_batch, n_tokens_cum
+    FROM ({vocab_growth_oracle(N_SHARDS)})
+    """
+
+
+def stage_bucket_shards(
+    docs: DataFrame, dest: str, n_shards: int
+) -> list[str]:
+    """Stage ``docs`` as ``n_shards`` files whose membership is the
+    DETERMINISTIC doc_id-bucket projection (doc_id·N DIV (max+1)) —
+    byte-stable across runs, unlike repartitionByRange's sampled
+    boundaries — with strictly increasing mtimes so FileStreamSource
+    delivers bucket order. Each shard is one distributed filter + write
+    (no driver data movement; at scale a shard is simply the arriving
+    crawl drop, already a file set)."""
+    os.makedirs(dest, exist_ok=True)
+    n = docs.agg((F.max("doc_id") + 1).alias("n")).first()["n"]
+    paths = []
+    for i in range(n_shards):
+        part = docs.filter(
+            (F.col("doc_id") * n_shards / F.lit(n)).cast("int") == i
+        ).select("doc_id", "text")
+        tmp = f"{dest}/_stage_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = glob.glob(f"{tmp}/part-*")[0]
+        out = f"{dest}/shard-{i:05d}.parquet"
+        shutil.move(src_file, out)
+        shutil.rmtree(tmp, ignore_errors=True)
+        paths.append(out)
+    base = time.time()
+    for i, p in enumerate(paths):
+        ts = base - (len(paths) - i)
+        os.utime(p, (ts, ts))
+    return paths
+
+
+@query("stream_vocab_growth", oracle=_ORACLE)
+def stream_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage deterministic doc_id-bucket shards, stream them through
+    IncrementalVocab, return the per-batch Heaps curve."""
+    from deisa_ray_spark.sources.registry import load_table
+    from deisa_ray_spark.streaming.vocabstream import IncrementalVocab
+
+    work = tempfile.mkdtemp(prefix="stream_vocab_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        stage_bucket_shards(docs, f"{work}/src", N_SHARDS)
+        proc = IncrementalVocab(spark, f"{work}/state")
+        proc.run_available(f"{work}/src", f"{work}/ckpt")
+        out = proc.growth()
+        # materialize executor-side before the temp state dir disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

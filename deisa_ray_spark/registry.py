@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
     import deisa_ray_spark.operators.stream_decon_query  # noqa: F401
     import deisa_ray_spark.operators.stream_servegraph_query  # noqa: F401
     import deisa_ray_spark.operators.stream_sketch_query  # noqa: F401
+    import deisa_ray_spark.operators.stream_vocab_query  # noqa: F401
     import deisa_ray_spark.functions.text  # noqa: F401
     import deisa_ray_spark.functions.bpe  # noqa: F401
     import deisa_ray_spark.functions.wordpiece  # noqa: F401
