@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "emb_kmeans_exact",
     "dedup_tombstone_propagation",
     "stream_vocab_growth",
+    "samp_bootstrap_replicates",
 ]
 
 

@@ -958,3 +958,86 @@ def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         free_local_checkpoint(state)
         state = nxt
     return out
+
+
+# --------------------------------------------------------------------------
+# samp_bootstrap_replicates — Poisson bootstrap for corpus metrics: R
+# deterministic replicates where each document's weight is a Poisson(1)
+# draw (the streaming-friendly bootstrap — per-row weights need no
+# global resample pass), giving the spread that turns any corpus stat
+# into a confidence statement ("docs kept = 61.2k ± 300", the error bar
+# a data card should carry). Exact in integers: the uniform is the
+# md5(doc_id|replicate) 32-bit prefix scaled to millionths (the
+# samp_hash_bernoulli gate), the Poisson inverse-CDF is a CASE chain on
+# LITERAL millionth thresholds of the Poisson(1) CDF (e^-1-derived
+# constants below, truncated; the tail past k=7 — probability < 1.1e-5
+# — caps at 8, identically in both engines).
+#
+# Scale shape: ONE corpus scan, zero explode — all R replicate weights
+# are projected as columns and aggregated in the same partial agg; the
+# output is R rows regardless of corpus size.
+# --------------------------------------------------------------------------
+BOOT_R = 8  #: bootstrap replicates
+#: cumulative Poisson(1) CDF in millionths: P(X <= k) for k = 0..7
+BOOT_CDF_X1E6 = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def _boot_u_sql(r: int) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|{r}'), 1, 8))::UBIGINT"
+        f" * 1000000 // 4294967296)"
+    )
+
+
+def _boot_w_sql(r: int) -> str:
+    u = _boot_u_sql(r)
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_CDF_X1E6)
+    )
+    return f"(CASE {cases} ELSE 8 END)"
+
+
+def _bootstrap_oracle() -> str:
+    reps = " UNION ALL ".join(
+        f"""
+    SELECT {r} AS replicate,
+           CAST(sum({_boot_w_sql(r)}) AS BIGINT) AS n_docs_eff,
+           CAST(sum({_boot_w_sql(r)} * len(string_split(text, ' '))) AS BIGINT)
+             AS n_tokens_eff
+    FROM documents"""
+        for r in range(1, BOOT_R + 1)
+    )
+    return reps
+
+
+@query("samp_bootstrap_replicates", oracle=_bootstrap_oracle())
+def samp_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R Poisson(1)-weighted replicates of (doc count, token count) —
+    one scan, weights as projected columns, R output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+
+    def w(r: int) -> "F.Column":
+        u = F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING) || '|%d'), 1, 8),"
+            " 16, 10) AS BIGINT) * 1000000 DIV 4294967296" % r
+        )
+        expr = F.lit(8)
+        for k, t in reversed(list(enumerate(BOOT_CDF_X1E6))):
+            expr = F.when(u < t, F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = []
+    for r in range(1, BOOT_R + 1):
+        aggs.append(F.sum(w(r)).cast("bigint").alias(f"d{r}"))
+        aggs.append(F.sum(w(r) * n_toks).cast("bigint").alias(f"t{r}"))
+    one = docs.agg(*aggs)
+    rows = None
+    for r in range(1, BOOT_R + 1):
+        row = one.select(
+            F.lit(r).alias("replicate"),
+            F.col(f"d{r}").alias("n_docs_eff"),
+            F.col(f"t{r}").alias("n_tokens_eff"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
