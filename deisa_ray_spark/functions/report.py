@@ -701,10 +701,13 @@ def report_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % SNAP_V2_MOD != 0).cast("int").alias("v2"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
+    # materialize the vocab-sized per-token frame ONCE: it feeds both
+    # the output and the totals aggregate, and an unmaterialized reuse
+    # would re-tokenize the corpus per consumer (plan-pinned to 1 scan)
     per = toks.groupBy("tok").agg(
         F.sum("v1").cast("bigint").alias("n_v1"),
         F.sum("v2").cast("bigint").alias("n_v2"),
-    )
+    ).localCheckpoint(eager=True)
     tot = F.broadcast(
         per.agg(
             F.sum("n_v1").cast("bigint").alias("t1"),

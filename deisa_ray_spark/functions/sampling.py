@@ -1032,12 +1032,17 @@ def samp_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(w(r)).cast("bigint").alias(f"d{r}"))
         aggs.append(F.sum(w(r) * n_toks).cast("bigint").alias(f"t{r}"))
     one = docs.agg(*aggs)
-    rows = None
-    for r in range(1, BOOT_R + 1):
-        row = one.select(
+    # reshape the ONE aggregate row to R rows by exploding a literal
+    # struct array — a per-replicate unionAll would re-evaluate the
+    # aggregate per branch (R separate corpus scans; plan-pinned to 1)
+    reps = F.array(*[
+        F.struct(
             F.lit(r).alias("replicate"),
             F.col(f"d{r}").alias("n_docs_eff"),
             F.col(f"t{r}").alias("n_tokens_eff"),
         )
-        rows = row if rows is None else rows.unionAll(row)
-    return rows
+        for r in range(1, BOOT_R + 1)
+    ])
+    return one.select(F.explode(reps).alias("x")).select(
+        "x.replicate", "x.n_docs_eff", "x.n_tokens_eff"
+    )

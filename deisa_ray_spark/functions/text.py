@@ -1975,12 +1975,21 @@ def txt_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
-    first_seen = toks.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    # ONE corpus tokenize: the narrow (tok, bucket) frame (≤ V·B rows,
+    # vocab-sized) is materialized once and serves both the first-seen
+    # and the per-bucket token aggregates — unmaterialized reuse would
+    # re-tokenize the corpus per consumer
+    tb = (
+        toks.groupBy("tok", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    first_seen = tb.groupBy("tok").agg(F.min("bucket").alias("fb"))
     new_types = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_new_types")
     )
-    tok_counts = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_tokens_bucket")
+    tok_counts = tb.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_tokens_bucket")
     )
     cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
     return (

@@ -872,3 +872,42 @@ def test_bm25_single_postings_scan_broadcast_probe(spark):
         re.findall(r"Arguments: hashpartitioning\(doc_id#\d+L, term#\d+", plan)
     )
     assert n_posting_exchanges == 1, plan
+
+
+def test_boilerplate_prefixes_no_explode_windowgrouplimit(spark):
+    """Template detection: prefix is a pure projection (no Generate/
+    explode node), one (source, prefix) aggregation, per-source top-K
+    under WindowGroupLimit, nothing Python."""
+    plan = plan_of(spark, "txt_boilerplate_prefixes")
+    assert "Generate explode" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def _scan_nodes(plan: str, kind: str = "Scan parquet") -> int:
+    """Count physical scan NODES in a formatted plan (the tree line and
+    the detail line both contain the substring — count detail headers)."""
+    return len(re.findall(rf"^\(\d+\) {kind}", plan, re.M))
+
+
+def test_bootstrap_single_scan(spark):
+    """Poisson bootstrap: ONE documents scan — all replicate weights are
+    projected columns into one partial agg, and the R output rows come
+    from exploding a literal struct array over that 1-row aggregate (a
+    per-replicate union would rescan the corpus per branch). No Python."""
+    plan = plan_of(spark, "samp_bootstrap_replicates")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _scan_nodes(plan) == 1, plan
+
+
+def test_term_drift_reads_materialized_vocab_only(spark):
+    """Token drift: the corpus tokenizes ONCE into the materialized
+    per-token frame (both snapshot flags ride that single pass); the
+    declared plan then reads ONLY the checkpointed vocab frame — zero
+    parquet rescans, no cartesian, no Python."""
+    plan = plan_of(spark, "report_term_drift")
+    assert _scan_nodes(plan) == 0, plan
+    assert "ExistingRDD" in plan  # the materialized per-token frame
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
