@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "dedup_tombstone_propagation",
     "stream_vocab_growth",
     "samp_bootstrap_replicates",
+    "txt_lang_confusion",
 ]
 
 

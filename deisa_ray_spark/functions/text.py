@@ -2074,3 +2074,46 @@ def txt_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * 1000000 DIV n_total").alias("share_x1e6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# txt_lang_confusion — the language-ID EVALUATION artifact: the
+# confusion matrix of predicted vs declared language, with per-true-lang
+# row shares in integer millionths (the per-class recall diagonal a
+# lang-gate threshold decision reads). Single source of truth twice
+# over: the Spark side reuses lang_scores (the one marker-profile
+# scorer), and the oracle WRAPS txt_lang_id's registered oracle as a
+# subquery — the matrix cannot drift from the classifier it evaluates.
+#
+# Scale shape: one corpus scan (the marker counts are pure projections),
+# one (lang, pred) partial agg — ≤ |langs|² result rows — and a window
+# over that tiny frame for row totals.
+# --------------------------------------------------------------------------
+def _lang_confusion_oracle() -> str:
+    from deisa_ray_spark.registry import QUERIES
+
+    return f"""
+    WITH lid AS ({QUERIES["txt_lang_id"].oracle})
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000
+                // sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+             AS share_x1e6
+    FROM lid GROUP BY lang, pred_lang
+    """
+
+
+@query("txt_lang_confusion", oracle=_lang_confusion_oracle())
+def txt_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    conf = (
+        lang_scores(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("row_total", F.sum("n").over(W.partitionBy("lang")))
+    )
+    return conf.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 1000000 DIV row_total").cast("bigint").alias("share_x1e6"),
+    )
