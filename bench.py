@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "stream_vocab_growth",
     "samp_bootstrap_replicates",
     "txt_lang_confusion",
+    "sim_eval_mrr",
 ]
 
 

@@ -2637,3 +2637,85 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", "n_members", "inertia_mean", "c_fp_sum")
     )
     return out.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------------
+# sim_eval_mrr — retrieval-quality EVALUATION: mean reciprocal rank of
+# the brute-force cosine ranking against the same-label gold standard
+# (the standard labeled-ANN-benchmark protocol: a neighbor is relevant
+# iff it shares the query's cluster label). The recall audits
+# (dedup_lsh_recall_audit, the *_topk recall contracts) grade candidate
+# GENERATION; this grades the RANKING itself — per query the rank of
+# the first relevant hit, its reciprocal in integer millionths
+# (1e6 DIV rank), and one corpus row with the integer-mean MRR. The
+# exact-ranking twin every approximate tier's MRR is later compared
+# against.
+#
+# Scale shape: same as sim_bruteforce_topk (broadcast query panel × one
+# corpus scan, per-query WindowGroupLimit is not applicable — the FIRST
+# relevant hit needs the full ranking until that hit, so the window
+# keeps rank order and a min-filter takes the first match; output is
+# N_QUERIES + 1 rows).
+# --------------------------------------------------------------------------
+@query(
+    "sim_eval_mrr",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT q.qid,
+             row_number() OVER (PARTITION BY q.qid
+                                ORDER BY round(list_cosine_similarity(
+                                    q.qe, c.embedding::DOUBLE[]), 6) + 0 DESC,
+                                         c.vec_id) AS rank,
+             (c.label = q.qlabel) AS relevant
+      FROM q JOIN embeddings c ON c.vec_id <> q.qid
+    ),
+    firsts AS (
+      SELECT qid, CAST(min(rank) AS BIGINT) AS first_rel_rank
+      FROM ranked WHERE relevant GROUP BY qid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, first_rel_rank,
+           1000000 // first_rel_rank AS rr_x1e6
+    FROM firsts
+    UNION ALL
+    SELECT -1, CAST(count(*) AS BIGINT),
+           CAST(sum(1000000 // first_rel_rank) // count(*) AS BIGINT)
+    FROM firsts
+    """,
+)
+def sim_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.desc(F.round(cosine_sim(F.col("qe"), F.col("e")), 6)),
+        F.asc("vec_id"),
+    )
+    ranked = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.min("rank").cast("bigint").alias("first_rel_rank"))
+        .localCheckpoint(eager=True)  # N_QUERIES rows feed two branches
+    )
+    per_q = ranked.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        "first_rel_rank",
+        F.expr("1000000 DIV first_rel_rank").alias("rr_x1e6"),
+    )
+    summary = ranked.agg(
+        F.lit(-1).cast("bigint").alias("qid"),
+        F.count(F.lit(1)).cast("bigint").alias("first_rel_rank"),
+        F.expr("sum(1000000 DIV first_rel_rank) DIV count(1)")
+        .cast("bigint")
+        .alias("rr_x1e6"),
+    )
+    return per_q.unionAll(summary)
