@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "samp_bootstrap_replicates",
     "txt_lang_confusion",
     "sim_eval_mrr",
+    "q55_event_anomaly_mad",
 ]
 
 

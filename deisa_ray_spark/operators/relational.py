@@ -1366,3 +1366,72 @@ def q54_fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", "edit_dist", "rows_a", "rows_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q55 — robust anomaly detection on the event stream: days whose
+# per-type event count exceeds median + K·MAD (median absolute
+# deviation — the outlier rule that, unlike mean+K·sigma, is not itself
+# dragged by the outliers it hunts). The pipeline-monitoring primitive:
+# "which days did event volume spike?". Daily counts are integers, so
+# the exact continuous medians land on .0/.5 values both engines
+# represent exactly — no rounding needed anywhere.
+#
+# Scale shape: one events scan into a (type, day) partial agg (the
+# daily frame is tiny — types × days); two percentile aggs and the
+# final filter run on that frame, never on raw events.
+# --------------------------------------------------------------------------
+ANOMALY_K = 2  #: MAD multiplier
+
+
+@query(
+    "q55_event_anomaly_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY event_type, day
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n_events, 0.5) AS med
+      FROM daily GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type, any_value(m.med) AS med,
+             quantile_cont(abs(d.n_events - m.med), 0.5) AS mad
+      FROM daily d JOIN med m USING (event_type)
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+           mad.med, mad.mad
+    FROM daily d JOIN mad USING (event_type)
+    WHERE d.n_events > mad.med + {ANOMALY_K} * mad.mad
+    """,
+)
+def q55_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.percentile(F.abs(F.col("n_events") - F.col("med")), F.lit(0.5))
+            .alias("mad"),
+        )
+    )
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .filter(F.col("n_events") > F.col("med") + ANOMALY_K * F.col("mad"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "med",
+            "mad",
+        )
+    )
