@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "txt_lang_confusion",
     "sim_eval_mrr",
     "q55_event_anomaly_mad",
+    "dedup_lsh_precision_audit",
 ]
 
 

@@ -2411,3 +2411,73 @@ def dedup_tombstone_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("canon_before") != F.col("canon_after"))
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_lsh_precision_audit — the PRECISION half of the LSH tuning pair
+# (dedup_lsh_recall_audit measures what the bands MISS; this measures
+# what they WASTE): every banded candidate pair bucketed by its exact
+# Jaccard decile, with bucket -1 for pure hash collisions (no shared
+# shingle at all). The verify stage's cost is proportional to the
+# below-threshold candidate mass, so this table is the other input to
+# the N_MINHASH/N_BANDS decision — together the two audits bracket the
+# LSH S-curve from both sides. Shares in integer millionths of the
+# candidate total.
+#
+# Scale shape: reuses the session-cached signature/band tables and the
+# shared-shingle truth pairs; the audit itself is one left join over
+# the candidate set + an ≤12-row decile agg.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_lsh_precision_audit",
+    oracle=f"""
+    WITH {lsh_audit_ctes()},
+    pmarked AS (
+      SELECT coalesce((10 * t.n_common) // (t.na + t.nb - t.n_common), -1)
+               AS bucket
+      FROM cand c
+      LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT)
+             AS share_x1e6
+    FROM pmarked GROUP BY bucket
+    """,
+)
+def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
+    bands = _session_cached(
+        spark,
+        "lsh_bands",
+        sf_dir,
+        lambda: lsh_band_rows(
+            minhash_signature_df(
+                sh.select("doc_id", F.explode("shingles").alias("s"))
+            )
+        ),
+        eager=True,
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    truth = shared_shingle_pairs(spark, sf_dir)
+    pmarked = cand.join(truth, ["doc_a", "doc_b"], "left").select(
+        F.coalesce(
+            F.expr("10 * n_common div (na + nb - n_common)"), F.lit(-1)
+        ).alias("bucket")
+    )
+    agg = pmarked.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return agg.select(
+        "bucket",
+        "n_candidates",
+        F.expr(
+            "CAST(n_candidates * 1000000 DIV sum(n_candidates) OVER () AS BIGINT)"
+        ).alias("share_x1e6"),
+    )
