@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "sim_eval_mrr",
     "q55_event_anomaly_mad",
     "dedup_lsh_precision_audit",
+    "sim_eval_mrr_served",
 ]
 
 

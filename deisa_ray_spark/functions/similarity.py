@@ -2719,3 +2719,92 @@ def sim_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rr_x1e6"),
     )
     return per_q.unionAll(summary)
+
+
+# --------------------------------------------------------------------------
+# sim_eval_mrr_served — MRR@TOP_K of the SERVED graph-ANN tier
+# (sim_graph_beam_topk) against the same-label gold: the evaluation
+# that closes the loop from sim_eval_mrr's exact-ranking reference to
+# the ranking users actually get from the beam-served index. A query
+# with no relevant hit inside the served top-K scores 0 (the MRR@k
+# convention), so serving regressions show up as mass at rr=0, not as
+# silently-missing rows. Single source twice over: the Spark side calls
+# the registered sim_graph_beam_topk builder, and the oracle WRAPS its
+# registered oracle as a CTE (the txt_lang_confusion composition
+# pattern) — the evaluation cannot drift from the tier it evaluates.
+#
+# Scale shape: the served table is Q×K rows; labeling is one equi-join
+# to the vector store; everything after is a Q-row aggregate.
+# --------------------------------------------------------------------------
+def _mrr_served_oracle() -> str:
+    from deisa_ray_spark.registry import QUERIES
+
+    served = QUERIES["sim_graph_beam_topk"].oracle
+    return f"""
+    WITH served AS ({served}),
+    qpanel AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    firsts AS (
+      SELECT p.qid,
+             CAST(coalesce(min(CASE WHEN e.label = p.qlabel THEN s.rank END),
+                           0) AS BIGINT) AS first_rel_rank
+      FROM qpanel p
+      LEFT JOIN served s ON s.qid = p.qid
+      LEFT JOIN embeddings e ON e.vec_id = s.neighbor_id
+      GROUP BY p.qid, p.qlabel
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, first_rel_rank,
+           CAST(CASE WHEN first_rel_rank = 0 THEN 0
+                ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_x1e6
+    FROM firsts
+    UNION ALL
+    SELECT -1, CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN first_rel_rank = 0 THEN 0
+                    ELSE 1000000 // first_rel_rank END) // count(*) AS BIGINT)
+    FROM firsts
+    """
+
+
+@query("sim_eval_mrr_served", oracle=_mrr_served_oracle())
+def sim_eval_mrr_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deisa_ray_spark.registry import QUERIES
+
+    served = QUERIES["sim_graph_beam_topk"].fn(spark, sf_dir).select(
+        "qid", "rank", "neighbor_id"
+    )
+    emb = _emb(spark, sf_dir)
+    qpanel = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    labeled = served.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    firsts = (
+        qpanel.join(labeled, "qid", "left")
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("first_rel_rank")
+        )
+        .localCheckpoint(eager=True)  # Q rows feed two branches
+    )
+    rr = F.when(F.col("first_rel_rank") == 0, F.lit(0)).otherwise(
+        F.expr("1000000 DIV first_rel_rank")
+    )
+    per_q = firsts.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        "first_rel_rank",
+        rr.cast("bigint").alias("rr_x1e6"),
+    )
+    summary = firsts.select(rr.alias("rr")).agg(
+        F.lit(-1).cast("bigint").alias("qid"),
+        F.count(F.lit(1)).cast("bigint").alias("first_rel_rank"),
+        F.expr("sum(rr) DIV count(1)").cast("bigint").alias("rr_x1e6"),
+    )
+    return per_q.unionAll(summary)
