@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q55_event_anomaly_mad",
     "dedup_lsh_precision_audit",
     "sim_eval_mrr_served",
+    "q56_event_transition_matrix",
 ]
 
 

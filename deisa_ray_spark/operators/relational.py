@@ -1435,3 +1435,55 @@ def q55_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q56 — event-transition matrix: per-user journeys ordered by time,
+# counted as (event_type → next event_type) bigrams with row shares in
+# integer millionths — the first-order Markov table behind funnel
+# modeling, session simulation, and sequence-training data prep (q26's
+# funnel checks ONE ordered pattern; this measures ALL pairwise
+# transitions at once).
+#
+# Determinism: events carry unique event_id, so the lag order
+# (ts, event_id) is a total order both engines agree on. Scale shape:
+# one events scan, one user-keyed window (the sessionize/funnel
+# exchange), then a (from, to) partial agg — the matrix is
+# |event_types|² rows; shares via a window over that tiny frame.
+# --------------------------------------------------------------------------
+@query(
+    "q56_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000
+                // sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+             AS share_x1e6
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q56_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    conf = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("row_total", F.sum("n").over(W.partitionBy("from_type")))
+    )
+    return conf.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 1000000 DIV row_total").cast("bigint").alias("share_x1e6"),
+    )
