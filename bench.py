@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "dedup_lsh_precision_audit",
     "sim_eval_mrr_served",
     "q56_event_transition_matrix",
+    "dedup_minhash_estimate_audit",
 ]
 
 

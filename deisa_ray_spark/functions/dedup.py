@@ -2481,3 +2481,81 @@ def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_candidates * 1000000 DIV sum(n_candidates) OVER () AS BIGINT)"
         ).alias("share_x1e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_estimate_audit — the SIGNATURE-level member of the LSH
+# audit trio (recall audit grades the BANDS, precision audit grades the
+# candidate mass, this grades the ESTIMATOR): for every true
+# shared-shingle pair, the Jaccard decile the 12-permutation MinHash
+# signature ESTIMATES (matching components · 10 // N_MINHASH) against
+# the exact decile — as a confusion table. The off-diagonal mass is the
+# estimator variance the banding thresholds must absorb; measured,
+# not assumed (the 1/sqrt(12) theory bound made concrete).
+#
+# Integer-exact throughout: component matches and intersection counts
+# are integers, both deciles are truncating integer divisions. Scale
+# shape: reuses the session-cached signature table and the shared truth
+# pairs; the audit is two equi-joins on doc id + one ≤121-row agg —
+# O(true pairs), the same sampled-audit-slice posture as the other two.
+# --------------------------------------------------------------------------
+def _mh_match_sum_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {a}.mh{i} = {b}.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+    WITH {lsh_audit_ctes()},
+    est AS (
+      SELECT (10 * t.n_common) // (t.na + t.nb - t.n_common) AS exact_bucket,
+             (10 * ({_mh_match_sum_sql('a', 'b')})) // {N_MINHASH} AS est_bucket
+      FROM truth t
+      JOIN mh a ON a.doc_id = t.doc_a
+      JOIN mh b ON b.doc_id = t.doc_b
+    )
+    SELECT CAST(exact_bucket AS BIGINT) AS exact_bucket,
+           CAST(est_bucket AS BIGINT) AS est_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM est GROUP BY exact_bucket, est_bucket
+    """,
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir)
+    sig = _session_cached(
+        spark,
+        "lsh_sig",
+        sf_dir,
+        lambda: minhash_signature_df(
+            sh.select("doc_id", F.explode("shingles").alias("s"))
+        ),
+        eager=True,
+    )
+    truth = shared_shingle_pairs(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        truth.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.expr("10 * n_common div (na + nb - n_common)").alias("exact_bucket"),
+            ((10 * matches) / N_MINHASH).cast("int").alias("est_bucket"),
+        )
+    )
+    return est.groupBy(
+        F.col("exact_bucket").cast("bigint").alias("exact_bucket"),
+        F.col("est_bucket").cast("bigint").alias("est_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
