@@ -1401,7 +1401,8 @@ ANOMALY_K = 2  #: MAD multiplier
       FROM daily d JOIN med m USING (event_type)
       GROUP BY d.event_type
     )
-    SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n_events AS BIGINT) AS n_events,
            mad.med, mad.mad
     FROM daily d JOIN mad USING (event_type)
     WHERE d.n_events > mad.med + {ANOMALY_K} * mad.mad
@@ -1429,7 +1430,11 @@ def q55_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > F.col("med") + ANOMALY_K * F.col("mad"))
         .select(
             "event_type",
-            "day",
+            # string ISO day: a DATE column reaches pandas as object on
+            # the Spark side but datetime64 from DuckDB — the driver
+            # hash (and the mirror's dtype-kind check) would diverge on
+            # equal values (the month-column convention from q06)
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("n_events").cast("bigint").alias("n_events"),
             "med",
             "mad",
