@@ -2496,9 +2496,17 @@ def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Integer-exact throughout: component matches and intersection counts
 # are integers, both deciles are truncating integer divisions. Scale
 # shape: reuses the session-cached signature table and the shared truth
-# pairs; the audit is two equi-joins on doc id + one ≤121-row agg —
-# O(true pairs), the same sampled-audit-slice posture as the other two.
+# pairs, and — unlike the other two audits, whose joins stay narrow —
+# ACTS on a deterministic pair slice (doc_a % EST_AUDIT_MOD == 0): the
+# estimator join drags 2×N_MINHASH md5 strings per pair, so the sampled
+# slice is what keeps it an audit rather than a second pairwise stage
+# (measured: the full-pair oracle blows the 90 s sf1 cap; the slice
+# runs in seconds on both engines). The estimator-variance measurement
+# is statistical — a 1/8 deterministic slice estimates it equally well.
 # --------------------------------------------------------------------------
+EST_AUDIT_MOD = 8  #: audit the pairs with doc_a % EST_AUDIT_MOD == 0
+
+
 def _mh_match_sum_sql(a: str, b: str) -> str:
     return " + ".join(
         f"CASE WHEN {a}.mh{i} = {b}.mh{i} THEN 1 ELSE 0 END"
@@ -2516,6 +2524,7 @@ def _mh_match_sum_sql(a: str, b: str) -> str:
       FROM truth t
       JOIN mh a ON a.doc_id = t.doc_a
       JOIN mh b ON b.doc_id = t.doc_b
+      WHERE t.doc_a % {EST_AUDIT_MOD} = 0
     )
     SELECT CAST(exact_bucket AS BIGINT) AS exact_bucket,
            CAST(est_bucket AS BIGINT) AS est_bucket,
@@ -2548,7 +2557,8 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_MINHASH)
     )
     est = (
-        truth.join(a, "doc_a")
+        truth.filter(F.col("doc_a") % EST_AUDIT_MOD == 0)
+        .join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             F.expr("10 * n_common div (na + nb - n_common)").alias("exact_bucket"),
