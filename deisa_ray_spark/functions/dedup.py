@@ -1870,9 +1870,12 @@ def lsh_audit_ctes() -> str:
     )"""
 
 
-def lsh_audit_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of :func:`lsh_audit_ctes`'s ``marked``: ``(bucket,
-    caught)`` per true pair, session-cached band tables reused."""
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded candidate-pair set ``(doc_a, doc_b)``, doc_a < doc_b —
+    the ONE Spark definition of "pair the bands propose" (session-cached
+    band tables, self-join on (band_id, band_key), distinct), shared by
+    the recall and precision audits so they grade the SAME candidate
+    set."""
     sh = _shingle_sets(spark, sf_dir)
     bands = _session_cached(
         spark,
@@ -1885,14 +1888,19 @@ def lsh_audit_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eager=True,
     )
-    cand = (
+    return (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .withColumn("caught", F.lit(True))
     )
+
+
+def lsh_audit_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of :func:`lsh_audit_ctes`'s ``marked``: ``(bucket,
+    caught)`` per true pair, session-cached band tables reused."""
+    cand = lsh_candidate_pairs(spark, sf_dir).withColumn("caught", F.lit(True))
     truth = shared_shingle_pairs(spark, sf_dir)
     return truth.join(cand, ["doc_a", "doc_b"], "left").select(
         F.expr("10 * n_common div (na + nb - n_common)").alias("bucket"),
@@ -2446,25 +2454,7 @@ def dedup_tombstone_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_sets(spark, sf_dir)
-    bands = _session_cached(
-        spark,
-        "lsh_bands",
-        sf_dir,
-        lambda: lsh_band_rows(
-            minhash_signature_df(
-                sh.select("doc_id", F.explode("shingles").alias("s"))
-            )
-        ),
-        eager=True,
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(spark, sf_dir)
     truth = shared_shingle_pairs(spark, sf_dir)
     pmarked = cand.join(truth, ["doc_a", "doc_b"], "left").select(
         F.coalesce(

@@ -179,7 +179,7 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_docs,
            CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
            CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
-           CAST(sum(CAST(('0x' || substr(md5(text || '|' || lang || '|' || source), 1, 8))
+           CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', text, lang, source)), 1, 8))
                     AS BIGINT) * (doc_id % 1000 + 1)) AS BIGINT) AS content_sum
     FROM documents
     """,
@@ -190,12 +190,17 @@ def sink_docs_jsonl_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.operators.grid_ops import _scratch
     from deisa_ray_spark.sinks import write_docs_jsonl
 
+    from deisa_ray_spark.sources.registry import load_documents_jsonl
+
     docs = load_table(spark, sf_dir, "documents")
     path = os.path.join(_scratch("docs_jsonl"), os.path.basename(sf_dir))
     write_docs_jsonl(docs, path)
-    back = spark.read.schema(
-        "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    ).json(path)
+    # read back through the declared JSONL-ingest path (single schema
+    # source + corrupt-line discipline), not a hand-inlined read; both
+    # engines hash concat_ws so a NULL lang/source is SKIPPED, not
+    # NULL-poisoned ('a'||NULL is NULL in SQL, which would silently drop
+    # the row from the oracle's sum while Spark kept it)
+    back = load_documents_jsonl(spark, path)
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", F.col("text"), F.col("lang"), F.col("source"))),

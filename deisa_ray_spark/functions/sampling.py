@@ -937,6 +937,12 @@ def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         row = sel.select("rank", "vec_id", (F.col("max_sim") + 0).alias("cov_sim"))
         out = row if out is None else out.unionAll(row)
+        if r == KCENTER_K:
+            # the state after the LAST pick is never read — skip the
+            # O(n) scoring pass + checkpoint (the samp_mmr_stratified
+            # final-round discipline) and release the live state
+            free_local_checkpoint(state)
+            break
         pick = sel.select(
             F.col("vec_id").alias("p_id"), F.col("e").alias("pe"),
             F.col("nrm").alias("pn"),

@@ -2635,8 +2635,13 @@ def emb_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(cent_fp, "cluster")
         .select("cluster", "n_members", "inertia_mean", "c_fp_sum")
-    )
-    return out.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    # out is materialized — release the n·d-row exploded store and the
+    # final assignment (the free-superseded-checkpoints discipline; a
+    # bench/mirror session runs hundreds of queries after this one)
+    free_local_checkpoint(vals)
+    free_local_checkpoint(assign)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -33,6 +33,29 @@ from deisa_ray_spark.registry import query
 N_SHARDS = 3
 
 
+def write_single_parquet_file(df: DataFrame, out_path: str) -> None:
+    """Write ``df`` as exactly ONE parquet file at ``out_path`` (the
+    shard-staging primitive: coalesce(1) write to a scratch dir, move
+    the part file out). Shared by every staged-stream query so the
+    part-file glob and move dance has one definition."""
+    tmp = out_path + "_w"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def pin_increasing_mtimes(paths: list[str]) -> None:
+    """Re-stamp ``paths`` with strictly increasing mtimes in list order
+    (backwards from now, so every pinned mtime stays in the past), the
+    ONE definition of the FileStreamSource delivery-order contract —
+    oldest-mtime-first — every staged-stream query relies on."""
+    base = time.time()
+    for i, path in enumerate(paths):
+        ts = base - (len(paths) - i)
+        os.utime(path, (ts, ts))
+
+
 def stage_ordered_shards(
     docs: DataFrame, dest: str, n_shards: int, order_col: str = "doc_id"
 ) -> list[str]:
@@ -58,13 +81,7 @@ def stage_ordered_shards(
     """
     docs.repartitionByRange(n_shards, order_col).write.parquet(dest)
     files = sorted(glob.glob(os.path.join(dest, "part-*")))
-    # Stamp BACKWARDS from now so every pinned mtime stays in the past
-    # (future timestamps confuse mtime-based tooling) while preserving
-    # the strictly increasing range order.
-    base = time.time()
-    for i, path in enumerate(files):
-        ts = base - (len(files) - i)
-        os.utime(path, (ts, ts))
+    pin_increasing_mtimes(files)
     return files
 
 

@@ -152,22 +152,20 @@ def _stage_batches(dfs, dest: str) -> None:
     """Write each frame as ONE parquet file under ``dest`` with strictly
     increasing mtimes, so FileStreamSource (oldest-mtime-first) delivers
     them as batches 0..n-1 in list order."""
-    import glob
     import os
-    import time
+
+    from deisa_ray_spark.operators.stream_cc_query import (
+        pin_increasing_mtimes,
+        write_single_parquet_file,
+    )
 
     os.makedirs(dest, exist_ok=True)
+    paths = []
     for i, df in enumerate(dfs):
-        tmp = f"{dest}_w{i}"
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.move(part, f"{dest}/b{i}.parquet")
-        shutil.rmtree(tmp, ignore_errors=True)
-    base = time.time()
-    n = len(dfs)
-    for i in range(n):
-        ts = base - (n - i)
-        os.utime(f"{dest}/b{i}.parquet", (ts, ts))
+        out = f"{dest}/b{i}.parquet"
+        write_single_parquet_file(df, out)
+        paths.append(out)
+    pin_increasing_mtimes(paths)
 
 
 @query("stream_serve_graph_upsert", oracle=_UPSERT_ORACLE)

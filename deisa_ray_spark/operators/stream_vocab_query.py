@@ -13,11 +13,9 @@ exactly, so the streamed curve hash-matches the batch SQL.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +42,11 @@ def stage_bucket_shards(
     delivers bucket order. Each shard is one distributed filter + write
     (no driver data movement; at scale a shard is simply the arriving
     crawl drop, already a file set)."""
+    from deisa_ray_spark.operators.stream_cc_query import (
+        pin_increasing_mtimes,
+        write_single_parquet_file,
+    )
+
     os.makedirs(dest, exist_ok=True)
     n = docs.agg((F.max("doc_id") + 1).alias("n")).first()["n"]
     paths = []
@@ -51,17 +54,10 @@ def stage_bucket_shards(
         part = docs.filter(
             (F.col("doc_id") * n_shards / F.lit(n)).cast("int") == i
         ).select("doc_id", "text")
-        tmp = f"{dest}/_stage_{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src_file = glob.glob(f"{tmp}/part-*")[0]
         out = f"{dest}/shard-{i:05d}.parquet"
-        shutil.move(src_file, out)
-        shutil.rmtree(tmp, ignore_errors=True)
+        write_single_parquet_file(part, out)
         paths.append(out)
-    base = time.time()
-    for i, p in enumerate(paths):
-        ts = base - (len(paths) - i)
-        os.utime(p, (ts, ts))
+    pin_increasing_mtimes(paths)
     return paths
 
 

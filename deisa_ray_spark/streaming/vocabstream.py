@@ -112,6 +112,10 @@ class IncrementalVocab:
             .parquet(self.stats_dir)
             .groupBy("batch_id")
             .agg(F.max("n_tokens_batch").alias("n_tokens_batch"))
+            # an empty shard (sparse doc_ids) still produces a stats row;
+            # the batch Heaps SQL has NO row for an empty bucket — omit
+            # empty batches so the streamed curve matches on any corpus
+            .filter(F.col("n_tokens_batch") > 0)
         )
         cum = W.orderBy("batch_id").rowsBetween(W.unboundedPreceding, 0)
         return (
