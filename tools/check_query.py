@@ -31,7 +31,6 @@ def main() -> int:
 
     from deisa_ray_spark.registry import load_all
     from deisa_ray_spark.session import get_session
-    from tools.sf1_mirror import _cmp_frames
 
     spark = get_session(app_name="check_query", shuffle_partitions=16)
     specs = load_all()
@@ -44,20 +43,25 @@ def main() -> int:
     for name in args:
         spec = specs[name]
         t0 = time.time()
-        spd = spec.fn(spark, sf_dir).toPandas()
+        df = spec.fn(spark, sf_dir)
+        spd = df.toPandas()
         t1 = time.time()
         if spec.oracle is None:
             print(f"{name}: rows-only ({len(spd)} rows, spark {t1 - t0:.2f}s)")
             continue
-        opd = con.execute(spec.oracle).fetchdf()
-        diff = _cmp_frames(spd, opd)
-        if diff:
-            rc = 1
-            print(f"{name}: MISMATCH — {diff} "
-                  f"(spark {len(spd)} rows, oracle {len(opd)} rows)")
-        else:
+        # the DRIVER-FAITHFUL comparator (incl. the dtype-kind check a
+        # value hash trips on — e.g. Spark date→object vs DuckDB
+        # date→datetime64, the q55 lesson); the looser astype(str)
+        # compare in sf1_mirror passes cases the driver would fail
+        try:
+            from tests.conftest import assert_matches_oracle
+
+            assert_matches_oracle(df, con, spec.oracle)
             print(f"{name}: green ({len(spd)} rows, spark {t1 - t0:.2f}s, "
                   f"oracle {time.time() - t1:.2f}s)")
+        except AssertionError as e:
+            rc = 1
+            print(f"{name}: MISMATCH — {e}")
     return rc
 
 
