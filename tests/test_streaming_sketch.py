@@ -56,3 +56,28 @@ def test_merged_is_idempotent_under_retried_append(spark, workdir):
     assert dup.count() > 0
     dup.write.mode("append").parquet(f"{workdir}/partials")
     assert _cells(proc.merged()) == before
+
+
+def test_restart_resume_across_runs(spark, workdir):
+    """Stop-and-resume for the sketch maintainer: first run over one
+    shard, then resume with the same checkpoint/partials after more
+    shards land — the merged sketch must equal the batch sketch."""
+    import os
+    import shutil as _sh
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    staged = tempfile.mkdtemp(prefix="t_cms_all_")
+    try:
+        paths = stage_ordered_shards(ev, f"{staged}/all", 3, order_col="event_id")
+        src = f"{workdir}/src_rr"
+        os.makedirs(src, exist_ok=True)
+        proc = IncrementalCMS(spark, f"{workdir}/partials_rr")
+        _sh.copy2(paths[0], f"{src}/00000.parquet")
+        proc.run_available(src, f"{workdir}/ckpt_rr")
+        for i in (1, 2):
+            _sh.copy2(paths[i], f"{src}/{i:05d}.parquet")
+        proc2 = IncrementalCMS(spark, f"{workdir}/partials_rr")
+        proc2.run_available(src, f"{workdir}/ckpt_rr")
+        assert _cells(proc2.merged()) == _cells(cms_build(ev, "user_id"))
+    finally:
+        _sh.rmtree(staged, ignore_errors=True)

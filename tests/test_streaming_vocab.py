@@ -58,3 +58,39 @@ def test_growth_idempotent_under_replayed_batch(spark, workdir):
     stats0.write.mode("append").parquet(f"{workdir}/state_r/stats")
     after = [tuple(r) for r in proc.growth().orderBy("batch_id").collect()]
     assert after == before
+
+
+def test_restart_resume_across_runs(spark, workdir):
+    """Stop-and-resume: run the processor over the first shard only,
+    then drop the remaining shards and run AGAIN with the same
+    checkpoint and state — the final curve must equal the single-run
+    curve (batch numbering continues, first-sight state carries)."""
+    import shutil as _sh
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    from deisa_ray_spark.operators.stream_vocab_query import stage_bucket_shards
+
+    staged = tempfile.mkdtemp(prefix="t_vocab_all_")
+    try:
+        paths = stage_bucket_shards(docs, f"{staged}/all", 3)
+        src = f"{workdir}/src_rr"
+        import os as _os
+
+        _os.makedirs(src, exist_ok=True)
+        proc = IncrementalVocab(spark, f"{workdir}/state_rr")
+        # first run sees only shard 0
+        _sh.copy2(paths[0], f"{src}/shard-00000.parquet")
+        proc.run_available(src, f"{workdir}/ckpt_rr")
+        assert proc.growth().count() == 1
+        # "restart": new processor instance, same state + checkpoint,
+        # remaining shards have landed meanwhile
+        _sh.copy2(paths[1], f"{src}/shard-00001.parquet")
+        _sh.copy2(paths[2], f"{src}/shard-00002.parquet")
+        proc2 = IncrementalVocab(spark, f"{workdir}/state_rr")
+        proc2.run_available(src, f"{workdir}/ckpt_rr")
+        resumed = [tuple(r) for r in proc2.growth().orderBy("batch_id").collect()]
+        single = _run(spark, workdir, 3, "oneshot")
+        want = [tuple(r) for r in single.growth().orderBy("batch_id").collect()]
+        assert resumed == want
+    finally:
+        _sh.rmtree(staged, ignore_errors=True)
