@@ -28,25 +28,36 @@ the md5-sampled UPPER entry layer):
    are re-assigned and re-ranked with the SAME builders the batch
    artifact uses (``knn_assigned`` / ``knn_graph_from_assigned`` — one
    source of truth, no drift);
-3. the state swaps those groups' directed edges and carries the rest.
+3. ONLY those groups' edge partitions are rewritten; every other
+   group's files are left physically untouched.
 
-State lives in parquet under ``state_dir`` and is versioned for
-idempotent replay (foreachBatch may redeliver a batch after a crash):
-``vectors/b{batch_id}`` holds each batch's vectors (overwrite ⇒ replay
-safe) and ``edges/v{batch_id}`` holds the full post-batch directed edge
-state (the previous complete version is read, the new one written, so a
-re-run of batch b regenerates v{b} identically). Rewriting the edge
-state per batch is the parquet-only simplification — production would
-MERGE into Delta or dynamically overwrite (view, grp) partitions; the
-group-replacement logic is identical. Two honesty notes on that
-simplification: (a) the per-batch COMPUTE is group-local, but the
-parquet rewrite of the carried-forward edges is O(total edges) — the
-"work per batch is independent of corpus size" claim below holds for
-assignment/ranking work, not for this state I/O (a Delta MERGE removes
-it); (b) superseded ``edges/v*`` versions are PRUNED after each commit
-(the latest two are kept: the newest serves reads, its predecessor is
-what an idempotent replay of the newest batch reads), so state disk
-stays bounded instead of accumulating one full edge copy per batch.
+State lives in parquet under ``state_dir``:
+
+* ``vectors/b{batch_id}`` holds each batch's vectors (overwrite ⇒
+  replay safe: foreachBatch may redeliver a batch after a crash);
+* ``edges/`` is ONE hive-partitioned table, ``view=<id>/grp=<key>``,
+  maintained with dynamic partitionOverwriteMode — the same no-format
+  MERGE discipline as ``maintenance.upsert_parquet``. A batch rewrites
+  exactly the partitions in its group census; untouched partitions keep
+  their exact files (asserted by inode in the tests). Touched groups
+  whose rebuild yields ZERO edges are deleted explicitly (dynamic
+  overwrite only replaces partitions PRESENT in the written frame — an
+  emptied group would otherwise linger with stale edges).
+
+State I/O per batch is therefore O(touched groups), matching the
+compute: nothing in ``process_batch`` reads or writes the untouched
+part of the edge state. (Through r10 the state was versioned full
+snapshots ``edges/v{batch_id}`` — O(total edges) I/O per batch even for
+a one-group batch; ``_migrate_legacy`` upgrades such a dir in place.)
+
+Replay/crash safety without versions: the touched partitions' contents
+are a deterministic function of the vector state alone (members +
+re-sent ids' old keys — ``process_batch`` never reads prior edges), and
+``vectors/b{batch_id}`` writes are idempotent, so redelivering a batch
+rewrites the same partitions with the same rows, and a crash that left
+SOME partitions rewritten converges on redelivery. This is the same
+argument Delta's MERGE gives, minus cross-writer atomicity (one
+maintainer per state dir, which foreachBatch guarantees).
 
 UPSERT semantics (r10): a re-sent ``vec_id`` REPLACES its previous
 version — the member set is keep-latest-per-vec_id (highest batch id
@@ -68,6 +79,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -89,6 +101,10 @@ from deisa_ray_spark.functions.similarity import (
 UPPER_VIEW = 100
 
 EDGES_SCHEMA = "view int, grp string, src bigint, dst bigint"
+#: read schema for the partitioned table: data columns first, then the
+#: partition columns — explicit so grp is NEVER type-inferred (a geo
+#: code like "0101" would otherwise infer as the integer 101).
+_EDGES_READ_SCHEMA = "src bigint, dst bigint, view int, grp string"
 
 
 def _views() -> list:
@@ -113,20 +129,71 @@ class IncrementalServeGraph:
         self.state_dir = state_dir
 
     # -- state layout -----------------------------------------------------
-    def _edge_versions(self) -> list:
-        out = []
-        for p in glob.glob(os.path.join(self.state_dir, "edges", "v*")):
-            if os.path.exists(os.path.join(p, "_SUCCESS")):
-                out.append((int(os.path.basename(p)[1:]), p))
-        return sorted(out)
+    def _edges_dir(self) -> str:
+        return os.path.join(self.state_dir, "edges")
 
-    def _latest_edges(self, below: "int | None" = None) -> DataFrame:
-        versions = self._edge_versions()
-        if below is not None:
-            versions = [v for v in versions if v[0] < below]
-        if not versions:
+    def _migrate_legacy(self) -> None:
+        """Upgrade an r10-era ``edges/v{batch}`` full-snapshot state dir
+        to the partitioned layout in place: read the newest committed
+        snapshot, write it as ``view=*/grp=*`` partitions (they coexist
+        with the ``v*`` dirs during the copy), then drop the snapshots.
+        Idempotent — a crash at any point re-runs the same rewrite."""
+        # strict ^v\d+$ match: a bare "v*" glob would also sweep up the
+        # freshly written "view=*" partition dirs
+        snaps = [
+            p
+            for p in glob.glob(os.path.join(self._edges_dir(), "v[0-9]*"))
+            if os.path.basename(p)[1:].isdigit()
+        ]
+        legacy = [
+            (int(os.path.basename(p)[1:]), p)
+            for p in snaps
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
+        if not legacy:
+            return
+        latest = sorted(legacy)[-1][1]
+        df = self.spark.read.parquet(latest).select("src", "dst", "view", "grp")
+        self._overwrite_partitions(df)
+        for p in snaps:
+            shutil.rmtree(p, ignore_errors=True)
+
+    def _read_edges(self) -> DataFrame:
+        self._migrate_legacy()
+        if not glob.glob(os.path.join(self._edges_dir(), "view=*")):
             return self.spark.createDataFrame([], EDGES_SCHEMA)
-        return self.spark.read.parquet(versions[-1][1])
+        return (
+            self.spark.read.schema(_EDGES_READ_SCHEMA)
+            .parquet(self._edges_dir())
+            .select("view", "grp", "src", "dst")
+        )
+
+    def _partition_dirs(self, view: int) -> dict:
+        """grp value -> on-disk partition dir for one view (grp values
+        hive-%-escaped in dir names; unquote restores them)."""
+        base = os.path.join(self._edges_dir(), f"view={view}")
+        out = {}
+        for d in glob.glob(os.path.join(base, "grp=*")):
+            out[urllib.parse.unquote(os.path.basename(d)[4:])] = d
+        return out
+
+    def _overwrite_partitions(self, edges: DataFrame) -> None:
+        """Dynamic-partition-overwrite ``edges`` (src,dst,view,grp) into
+        the state table — only (view, grp) partitions present in the
+        frame are replaced (the maintenance.upsert_parquet discipline)."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                edges.select("src", "dst", "view", "grp")
+                .write.mode("overwrite")
+                .partitionBy("view", "grp")
+                .parquet(self._edges_dir())
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self.spark.catalog.refreshByPath(self._edges_dir())
 
     def _members_all(self) -> DataFrame:
         """Every stored vector version ``(vec_id, label, e, _b)`` —
@@ -170,15 +237,16 @@ class IncrementalServeGraph:
                 "duplicate vec_id within one serve-graph batch — "
                 "same-batch upsert order is undefined; dedup upstream"
             )
+        self._migrate_legacy()
         batch.withColumn("_b", F.lit(batch_id)).write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "vectors", f"b{batch_id}")
         )
         # ONE materialization each per batch: members feeds every view's
-        # subset filter AND the final state write, old_versions feeds
-        # every view's census — un-checkpointed, each reference would
-        # re-read the whole vectors/b* history and re-run the keep-latest
-        # window (~2 scans x views per batch, against the module's
-        # work-per-batch contract).
+        # subset filter, old_versions feeds every view's census —
+        # un-checkpointed, each reference would re-read the whole
+        # vectors/b* history and re-run the keep-latest window (~2 scans
+        # x views per batch, against the module's work-per-batch
+        # contract).
         from deisa_ray_spark.functions.dedup import free_local_checkpoint
 
         members = self._members().localCheckpoint(eager=True)
@@ -195,7 +263,8 @@ class IncrementalServeGraph:
             .select("vec_id", "label", "e")
             .localCheckpoint(eager=True)
         )
-        state = self._latest_edges(below=None if batch_id is None else batch_id)
+        fresh_views = []
+        touched: list = []  # (view, [grp, ...]) — the group census
         for view, key_fn, sample in _views():
             b = sample(bvecs) if sample else bvecs
             old = sample(old_versions) if sample else old_versions
@@ -211,37 +280,43 @@ class IncrementalServeGraph:
             ]
             if not groups:
                 continue
+            touched.append((view, groups))
             m = sample(members) if sample else members
             subset = m.withColumn("grp", key_fn()).filter(F.col("grp").isin(groups))
             tags = subset.select("vec_id", "grp")
             assigned = knn_assigned(subset.select("vec_id", "label", "e"), key=key_fn())
-            fresh = (
+            fresh_views.append(
                 knn_graph_from_assigned(assigned, k=SERVE_K)
                 .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
                 .join(tags.withColumnRenamed("vec_id", "src"), "src")
-                .select(F.lit(view).alias("view"), "grp", "src", "dst")
+                .select("src", "dst", F.lit(view).alias("view"), "grp")
             )
-            kept = state.filter(
-                ~((F.col("view") == view) & F.col("grp").isin(groups))
-            )
-            state = kept.unionByName(fresh)
-        state.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "edges", f"v{batch_id}")
-        )
-        # superseded this batch — the written state is the lineage sink
+        if fresh_views:
+            fresh = fresh_views[0]
+            for fv in fresh_views[1:]:
+                fresh = fresh.unionByName(fv)
+            # materialize once: the same frame feeds the partition
+            # census (which groups actually produced edges) AND the
+            # overwrite write
+            fresh = fresh.localCheckpoint(eager=True)
+            present = {
+                (r["view"], r["grp"])
+                for r in fresh.select("view", "grp").distinct().collect()
+            }
+            if present:
+                self._overwrite_partitions(fresh)
+            # touched groups whose rebuild yielded NO edges: dynamic
+            # overwrite never saw their partition — delete the stale
+            # files explicitly or an emptied group would keep serving
+            # its old edges
+            for view, groups in touched:
+                dirs = self._partition_dirs(view)
+                for g in groups:
+                    if (view, g) not in present and g in dirs:
+                        shutil.rmtree(dirs[g], ignore_errors=True)
+            free_local_checkpoint(fresh)
         free_local_checkpoint(members)
         free_local_checkpoint(old_versions)
-        self._prune_versions()
-
-    def _prune_versions(self, keep: int = 2) -> None:
-        """Drop superseded edge-state versions, keeping the newest
-        ``keep`` committed ones: the newest serves reads; its
-        predecessor is what an idempotent replay of the newest batch
-        reads (foreachBatch only ever redelivers the most recent
-        batch). Without this the state dir accumulates one full edge
-        copy per batch."""
-        for _, p in self._edge_versions()[:-keep]:
-            shutil.rmtree(p, ignore_errors=True)
 
     # -- drivers -------------------------------------------------------------
     def run_available(self, src_dir: str, ckpt_dir: str) -> None:
@@ -260,7 +335,7 @@ class IncrementalServeGraph:
 
     # -- read the maintained graph --------------------------------------------
     def _symmetrized(self, pred) -> DataFrame:
-        directed = self._latest_edges().filter(pred).select("src", "dst")
+        directed = self._read_edges().filter(pred).select("src", "dst")
         return directed.unionByName(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()

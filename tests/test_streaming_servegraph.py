@@ -116,22 +116,145 @@ def test_same_batch_duplicate_raises(spark, tmp_path):
         proc.process_batch(dup_batch, 0)
 
 
-def test_edge_versions_pruned(spark, tmp_path):
-    """After N batches only the newest two committed edge versions
-    remain on disk (newest serves reads; predecessor covers an
-    idempotent replay of the newest batch)."""
+def _partition_inodes(state: str) -> dict:
+    """(view, grp) -> frozenset of parquet-file inodes, per partition."""
+    import glob
+    import os
+    import urllib.parse
+
+    out = {}
+    for d in glob.glob(f"{state}/edges/view=*/grp=*"):
+        grp = urllib.parse.unquote(os.path.basename(d)[4:])
+        view = int(os.path.basename(os.path.dirname(d))[5:])
+        out[(view, grp)] = frozenset(
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_untouched_partitions_keep_inodes(spark, tmp_path):
+    """State I/O is group-local: a one-vector batch rewrites ONLY the
+    (view, grp) partitions in its group census — every other partition
+    keeps its exact files (same inodes), the upsert_parquet proof
+    pattern applied to the maintainer's edge state."""
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph, _views
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.limit(150).cache()
+    state = str(tmp_path / "state")
+    proc = IncrementalServeGraph(spark, state)
+    proc.process_batch(base, 0)
+    before = _partition_inodes(state)
+    assert len(before) > 3  # enough partitions for the claim to bite
+
+    newvec = (
+        base.limit(1)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    )
+    # the batch's expected group census, computed with the module's own
+    # view/key builders (new vector only — its id has no old versions)
+    nv = newvec.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    expected_touched = set()
+    for view, key_fn, sample in _views():
+        b = sample(nv) if sample else nv
+        for r in b.select(key_fn().alias("g")).distinct().collect():
+            expected_touched.add((view, r[0]))
+    proc.process_batch(newvec, 1)
+    after = _partition_inodes(state)
+    untouched = [k for k in before if k not in expected_touched]
+    assert untouched, "one-vector batch should leave most partitions alone"
+    for k in untouched:
+        assert after[k] == before[k], f"partition {k} rewritten needlessly"
+    for k in expected_touched:
+        if k in before:
+            assert after.get(k) != before[k], f"touched partition {k} not rewritten"
+
+
+def test_emptied_group_partition_deleted(spark, tmp_path):
+    """Upserting ALL members of a label group out of it must DELETE
+    that group's edge partition: dynamic overwrite never sees an empty
+    group, so without the explicit delete its stale files would keep
+    serving the old edges."""
+    from deisa_ray_spark.functions.similarity import serve_edges_from
     from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
 
     import pyspark.sql.functions as F
 
-    emb = load_table(spark, SF_DIR, "embeddings").limit(90)
-    proc = IncrementalServeGraph(spark, str(tmp_path / "state"))
-    for i in range(3):
-        batch = emb.filter(
-            (F.col("vec_id") >= 30 * i) & (F.col("vec_id") < 30 * (i + 1))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = sorted(
+        r["label"] for r in emb.select("label").distinct().collect()
+    )
+    lone_label, dest_label = labels[0], labels[1]
+    pair = emb.filter(F.col("label") == lone_label).limit(2)
+    base = (
+        emb.filter(F.col("label") == dest_label)
+        .limit(6)
+        .unionByName(pair)
+        .cache()
+    )
+    assert pair.count() == 2
+    state = str(tmp_path / "state")
+    proc = IncrementalServeGraph(spark, state)
+    proc.process_batch(base, 0)
+    # the 2-member group HAS edges, so its label-view partition exists
+    assert (0, str(lone_label)) in _partition_inodes(state)
+    moved = pair.withColumn("label", F.lit(dest_label))
+    proc.process_batch(moved, 1)
+    assert (0, str(lone_label)) not in _partition_inodes(state)
+    live = (
+        base.filter(F.col("label") == dest_label)
+        .unionByName(moved)
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("e"),
         )
-        proc.process_batch(batch, i)
-    assert [v for v, _ in proc._edge_versions()] == [1, 2]
+    )
+    assert _edge_set(proc.base_edges()) == _edge_set(serve_edges_from(live))
+
+
+def test_legacy_versioned_state_migrates(spark, tmp_path):
+    """An r10-era edges/v{batch} full-snapshot state dir upgrades in
+    place on the next batch: the snapshot's rows land in view=/grp=
+    partitions, the v* dirs are dropped, and the maintained graph still
+    equals the full rebuild."""
+    from deisa_ray_spark.functions.similarity import serve_edges_from
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    import os
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100).cache()
+    state = str(tmp_path / "state")
+    proc = IncrementalServeGraph(spark, state)
+    proc.process_batch(base, 0)
+    # refactor the partitioned state into a legacy v0 snapshot
+    snap = proc._read_edges().select("view", "grp", "src", "dst")
+    snap.write.parquet(state + "/edges_v0_tmp")
+    import shutil as _sh
+
+    for d in os.listdir(state + "/edges"):
+        _sh.rmtree(os.path.join(state, "edges", d), ignore_errors=True)
+    os.rename(state + "/edges_v0_tmp", state + "/edges/v0")
+    assert os.path.exists(state + "/edges/v0/_SUCCESS")
+
+    nxt = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    )
+    proc2 = IncrementalServeGraph(spark, state)
+    proc2.process_batch(nxt, 1)
+    assert not os.path.exists(state + "/edges/v0")
+    live = base.unionByName(nxt).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    assert _edge_set(proc2.base_edges()) == _edge_set(serve_edges_from(live))
 
 
 def test_pre_upsert_state_upgrades(spark, tmp_path):
