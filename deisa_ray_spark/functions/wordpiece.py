@@ -680,6 +680,19 @@ def _tok_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(spark, "tok_holdout", sf_dir, build, eager=True)
 
 
+#: the holdout word-frequency CTE shared verbatim by the fertility A/B
+#: and the byte-fallback report (one source of truth for the lexicon
+#: slice definition)
+_HW_CTE = f"""hw AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(CASE WHEN substr(md5(w), 1, 1) < '{HOLDOUT_HEX_LT}'
+                       THEN 1 ELSE 0 END AS INT) AS held
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+    )"""
+
+
 @query("txt_tokenizer_fertility_holdout", oracle=_holdout_oracle())
 def txt_tokenizer_fertility_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tok_holdout(spark, sf_dir)
@@ -703,4 +716,235 @@ def txt_tokenizer_fertility_holdout(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.col("cnt") * F.coalesce(F.col("uni_unk"), F.lit(1)))
         .cast("bigint")
         .alias("uni_unk_occurrences"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Byte-fallback WordPiece — the UNK-free open-vocabulary posture. The
+# holdout A/B above measured plain WordPiece losing 38% of held-out
+# occurrences to UNK (sf1); production tokenizers do not ship that:
+# SentencePiece's byte_fallback / the GPT-2 byte alphabet guarantee
+# every string encodes. This implements the GAP-LEVEL fallback: greedy
+# longest-match runs as before, but where no vocab piece matches the
+# remaining suffix, ONE character is emitted as a byte token and
+# matching resumes — the word never collapses to UNK, and only the
+# un-coverable characters pay the byte price (whole-word byte
+# decomposition would pay length(w) for one bad character).
+#
+# Two declared policies make the encoder total:
+# - a gap emits exactly one byte token and consumes one character
+#   (lexicon words are ^[a-z]+$, so one character IS one UTF-8 byte;
+#   for non-ASCII input the same skip arm would emit octet_length(char)
+#   byte tokens — noted, not needed on this corpus);
+# - words over the WP_MAX_WORD_LEN match-unroll bound ship as raw bytes
+#   outright (n_pieces = n_bytes = length(w)) instead of UNK.
+#
+# Structural UNK-freedom is REPORTED, not asserted: each round consumes
+# >= 1 character (match or byte skip), so after WP_MAX_WORD_LEN rounds
+# every word's remainder is empty — `unfinished_occurrences` computes
+# that from the final state and must be 0 in every slice.
+#
+# Scale shape: identical to wp_encode_words — distinct-word-sized state,
+# prefix-explode equi-joins (never a contains join), corpus touched once
+# by the word-frequency explode.
+# --------------------------------------------------------------------------
+def wp_oracle_encode_fallback_ctes(
+    k: int = WP_MERGES,
+    lmax: int = WP_MAX_WORD_LEN,
+    extra_where: str = "",
+    words_cte: str = "(SELECT DISTINCT w FROM w0)",
+) -> str:
+    """Training chain + byte-fallback longest-match rounds ``eb0..eb{lmax}``
+    ending in ``wpb_enc(w, n_pieces, n_bytes, unfinished)``."""
+    rounds = []
+    for i in range(1, lmax + 1):
+        rounds.append(f"""
+    candb{i} AS (
+      SELECT x.w, p.piece
+      FROM (SELECT w, rem, substring(rem, 1, j) AS pref
+            FROM eb{i-1}, unnest(range(1, length(rem) + 1)) AS t(j)
+            WHERE rem <> '') x
+      JOIN wpieces p ON p.piece = x.pref
+    ),
+    mb{i} AS MATERIALIZED (
+      SELECT w, arg_max(piece, length(piece)) AS hit
+      FROM candb{i} GROUP BY w
+    ),
+    eb{i} AS MATERIALIZED (
+      SELECT e.w,
+             CASE WHEN e.rem = '' THEN ''
+                  WHEN m.hit IS NULL THEN
+                       CASE WHEN e.rem LIKE '##%'
+                            THEN CASE WHEN length(e.rem) = 3 THEN ''
+                                      ELSE '##' || substring(e.rem, 4) END
+                            ELSE CASE WHEN length(e.rem) = 1 THEN ''
+                                      ELSE '##' || substring(e.rem, 2) END
+                       END
+                  WHEN length(e.rem) = length(m.hit) THEN ''
+                  ELSE '##' || substring(e.rem, length(m.hit) + 1) END AS rem,
+             CASE WHEN e.rem = '' THEN e.n_pieces
+                  ELSE e.n_pieces + 1 END AS n_pieces,
+             CASE WHEN e.rem <> '' AND m.hit IS NULL THEN e.n_bytes + 1
+                  ELSE e.n_bytes END AS n_bytes
+      FROM eb{i-1} e LEFT JOIN mb{i} m USING (w)
+    )""")
+    return (
+        wp_oracle_train_ctes(k, extra_where)
+        + f""",
+    wpieces AS MATERIALIZED (
+      SELECT DISTINCT unnest(string_split(substring(s, 2, length(s)-2),
+                                          chr(1)||chr(1))) AS piece
+      FROM w{k}
+    ),
+    eb0 AS MATERIALIZED (
+      SELECT w,
+             CASE WHEN length(w) > {lmax} THEN '' ELSE w END AS rem,
+             CASE WHEN length(w) > {lmax} THEN length(w) ELSE 0 END AS n_pieces,
+             CASE WHEN length(w) > {lmax} THEN length(w) ELSE 0 END AS n_bytes
+      FROM {words_cte}
+    ),"""
+        + ",".join(rounds)
+        + f""",
+    wpb_enc AS MATERIALIZED (
+      SELECT w, CAST(n_pieces AS BIGINT) AS n_pieces,
+             CAST(n_bytes AS BIGINT) AS n_bytes,
+             CASE WHEN rem <> '' THEN 1 ELSE 0 END AS unfinished
+      FROM eb{lmax}
+    )"""
+    )
+
+
+def wp_encode_words_bytefallback(
+    vocab_state: DataFrame,
+    lmax: int = WP_MAX_WORD_LEN,
+    words: "DataFrame | None" = None,
+) -> DataFrame:
+    """Greedy longest-match with gap-level byte fallback:
+    ``(w, n_pieces, n_bytes, unfinished)``. Where no piece matches,
+    one character ships as a byte token and matching resumes — no UNK
+    arm exists. Over-length words ship as raw bytes outright."""
+    pieces = (
+        vocab_state.select(F.explode(_syms()).alias("piece")).distinct().localCheckpoint()
+    )
+    over = F.length("w") > lmax
+    state = (
+        (vocab_state.select("w") if words is None else words.select("w"))
+        .distinct()
+        .select(
+            "w",
+            F.when(over, F.lit("")).otherwise(F.col("w")).alias("rem"),
+            F.when(over, F.length("w")).otherwise(F.lit(0))
+            .cast("bigint").alias("n_pieces"),
+            F.when(over, F.length("w")).otherwise(F.lit(0))
+            .cast("bigint").alias("n_bytes"),
+        )
+        .localCheckpoint()
+    )
+    skip = F.when(
+        F.col("rem").startswith("##"),
+        F.when(F.length("rem") == 3, F.lit("")).otherwise(
+            F.concat(F.lit("##"), F.expr("substring(rem, 4)"))
+        ),
+    ).otherwise(
+        F.when(F.length("rem") == 1, F.lit("")).otherwise(
+            F.concat(F.lit("##"), F.expr("substring(rem, 2)"))
+        )
+    )
+    for _ in range(lmax):
+        cand = (
+            state.filter(F.col("rem") != "")
+            .select(
+                "w", "rem",
+                F.explode(F.sequence(F.lit(1), F.length("rem"))).alias("j"),
+            )
+            .select("w", F.expr("substring(rem, 1, j)").alias("piece"))
+            .join(pieces, "piece")
+        )
+        hits = cand.groupBy("w").agg(F.max_by("piece", F.length("piece")).alias("hit"))
+        nxt = (
+            state.join(hits, "w", "left")
+            .select(
+                "w",
+                F.when(F.col("rem") == "", F.lit(""))
+                .when(F.col("hit").isNull(), skip)
+                .when(F.length("rem") == F.length("hit"), F.lit(""))
+                .otherwise(F.concat(F.lit("##"), F.expr("substring(rem, length(hit) + 1)")))
+                .alias("rem"),
+                F.when(F.col("rem") == "", F.col("n_pieces"))
+                .otherwise(F.col("n_pieces") + 1)
+                .cast("bigint")
+                .alias("n_pieces"),
+                F.when((F.col("rem") != "") & F.col("hit").isNull(), F.col("n_bytes") + 1)
+                .otherwise(F.col("n_bytes"))
+                .cast("bigint")
+                .alias("n_bytes"),
+            )
+            .localCheckpoint()
+        )
+        free_local_checkpoint(state)
+        state = nxt
+    return state.select(
+        "w", "n_pieces", "n_bytes",
+        (F.col("rem") != "").cast("int").alias("unfinished"),
+    )
+
+
+_BYTE_FALLBACK_ORACLE = f"""
+    WITH {_HW_CTE},
+    {wp_oracle_encode_fallback_ctes(extra_where=_TRAIN_WHERE,
+                                    words_cte="(SELECT w FROM hw)")}
+    SELECT held,
+           CAST(count(*) AS BIGINT) AS n_words_distinct,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           round(sum(cnt * n_pieces) * 1.0 / sum(cnt), 6) AS wpb_fertility,
+           CAST(sum(cnt * n_bytes) AS BIGINT) AS byte_occurrences,
+           CAST(sum(cnt * unfinished) AS BIGINT) AS unfinished_occurrences
+    FROM hw JOIN wpb_enc USING (w)
+    GROUP BY held
+    """
+
+
+def _tok_holdout_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-word frame ``(w, cnt, held, n_pieces, n_bytes,
+    unfinished)``: WordPiece trained on the md5-threshold train slice,
+    every lexicon word byte-fallback-encoded."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        wf = (
+            _word_freq(docs)
+            .withColumn(
+                "held",
+                (F.substring(F.md5("w"), 1, 1) < HOLDOUT_HEX_LT).cast("int"),
+            )
+            .localCheckpoint()  # read by the trainer and the final join
+        )
+        train_wf = wf.filter(F.col("held") == 0).select("w", "cnt")
+        _merges, wstate = wp_train_from_words(train_wf)
+        enc = wp_encode_words_bytefallback(wstate, words=wf.select("w"))
+        return wf.join(enc, "w")
+
+    return _session_cached(spark, "tok_holdout_bytes", sf_dir, build, eager=True)
+
+
+@query("txt_wp_byte_fallback_holdout", oracle=_BYTE_FALLBACK_ORACLE)
+def txt_wp_byte_fallback_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-fallback WordPiece on the lexicon holdout: per held slice,
+    fertility, how many occurrences paid the byte price, and the
+    computed proof that every word finished encoding (no UNK arm
+    exists; ``unfinished_occurrences`` must be 0)."""
+    t = _tok_holdout_bytes(spark, sf_dir)
+    return t.groupBy("held").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words_distinct"),
+        F.sum("cnt").cast("bigint").alias("n_occurrences"),
+        F.round(F.sum(F.col("cnt") * F.col("n_pieces")) / F.sum("cnt"), 6).alias(
+            "wpb_fertility"
+        ),
+        F.sum(F.col("cnt") * F.col("n_bytes")).cast("bigint").alias(
+            "byte_occurrences"
+        ),
+        F.sum(F.col("cnt") * F.col("unfinished")).cast("bigint").alias(
+            "unfinished_occurrences"
+        ),
     )

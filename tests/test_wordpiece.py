@@ -153,3 +153,90 @@ def test_wp_unk_when_piece_missing(spark):
     got = {r["w"]: (r["n_pieces"], r["unk"]) for r in wp_encode_words(spark_df).collect()}
     assert got["ab"] == (1, 0)  # exact single piece
     assert got["abc"] == (1, 1)  # 'ab' matches, '##c' missing -> UNK
+
+
+# --------------------------------------------------------------------------
+# byte-fallback encoding: the UNK-free open-vocab posture — where no
+# piece matches, one character ships as a byte token and matching
+# resumes; over-length words ship as raw bytes outright.
+# --------------------------------------------------------------------------
+def _ref_wp_encode_bytes(word: str, pieces: set[str], lmax: int = WP_MAX_WORD_LEN):
+    """Reference gap-level byte fallback: (n_pieces, n_bytes, unfinished)."""
+    if len(word) > lmax:
+        return len(word), len(word), 0
+    rem, n, nb = word, 0, 0
+    first = True
+    while rem:
+        probe = rem if first else "##" + rem
+        hit = None
+        for ln in range(len(probe), (2 if not first else 0), -1):
+            if probe[:ln] in pieces:
+                hit = probe[:ln]
+                break
+        if hit is None:
+            n += 1
+            nb += 1
+            rem = probe[3:] if not first else probe[1:]
+        else:
+            n += 1
+            rem = probe[len(hit):].removeprefix("##")
+        first = False
+    return n, nb, 0
+
+
+def _collect_bytes(df):
+    return {
+        r["w"]: (r["n_pieces"], r["n_bytes"], r["unfinished"])
+        for r in df.collect()
+    }
+
+
+def test_wp_byte_fallback_matches_reference_fuzzed(spark):
+    from deisa_ray_spark.functions.wordpiece import wp_encode_words_bytefallback
+
+    rng = random.Random(11)
+    freqs = _rand_freqs(11)
+    # novel words force gaps: chars f/g never occur in training ('abcde')
+    novel = ["fgf", "afga", "f", "abfab", "g" * 5,
+             "a" * (WP_MAX_WORD_LEN + 1)]
+    novel += ["".join(rng.choice("abcdefg") for _ in range(rng.randint(1, 10)))
+              for _ in range(15)]
+    _m, state = wp_train_from_words(_freq_df(spark, freqs), WP_MERGES)
+    pieces = {
+        r["p"]
+        for r in state.selectExpr(
+            "explode(split(substring(s, 2, length(s)-2), '\x01\x01')) AS p"
+        ).collect()
+    }
+    words = sorted(set(freqs) | set(novel))
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = _collect_bytes(wp_encode_words_bytefallback(state, words=wdf))
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == _ref_wp_encode_bytes(w, pieces), w
+
+
+def test_wp_byte_fallback_never_unfinished_nor_unk(spark):
+    """Structural UNK-freedom: mid-word gap emits a byte and CONTINUES
+    (vs wp_encode_words' whole-word UNK collapse); word-initial gaps,
+    all-unknown words, and over-length words all finish."""
+    from deisa_ray_spark.functions.wordpiece import wp_encode_words_bytefallback
+
+    state = spark.createDataFrame(
+        [("abc", 1, "\x01ab\x01"), ("ab", 2, "\x01ab\x01")],
+        "w string, cnt bigint, s string",
+    )  # piece set = {'ab'} only
+    long_word = "a" * (WP_MAX_WORD_LEN + 1)
+    words = spark.createDataFrame(
+        [("ab",), ("abc",), ("qab",), ("qqq",), (long_word,)], "w string"
+    )
+    got = _collect_bytes(wp_encode_words_bytefallback(state, words=words))
+    assert got["ab"] == (1, 0, 0)    # exact piece
+    assert got["abc"] == (2, 1, 0)   # 'ab' + byte(c) — NOT whole-word UNK
+    # byte(q), then the rest needs CONTINUATION pieces — the vocab has
+    # only plain 'ab', so 'a' and 'b' fall back to bytes too (correct
+    # WordPiece semantics: plain pieces never match mid-word)
+    assert got["qab"] == (3, 3, 0)
+    assert got["qqq"] == (3, 3, 0)   # all bytes
+    assert got[long_word] == (len(long_word), len(long_word), 0)
+    assert all(v[2] == 0 for v in got.values())

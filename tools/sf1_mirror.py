@@ -36,10 +36,10 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 ORACLE_CAP_S = float(os.environ.get("SPARK_GRAFT_SF1_ORACLE_CAP", "90"))
 #: SPOT-mirror scope: "bench" (default — the headline panel plus the
 #: round-9 additions, the subset whose oracle cost was measured
-#: tractable in the round-8 scaling study) or "all" (every declared
-#: query — the heavy non-bench oracle tail, several of which are
-#: recursive-CTE chains that each burn the full cap, makes this a
-#: multi-hour run; use for a one-off audit, not the per-round mirror).
+#: tractable in the round-8 scaling study), "rest" (the complement —
+#: every declared query NOT in the bench scope; the discovery sweep for
+#: oracle-side pathologies), or "all" (every declared query — the full
+#: audit; the heavy oracle tail can make this a multi-hour run).
 SCOPE = os.environ.get("SPARK_GRAFT_SF1_SCOPE", "bench")
 EXTRA_QUERIES = [
     # round-9 additions not (or only partially) on the bench panel
@@ -54,6 +54,8 @@ EXTRA_QUERIES = [
     # graph-family pair re-enters via the bench panel automatically.
     "txt_tokenizer_fertility_holdout",
     "stream_serve_graph_upsert",
+    # round-11: UNK-free byte-fallback WordPiece on the same holdout
+    "txt_wp_byte_fallback_holdout",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -87,11 +89,14 @@ def main() -> None:
         app_name="sf1_mirror", shuffle_partitions=max(8, os.cpu_count() or 8)
     )
     specs = load_all()
-    if SCOPE == "bench":
+    if SCOPE in ("bench", "rest"):
         from bench import BENCH_QUERIES
 
         wanted = set(BENCH_QUERIES) | set(EXTRA_QUERIES)
-        specs = {n: s for n, s in specs.items() if n in wanted}
+        if SCOPE == "rest":
+            specs = {n: s for n, s in specs.items() if n not in wanted}
+        else:
+            specs = {n: s for n, s in specs.items() if n in wanted}
     results: dict[str, dict] = {}
     counts = {"green": 0, "mismatch": 0, "capped": 0, "rows_only": 0, "error": 0}
     for name, spec in sorted(specs.items()):
