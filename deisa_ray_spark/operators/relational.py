@@ -491,22 +491,26 @@ def q13_asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_salted_agg_events",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            round(max(value), 6) AS max_value
     FROM events GROUP BY event_type
     """,
 )
 def q14_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum in DECIMAL(18,2): event values are 2-decimal by construction,
+    # so the quantized sum is EXACT at any scale and any summation
+    # order — no round(sum(double)) anywhere near a rounding boundary
     ev = _t(spark, sf_dir, "events")
     salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("n_p"),
-        F.sum("value").alias("sum_p"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_p"),
         F.max("value").alias("max_p"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("n_p").alias("n"),
-        F.round(F.sum("sum_p"), 2).alias("sum_value"),
+        F.sum("sum_p").cast("double").alias("sum_value"),
         F.round(F.max("max_p"), 6).alias("max_value"),
     )
 
@@ -1030,7 +1034,8 @@ def q32_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame
 _HOURLY_SPINE_CTE = """
     WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
     hourly AS (SELECT event_type, h, count(*) AS n,
-               round(sum(value), 2) / count(*) AS avg_v
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                 AS avg_v
                FROM ev GROUP BY 1, 2),
     bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
     spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
@@ -1046,20 +1051,25 @@ def _hourly_spine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates — Spark twin of ``_HOURLY_SPINE_CTE``.
 
     Exact cross-engine arithmetic instead of rounding at the end:
-    values are exact 2-decimal, so round(sum, 2) recovers the same
-    double in both engines regardless of summation order, and the
-    division by the same bigint is the identical IEEE op — the avg is
-    bit-equal with no tie-rounding anywhere. (avg(value) + a final
-    round hits half-point ties — averages over n∈{8,16,160,...}
-    2-decimal values land EXACTLY on round boundaries, where Spark's
-    shortest-decimal HALF_UP and DuckDB's binary expansion disagree;
-    observed at sf0.1.)"""
+    values are exact 2-decimal, so summing in DECIMAL(18,2) is EXACT at
+    any scale and any summation order; the cast to double is the same
+    nearest-representable in both engines and the division by the same
+    bigint is the identical IEEE op — the avg is bit-equal with no
+    tie-rounding anywhere. (avg(value) + a final round hits half-point
+    ties — averages over n∈{8,16,160,...} 2-decimal values land EXACTLY
+    on round boundaries, where Spark's shortest-decimal HALF_UP and
+    DuckDB's binary expansion disagree; observed at sf0.1. The earlier
+    round(sum(double), 2) form was only exact while accumulated float
+    error stayed under 0.005 — true at toy SF, not a 100 TB contract.)"""
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
     )
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_v"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_v"),
     )
     spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
@@ -1117,7 +1127,8 @@ def q33_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT json_extract_string(p, '$.event_type') AS event_type,
            count(*) AS n,
-           round(sum(CAST(json_extract(p, '$.value') AS DOUBLE)), 2) AS total_value
+           CAST(sum(CAST(CAST(json_extract(p, '$.value') AS DOUBLE)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM payload GROUP BY 1
     """,
 )
@@ -1135,7 +1146,9 @@ def q35_variant_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("v"), 2).alias("total_value"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
         )
     )
 
