@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "emb_whiten",
     "emb_cluster_stats",
     "mm_image_features",
+    "mm_image_png_decode",
     "txt_bpe_encode",
     "mm_caption_filter",
     # round-7 headline additions (streaming window queries deliberately

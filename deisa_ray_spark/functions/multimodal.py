@@ -1,14 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-North-star extension (SURVEY §7 Phase 5). The decode step is STUBBED —
-this container has no image/audio libraries — behind
-``decode_image_real`` (raises ``NotImplementedError`` without PIL). The
-deterministic fake codec ``byte(i) = (media_id * 31 + i) % 251`` stands in
-for real decoders, which makes the ENTIRE Spark-side pipeline (binary
-payloads → mapInPandas decode → per-media/per-frame features) verifiable
-against a closed-form SQL oracle: the judge-facing contract here is the
-schema, partitioning, UDF signatures, and batch shapes, which are real.
+North-star extension (SURVEY §7 Phase 5). PNG decode is REAL —
+``decode_image_real`` routes PNG bytes through the pure-Python spec
+codec ``formats/pngmini.py`` (stdlib zlib; PIL preferred when
+installed), and ``mm_image_png_decode`` is the declared query consuming
+real decoded pixels. Other formats (JPEG's DCT/huffman stack) remain
+PIL-gated. The deterministic fake codec ``byte(i) = (media_id * 31 + i)
+% 251`` still feeds the raw-payload plumbing queries, which makes the
+ENTIRE Spark-side pipeline (binary payloads → mapInPandas decode →
+per-media/per-frame features) verifiable against a closed-form SQL
+oracle: schema, partitioning, UDF signatures, and batch shapes are real
+in both paths.
 
 Scale notes (100 TB): payloads stay opaque binary until the UDF — column
 pruning means metadata-only queries never read them; decode parallelism =
@@ -106,20 +109,27 @@ def make_media_df(spark: SparkSession, n: int = N_MEDIA) -> DataFrame:
 
 
 def decode_image_real(payload: bytes, fmt: str = "PNG") -> np.ndarray:
-    """REAL image decode — STUB: requires PIL, which this environment does
-    not ship. The fake codec below exercises the identical plumbing."""
+    """REAL image decode. PIL when installed (every format); otherwise
+    PNG decodes through the pure-Python spec codec
+    (``formats/pngmini.py`` — stdlib zlib, chunk CRCs verified, all five
+    scanline filters). Non-PNG formats without PIL stay gated: JPEG
+    needs a DCT/huffman stack this container does not ship."""
     try:
-        from PIL import Image  # noqa: F401
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
     except ImportError:
-        raise NotImplementedError(
-            "real image decode requires PIL (not installed); "
-            "use the deterministic fake codec for plumbing tests"
-        ) from None
-    import io
+        pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from deisa_ray_spark.formats.pngmini import decode_png
 
-    from PIL import Image
-
-    return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
+        return decode_png(payload)
+    raise NotImplementedError(
+        f"real {fmt} decode requires PIL (not installed); only PNG has "
+        "a pure-Python decode path (formats/pngmini.py)"
+    )
 
 
 #: DuckDB twin of the fake codec: value of byte i of media m.
@@ -851,4 +861,103 @@ def mm_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_yield"
         ),
         F.round(F.avg("clip_score"), 6).alias("avg_clip"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mm_image_png_decode — REAL byte-level image decode as a declared,
+# oracle-checked query: payloads are genuine PNG files (encoded inside
+# the generator UDF with formats/pngmini — signature, IHDR, zlib IDAT,
+# CRCs), each image carrying scanline filter type media_id % 5 so all
+# five unfilter paths run inside the declared query, and the feature
+# stage decodes them through decode_image_real (the PIL-or-pngmini
+# gate), NOT by reinterpreting raw payload bytes. The pixel VALUES are
+# still the deterministic fake-codec sequence, which is what makes a
+# closed-form DuckDB oracle possible for stats computed from real
+# decoded bytes. Plumbing is the mm_image_features shape: opaque binary
+# until the Arrow mapInPandas batch, narrow, no shuffle before the
+# per-image reduction.
+# --------------------------------------------------------------------------
+@query(
+    "mm_image_png_decode",
+    oracle="WITH " + _SQL_MEDIA + f"""
+    SELECT m.media_id, CAST(m.media_id % 5 AS INT) AS filter_type,
+           m.width, m.height,
+           CAST(m.width * m.height AS BIGINT) AS n_pixels,
+           round(avg({_SQL_BYTE}), 6) AS mean_px,
+           CAST(min({_SQL_BYTE}) AS DOUBLE) AS min_px,
+           CAST(max({_SQL_BYTE}) AS DOUBLE) AS max_px,
+           round(stddev_pop({_SQL_BYTE}), 6) AS std_px
+    FROM media m JOIN range(0, 4096) i(i) ON i.i < m.width * m.height
+    WHERE m.kind = 'image'
+    GROUP BY m.media_id, m.width, m.height
+    """,
+)
+def mm_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → ship as binary → REAL PNG decode → per-image stats."""
+    from deisa_ray_spark.formats.pngmini import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                if m % 2 != 0:
+                    continue  # images only (even ids, as in make_media_df)
+                w, h, _nf = _dims(m)
+                px = np.frombuffer(fake_payload(m, w * h), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": m,
+                        "filter_type": m % 5,
+                        "payload": encode_png(
+                            px.reshape(h, w), filter_type=m % 5
+                        ),
+                        "meta": {"width": w, "height": h, "channels": 1,
+                                 "n_frames": None, "sample_rate": None},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = spark.range(0, N_MEDIA, numPartitions=2).mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("filter_type", T.IntegerType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+                T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, False),
+            ]
+        ),
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image_real(bytes(r.payload))
+                assert img.shape == (r.meta["height"], r.meta["width"])
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "filter_type": r.filter_type,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "n_pixels": img.size,
+                        "mean_px": float(img.mean()),
+                        "min_px": float(img.min()),
+                        "max_px": float(img.max()),
+                        "std_px": float(img.std()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    raw = media.mapInPandas(
+        feats,
+        schema="media_id bigint, filter_type int, width int, height int, "
+        "n_pixels bigint, mean_px double, min_px double, max_px double, "
+        "std_px double",
+    )
+    return raw.withColumn("mean_px", F.round("mean_px", 6)).withColumn(
+        "std_px", F.round("std_px", 6)
     )
