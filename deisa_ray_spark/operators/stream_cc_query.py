@@ -86,18 +86,23 @@ def stage_ordered_shards(
 
 
 def _oracle() -> str:
+    # MATERIALIZED throughout the funnel (the r10 graph-family lesson):
+    # DuckDB inlines plain CTEs PER REFERENCE, and the recursive reach
+    # references `edges` every iteration — un-materialized, the whole
+    # band→candidate→exact-verify funnel re-ran per iteration and blew
+    # the sf1 mirror's 90 s cap; materialized it runs once.
     return f"""
     WITH RECURSIVE {lsh_oracle_cte_prefix()},
-    owners AS (
+    owners AS MATERIALIZED (
       SELECT band_id, band_key, min(doc_id) AS owner
       FROM bands GROUP BY band_id, band_key
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT b.doc_id, o.owner
       FROM bands b JOIN owners o USING (band_id, band_key)
       WHERE o.owner < b.doc_id
     ),
-    verified AS (
+    verified AS MATERIALIZED (
       SELECT c.owner AS doc_a, c.doc_id AS doc_b
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.owner
@@ -107,9 +112,9 @@ def _oracle() -> str:
              - len(list_intersect(sa.shingles, sb.shingles)))
             >= {JACCARD_THRESHOLD}
     ),
-    edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+    edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified
               UNION SELECT doc_b, doc_a FROM verified),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
     reach(id, comp) AS (
       SELECT id, id FROM nodes
       UNION

@@ -113,7 +113,15 @@ def main() -> None:
             results[name] = rec
             print(f"{name}: SPARK ERROR {rec['detail']}", file=sys.stderr)
             continue
-        if spec.oracle is None:
+        # path-pinned oracle (mm_binary_ingest's read_blob bakes the
+        # driver's sf0.01 dir into static SQL): retarget it at the
+        # mirror's SF dir so both engines list the same files
+        oracle = (
+            spec.oracle.replace("/root/testdata/sf0.01", SF1_DIR)
+            if spec.oracle
+            else None
+        )
+        if oracle is None:
             rec["status"] = "rows_only"
             counts["rows_only"] += 1
             results[name] = rec
@@ -134,7 +142,7 @@ def main() -> None:
         timer.start()
         t1 = time.time()
         try:
-            opd = con.execute(spec.oracle).df()
+            opd = con.execute(oracle).df()
             rec["oracle_s"] = round(time.time() - t1, 2)
         except duckdb.InterruptException:
             rec["status"] = "capped"
