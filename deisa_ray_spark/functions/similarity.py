@@ -429,9 +429,17 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 PQ_M = 8  #: subspaces
 PQ_K = 32  #: codes per subspace
-PQ_SHORTLIST = 100  #: ADC survivors re-ranked exactly (re-rank depth
-#: is PQ's recall dial: 50 measured 0.60 recall@10 at sf0.1, 100
-#: measures 0.76 — still a bounded per-query shortlist at any corpus)
+PQ_SHORTLIST = 100  #: ADC-survivor re-rank FLOOR (re-rank depth is
+#: PQ's recall dial: 50 measured 0.60 recall@10 at sf0.1, 100 measures
+#: 0.76). A FIXED 100 under-covers as the corpus grows — measured 0.54
+#: at sf1 (20k vectors), under the 0.6 contract floor — so the
+#: effective depth scales: max(PQ_SHORTLIST, 2% of corpus), which
+#: measures 0.70 at sf1 (shortlist 400; 200 measured exactly 0.60 — no
+#: margin). A constant-FRACTION re-rank keeps the same asymptotic as
+#: plain PQ itself (ADC already scans every code row); the bounded-scan
+#: serving shape at 100 TB is the IVF+PQ composition, where the IVF
+#: candidate set caps the re-rank regardless.
+PQ_SHORTLIST_PCT = 2  #: corpus percentage for the scaled re-rank depth
 PQ_TRAIN_N = 2000  #: bounded driver-side training sample
 
 
@@ -533,10 +541,13 @@ def pq_adc_neighbors(
             .groupBy("qid", "vec_id")
             .agg(F.sum("pd").alias("adist"))
         )
+    # corpus-scaled re-rank depth (PQ_SHORTLIST note): n from parquet
+    # row-group metadata, one cheap job
+    sl = max(PQ_SHORTLIST, emb.count() * PQ_SHORTLIST_PCT // 100)
     wa = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
     shortlist = (
         adc.withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") <= PQ_SHORTLIST)
+        .filter(F.col("arank") <= sl)
         .select("qid", "vec_id", "adist")
     )
 
@@ -2148,6 +2159,59 @@ def sim_graph_beam_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·cap) per view."""
     return graph_beam_topk(
         spark, sf_dir, serve_k=SCALED_SERVE_K, beam_b=SCALED_BEAM_B
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_tier_table — the corpus-size -> serving-tier selection rule AS
+# DATA: three declared tiers, each row carrying the (SERVE_K, BEAM_B,
+# BEAM_R) constants AND the recall@10 MEASURED at that row's own scale
+# point (tools/beam_recall.py at sf0.1/sf1; tools/ann_tier_recall.py at
+# the 32x jitter-replicated point, n = 64k). A user picks the row whose
+# n_max covers their corpus, the way they'd pick HNSW M/ef from a sizing
+# table. Full degradation matrix (every tier at every point) lives in
+# PARITY.md; the honest headline: the xl tier PLATEAUS at 0.84 on the
+# 64k replicated corpus — (96,192,R4) and (128,256,R3) both measure the
+# same 42/50, so past ~10^5 vectors the two-layer graph wants a third
+# layer / more entry diversity, not more width. That is the declared
+# limit of this family, not a number to extrapolate.
+# --------------------------------------------------------------------------
+SIM_TIER_TABLE = [
+    # (tier, n_max, serve_k, beam_b, beam_r, recall_at_10, measured_n)
+    ("default", 4_000, SERVE_K, BEAM_B, BEAM_R, 1.000, 2_000),
+    ("scaled", 30_000, SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R, 0.940, 20_000),
+    ("xl", 100_000, 96, 192, BEAM_R, 0.840, 64_000),
+]
+
+
+def select_tier(n: int) -> tuple:
+    """The tier-selection rule: smallest declared tier whose ``n_max``
+    covers the corpus; corpora past the largest band get the largest
+    tier (with its measured-recall caveat — see the module note)."""
+    for row in SIM_TIER_TABLE:
+        if n <= row[1]:
+            return row
+    return SIM_TIER_TABLE[-1]
+
+
+_TIER_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS tier, CAST({nmax} AS BIGINT) AS n_max, "
+    f"CAST({k} AS INT) AS serve_k, CAST({b} AS INT) AS beam_b, "
+    f"CAST({r} AS INT) AS beam_r, CAST({rec} AS DOUBLE) AS recall_at_10, "
+    f"CAST({mn} AS BIGINT) AS measured_n"
+    for t, nmax, k, b, r, rec, mn in SIM_TIER_TABLE
+)
+
+
+@query("sim_tier_table", oracle=_TIER_ORACLE)
+def sim_tier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-tier contract as a queryable table (literal rows —
+    the oracle IS the contract; drift between the constants here and the
+    tier queries above is pinned by tests/test_similarity_tiers.py)."""
+    return spark.createDataFrame(
+        SIM_TIER_TABLE,
+        "tier string, n_max bigint, serve_k int, beam_b int, beam_r int, "
+        "recall_at_10 double, measured_n bigint",
     )
 
 
