@@ -180,13 +180,20 @@ class IncrementalServeGraph:
     def _overwrite_partitions(self, edges: DataFrame) -> None:
         """Dynamic-partition-overwrite ``edges`` (src,dst,view,grp) into
         the state table — only (view, grp) partitions present in the
-        frame are replaced (the maintenance.upsert_parquet discipline)."""
+        frame are replaced (the maintenance.upsert_parquet discipline).
+        Repartitioned on the partition keys first so each rewritten
+        partition gets exactly ONE file: without it every write task
+        emits a sliver into every partition it holds rows for — a
+        small-files explosion that grows with both task count and batch
+        count. The extra exchange moves only the FRESH edges (touched
+        groups × batch scale), never the carried state."""
         conf = self.spark.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
                 edges.select("src", "dst", "view", "grp")
+                .repartition("view", "grp")
                 .write.mode("overwrite")
                 .partitionBy("view", "grp")
                 .parquet(self._edges_dir())
