@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     # 10x corpus size runs THIS tier, not the default) — and the
     # snapshot mixture-drift card (one-scan stack + keyed partial agg).
     "sim_graph_beam_topk_scaled",
+    "sim_graph_beam_topk_merged",
     "sim_tier_table",
     "report_snapshot_drift",
     "samp_mixture_rebalance",

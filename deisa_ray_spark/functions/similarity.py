@@ -1459,7 +1459,8 @@ def _knn_graph_ctes(
                       r.{dk} || '#' ||
                       CAST((row_number() OVER (
                               PARTITION BY r.{dk}
-                              ORDER BY md5(CAST(r.vec_id AS VARCHAR)), r.vec_id
+                              ORDER BY md5(r.{dk} || '_' ||
+                                           CAST(r.vec_id AS VARCHAR)), r.vec_id
                             ) - 1) // {cap} AS VARCHAR)) AS bucket
       FROM {p}r r JOIN {p}dec d USING ({dk})
     ),
@@ -1532,6 +1533,14 @@ def knn_assigned(
     # Salt window on a NARROW (vec_id, deepest-key) projection: the
     # row_number sort exchange must never carry the embedding column —
     # vectors join back on vec_id after the bucket decision.
+    #
+    # Salt order is keyed on (deepest key, vec_id), NOT vec_id alone: a
+    # view-independent salt splits an over-cap group IDENTICALLY in
+    # every view (same md5 order), so near-clones stranded in different
+    # shards stay strandmates in ALL views and the union graph cannot
+    # bridge them — the root of the 64k xl-tier plateau (SIM_TIER_TABLE
+    # note). Keying the salt on the view-specific deepest key
+    # decorrelates the shard split across views.
     decided = (
         cells.select("vec_id", dk)
         .join(dec, dk)
@@ -1544,7 +1553,8 @@ def knn_assigned(
                     F.col(dk),
                     F.lit("#"),
                     F.expr(f"CAST((row_number() OVER (PARTITION BY {dk} "
-                           f"ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1) "
+                           f"ORDER BY md5({dk} || '_' || CAST(vec_id AS STRING)), "
+                           f"vec_id) - 1) "
                            f"DIV {cap} AS STRING)"),
                 ),
             ).alias("bucket"),
@@ -1993,6 +2003,89 @@ def _beam_oracle_sql(
     """
 
 
+MERGE_SAMPLE_S = 8  #: NN-descent sample width (neighbors whose lists merge)
+
+
+def _merged_edges_ctes(serve_k: int = SERVE_K, sample_s: int = MERGE_SAMPLE_S) -> str:
+    """Oracle twin of merged_serve_edges: deterministic S-sample of each
+    node's union-graph out-edges (md5 order), 2-hop candidates + the
+    original edges, exact re-score, per-node top-``serve_k``,
+    symmetrized. Composes after ``_serve_edges_ctes`` (needs
+    ``serve_edges`` and the unprefixed vector rows ``r``)."""
+    return f"""
+    m_hop1 AS MATERIALIZED (
+      SELECT src, dst AS mid FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+                 ORDER BY md5(CAST(src AS VARCHAR) || '_' ||
+                              CAST(dst AS VARCHAR)), dst) AS rn
+        FROM serve_edges
+      ) WHERE rn <= {sample_s}
+    ),
+    m_cand AS MATERIALIZED (
+      SELECT DISTINCT src, cand FROM (
+        SELECT h.src, e.dst AS cand
+        FROM m_hop1 h JOIN serve_edges e ON e.src = h.mid
+        UNION ALL
+        SELECT src, dst AS cand FROM serve_edges
+      ) WHERE src <> cand
+    ),
+    m_scored AS MATERIALIZED (
+      SELECT c.src, c.cand,
+             round(list_cosine_similarity(a.e, b.e), 6) + 0 AS cosine
+      FROM m_cand c JOIN r a ON a.vec_id = c.src JOIN r b ON b.vec_id = c.cand
+    ),
+    m_directed AS MATERIALIZED (
+      SELECT src, cand AS dst FROM (
+        SELECT src, cand, row_number() OVER (PARTITION BY src
+                 ORDER BY cosine DESC, cand) AS rk
+        FROM m_scored
+      ) WHERE rk <= {serve_k}
+    ),
+    m_edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM m_directed
+        UNION ALL SELECT dst AS src, src AS dst FROM m_directed
+      )
+    )"""
+
+
+def _beam_merged_oracle_sql(
+    serve_k: int = SERVE_K,
+    beam_b: int = BEAM_B,
+    beam_r: int = BEAM_R,
+    upper_b: int = UPPER_B,
+    upper_r: int = UPPER_R,
+    sample_s: int = MERGE_SAMPLE_S,
+) -> str:
+    """The beam oracle over NN-descent-MERGED base edges (m_edges)."""
+    rounds = [
+        _beam_round_sql("u", r, f"uv{r - 1}", "u_edges", upper_b)
+        for r in range(1, upper_r + 1)
+    ] + [
+        _beam_round_sql("", r, f"uv{upper_r}" if r == 1 else f"v{r - 1}",
+                        "m_edges", beam_b)
+        for r in range(1, beam_r + 1)
+    ]
+    return f"""
+    WITH {_serve_edges_ctes(serve_k)},
+    {_merged_edges_ctes(serve_k, sample_s)},
+    {_upper_ctes(serve_k)},
+    bq AS MATERIALIZED (
+      SELECT vec_id AS qid, e AS qe FROM r WHERE vec_id < {N_QUERIES}
+    ),
+    uv0 AS MATERIALIZED (
+      SELECT q.qid, en.node,
+             round(list_cosine_similarity(q.qe, re.e), 6) + 0 AS cosine
+      FROM bq q CROSS JOIN u_entries en JOIN r re ON re.vec_id = en.node
+      WHERE en.node <> q.qid
+    ),{",".join(rounds)}
+    SELECT qid, CAST(rank AS INT) AS rank, node AS neighbor_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, node) AS rank FROM v{beam_r})
+    WHERE rank <= {TOP_K}
+    """
+
+
 #: Corpus-SCALED serving tier (the declared 10x contract). The default
 #: (SERVE_K=16, B=32, R=3) config is right-sized for the toy SFs but
 #: measured recall@10 = 0.64 on the generated sf1 (20k vectors) — the
@@ -2069,15 +2162,20 @@ def graph_beam_topk(
     beam_r: int = BEAM_R,
     upper_b: int = UPPER_B,
     upper_r: int = UPPER_R,
+    merge_round: bool = False,
 ) -> DataFrame:
     """The serving search with the production knobs exposed: per-node
     out-link budget, beam widths, hop counts. The declared query runs
     the compile-time defaults (its unrolled SQL twin needs literals);
     tools/beam_recall.py measures corpus-scaled tiers through this
-    entry (the 10x answer — see the module note above)."""
+    entry (the 10x answer — see the module note above).
+    ``merge_round`` swaps in the cross-view NN-descent-merged base
+    edges (merged_serve_edges — the sim_graph_beam_topk_merged tier)."""
     from deisa_ray_spark.functions.dedup import dot_agg
 
     edges = serve_edges(spark, sf_dir, serve_k)
+    if merge_round:
+        edges = merged_serve_edges(spark, sf_dir, serve_k).localCheckpoint()
     uedges = upper_edges(spark, sf_dir, serve_k)
     store = knn_assigned_cached(spark, sf_dir)  # (vec_id, e, nrm, bucket, ...)
     q = store.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2140,6 +2238,81 @@ def graph_beam_topk(
     )
 
 
+def merged_serve_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    serve_k: int = SERVE_K,
+    sample_s: int = MERGE_SAMPLE_S,
+) -> DataFrame:
+    """One CROSS-VIEW NN-descent merge round over the union serving
+    graph — the construction-side fix for the xl-tier plateau
+    (SIM_TIER_TABLE note): per-view edges are bucket-closed, so a
+    2-hop walk within ONE view can never bridge the salt-shard islands
+    that strand a query's near-clones — but the UNION graph's 2-hop
+    pairs cross views (a→b in a geo view, b→c in the label view), and
+    scoring those neighbor-of-neighbor candidates exactly then
+    re-top-k'ing repairs exactly the missed-clone class the 64k audit
+    found. Cost: n·S·k candidate scorings (sampled NN-descent, S=8) —
+    one bounded round, no all-pairs stage.
+
+    DECLARED via ``sim_graph_beam_topk_merged`` (exact SQL twin in
+    ``_merged_edges_ctes``); measured 0.90/0.98 recall@10 at 64k for the
+    scaled/xl constants vs 0.72/0.84 unmerged
+    (tools/ann_tier_recall.py, SPARK_GRAFT_ANN_MERGE=1). The incremental
+    maintainer keeps the per-view state — a merged edge belongs to no
+    single view, so this is a serving-time refinement layer over the
+    maintained per-view graph, recomputed from it at read/build time,
+    not a maintainer state change.
+    """
+    from deisa_ray_spark.functions.dedup import dot_agg
+
+    edges = serve_edges(spark, sf_dir, serve_k)  # undirected (src, dst)
+    store = knn_assigned_cached(spark, sf_dir)
+    # deterministic S-sample of each node's out-edges (md5 order — no
+    # cosine needed for candidate GENERATION, only for the final rank)
+    ws = W.partitionBy("src").orderBy(
+        F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), F.col("dst")
+    )
+    hop1 = (
+        edges.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= sample_s)
+        .select("src", F.col("dst").alias("mid"))
+    )
+    hop2 = (
+        hop1.join(
+            edges.select(F.col("src").alias("mid"), F.col("dst").alias("cand")),
+            "mid",
+        )
+        .select("src", "cand")
+        .filter(F.col("src") != F.col("cand"))
+    )
+    cands = hop2.unionByName(
+        edges.select("src", F.col("dst").alias("cand"))
+    ).distinct()
+    va = store.select(
+        F.col("vec_id").alias("src"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = store.select(
+        F.col("vec_id").alias("cand"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    scored = cands.join(va, "src").join(vb, "cand").select(
+        "src",
+        "cand",
+        F.round(
+            dot_agg(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("cand"))
+    directed = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= serve_k)
+        .select("src", F.col("cand").alias("dst"))
+    )
+    return directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
 @query("sim_graph_beam_topk", oracle=_beam_oracle_sql())
 def sim_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_beam_topk(spark, sf_dir)
@@ -2162,25 +2335,54 @@ def sim_graph_beam_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_graph_beam_topk_merged",
+    oracle=_beam_merged_oracle_sql(
+        serve_k=SCALED_SERVE_K, beam_b=SCALED_BEAM_B
+    ),
+)
+def sim_graph_beam_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scaled serving tier over NN-DESCENT-MERGED base edges — the
+    construction-side fix for the 64k plateau as a DECLARED,
+    oracle-pinned contract: one cross-view neighbor-of-neighbor merge
+    round (sampled, S=8) repairs the refinement-cell islands no beam
+    width can reach. Measured at the 32x replicated point
+    (tools/ann_tier_recall.py, SPARK_GRAFT_ANN_MERGE=1): scaled tier
+    0.72 -> 0.90, xl tier 0.84 -> 0.98 recall@10. Build cost adds one
+    bounded n·S·k scoring round; serving work per query is unchanged."""
+    return graph_beam_topk(
+        spark, sf_dir,
+        serve_k=SCALED_SERVE_K, beam_b=SCALED_BEAM_B, merge_round=True,
+    )
+
+
 # --------------------------------------------------------------------------
 # sim_tier_table — the corpus-size -> serving-tier selection rule AS
-# DATA: three declared tiers, each row carrying the (SERVE_K, BEAM_B,
-# BEAM_R) constants AND the recall@10 MEASURED at that row's own scale
+# DATA: declared tiers, each row carrying the (SERVE_K, BEAM_B, BEAM_R,
+# merge) constants AND the recall@10 MEASURED at that row's own scale
 # point (tools/beam_recall.py at sf0.1/sf1; tools/ann_tier_recall.py at
 # the 32x jitter-replicated point, n = 64k). A user picks the row whose
 # n_max covers their corpus, the way they'd pick HNSW M/ef from a sizing
-# table. Full degradation matrix (every tier at every point) lives in
-# PARITY.md; the honest headline: the xl tier PLATEAUS at 0.84 on the
-# 64k replicated corpus — (96,192,R4) and (128,256,R3) both measure the
-# same 42/50, so past ~10^5 vectors the two-layer graph wants a third
-# layer / more entry diversity, not more width. That is the declared
-# limit of this family, not a number to extrapolate.
+# table.
+#
+# The measured story behind the rows (full matrix in PARITY.md): width
+# alone PLATEAUS — at 64k, (96,192,R3), (96,192,R4) and (128,256,R3)
+# all measure 0.84, and the miss audit shows every missed neighbor is
+# in-graph, same-label, cosine ~0.965 (the query's own near-clones): a
+# GRAPH-CONSTRUCTION limit — refinement-cell boundaries inside very
+# large coarse groups strand near-identical vectors in different
+# buckets, and the per-view bucket-closed edges can never bridge them.
+# The fix is the declared CROSS-VIEW NN-descent merge round
+# (merged_serve_edges / sim_graph_beam_topk_merged): measured at 64k,
+# scaled 0.72 -> 0.90 and xl 0.84 -> 0.98; at 20k, scaled 0.940 ->
+# 0.960. Rows past the last measured point are a recipe, not a promise.
 # --------------------------------------------------------------------------
 SIM_TIER_TABLE = [
-    # (tier, n_max, serve_k, beam_b, beam_r, recall_at_10, measured_n)
-    ("default", 4_000, SERVE_K, BEAM_B, BEAM_R, 1.000, 2_000),
-    ("scaled", 30_000, SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R, 0.940, 20_000),
-    ("xl", 100_000, 96, 192, BEAM_R, 0.840, 64_000),
+    # (tier, n_max, serve_k, beam_b, beam_r, merge, recall_at_10, measured_n)
+    ("default", 4_000, SERVE_K, BEAM_B, BEAM_R, 0, 1.000, 2_000),
+    ("scaled+merge", 30_000, SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R, 1,
+     0.960, 20_000),
+    ("xl+merge", 200_000, 96, 192, BEAM_R, 1, 0.980, 64_000),
 ]
 
 
@@ -2197,9 +2399,10 @@ def select_tier(n: int) -> tuple:
 _TIER_ORACLE = " UNION ALL ".join(
     f"SELECT '{t}' AS tier, CAST({nmax} AS BIGINT) AS n_max, "
     f"CAST({k} AS INT) AS serve_k, CAST({b} AS INT) AS beam_b, "
-    f"CAST({r} AS INT) AS beam_r, CAST({rec} AS DOUBLE) AS recall_at_10, "
+    f"CAST({r} AS INT) AS beam_r, CAST({mg} AS INT) AS merge, "
+    f"CAST({rec} AS DOUBLE) AS recall_at_10, "
     f"CAST({mn} AS BIGINT) AS measured_n"
-    for t, nmax, k, b, r, rec, mn in SIM_TIER_TABLE
+    for t, nmax, k, b, r, mg, rec, mn in SIM_TIER_TABLE
 )
 
 
@@ -2211,7 +2414,7 @@ def sim_tier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         SIM_TIER_TABLE,
         "tier string, n_max bigint, serve_k int, beam_b int, beam_r int, "
-        "recall_at_10 double, measured_n bigint",
+        "merge int, recall_at_10 double, measured_n bigint",
     )
 
 

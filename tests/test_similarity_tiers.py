@@ -17,22 +17,25 @@ from deisa_ray_spark.functions.similarity import (
 
 def test_tier_table_matches_declared_constants():
     rows = {r[0]: r for r in SIM_TIER_TABLE}
-    assert rows["default"][2:5] == (SERVE_K, BEAM_B, BEAM_R)
-    assert rows["scaled"][2:5] == (SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R)
+    assert rows["default"][2:6] == (SERVE_K, BEAM_B, BEAM_R, 0)
+    assert rows["scaled+merge"][2:6] == (
+        SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R, 1,
+    )
+    assert rows["xl+merge"][5] == 1
     # bands are strictly increasing; every row carries a measured recall
     bands = [r[1] for r in SIM_TIER_TABLE]
     assert bands == sorted(bands) and len(set(bands)) == len(bands)
-    assert all(0.0 < r[5] <= 1.0 and r[6] > 0 for r in SIM_TIER_TABLE)
+    assert all(0.0 < r[6] <= 1.0 and r[7] > 0 for r in SIM_TIER_TABLE)
 
 
 def test_select_tier_bands():
     assert select_tier(500)[0] == "default"
     assert select_tier(4_000)[0] == "default"
-    assert select_tier(4_001)[0] == "scaled"
-    assert select_tier(30_000)[0] == "scaled"
-    assert select_tier(64_000)[0] == "xl"
+    assert select_tier(4_001)[0] == "scaled+merge"
+    assert select_tier(30_000)[0] == "scaled+merge"
+    assert select_tier(64_000)[0] == "xl+merge"
     # past the largest measured band: largest tier, caveat documented
-    assert select_tier(10_000_000)[0] == "xl"
+    assert select_tier(10_000_000)[0] == "xl+merge"
 
 
 def test_tier_query_matches_oracle_shape(spark):
@@ -42,6 +45,32 @@ def test_tier_query_matches_oracle_shape(spark):
     assert len(rows) == len(SIM_TIER_TABLE)
     assert rows[0].asDict() == {
         "tier": "default", "n_max": 4_000, "serve_k": SERVE_K,
-        "beam_b": BEAM_B, "beam_r": BEAM_R, "recall_at_10": 1.0,
-        "measured_n": 2_000,
+        "beam_b": BEAM_B, "beam_r": BEAM_R, "merge": 0,
+        "recall_at_10": 1.0, "measured_n": 2_000,
     }
+
+
+def test_merged_edges_improve_recall_structurally(spark):
+    """The merge round's output is a valid symmetric edge set and the
+    merged beam's recall is >= the plain beam's on the test corpus."""
+    from pyspark.sql import functions as F
+
+    from deisa_ray_spark.functions.similarity import (
+        graph_beam_topk,
+        merged_serve_edges,
+        sim_bruteforce_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    edges = merged_serve_edges(spark, SF_DIR).localCheckpoint()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert edges.exceptAll(rev).count() == 0  # symmetric
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+
+    bf = {(r["qid"], r["neighbor_id"])
+          for r in sim_bruteforce_topk(spark, SF_DIR).collect()}
+    plain = {(r["qid"], r["neighbor_id"])
+             for r in graph_beam_topk(spark, SF_DIR).collect()}
+    merged = {(r["qid"], r["neighbor_id"])
+              for r in graph_beam_topk(spark, SF_DIR, merge_round=True).collect()}
+    assert len(merged & bf) >= len(plain & bf)

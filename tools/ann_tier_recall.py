@@ -81,18 +81,20 @@ def main() -> None:
             (r["qid"], r["neighbor_id"])
             for r in S.sim_bruteforce_topk(spark, dst).collect()
         }
+        merge = os.environ.get("SPARK_GRAFT_ANN_MERGE") == "1"
         for tier, serve_k, beam_b, beam_r in TIERS:
             t0 = time.time()
             beam = {
                 (r["qid"], r["neighbor_id"])
                 for r in S.graph_beam_topk(
-                    spark, dst, serve_k=serve_k, beam_b=beam_b, beam_r=beam_r
+                    spark, dst, serve_k=serve_k, beam_b=beam_b,
+                    beam_r=beam_r, merge_round=merge,
                 ).collect()
             }
             dt = time.time() - t0
             rec = len(beam & bf) / len(bf)
             print(
-                f"factor={factor} n={n} tier={tier} "
+                f"factor={factor} n={n} tier={tier}{'+merge' if merge else ''} "
                 f"(k={serve_k},B={beam_b},R={beam_r}): "
                 f"recall@{S.TOP_K} = {rec:.3f} ({len(beam & bf)}/{len(bf)}), "
                 f"wall {dt:.1f}s",
