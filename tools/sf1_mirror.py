@@ -89,7 +89,11 @@ def main() -> None:
         app_name="sf1_mirror", shuffle_partitions=max(8, os.cpu_count() or 8)
     )
     specs = load_all()
-    if SCOPE in ("bench", "rest"):
+    only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",")}
+        specs = {n: s for n, s in specs.items() if n in names}
+    elif SCOPE in ("bench", "rest"):
         from bench import BENCH_QUERIES
 
         wanted = set(BENCH_QUERIES) | set(EXTRA_QUERIES)
