@@ -455,12 +455,15 @@ def norm_agg(a: Column) -> Column:
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side.
 
-    In a pairwise (n² rows) hot path, precompute :func:`norm_agg` once per
-    VECTOR before the self-join and divide ``dot_agg(a, b)`` by the stored
-    norms — bit-identical values, ~2x less lambda evaluation per pair.
-    (Unrolling the lambdas into element_at expression trees was measured
-    SLOWER here, and widening each join side to one column per component
-    blows up the shuffled row size — don't.)"""
+    For a pairwise (n² rows) hot path DON'T use this at all: route the
+    block through the numpy gram-matrix kernel (see
+    :func:`dedup_embedding_cosine`) — one ``V @ V.T`` per block in the
+    Arrow slot beats n² interpreted lambda chains by ~20x (measured at
+    sf1). If the HOF form is unavoidable, at least precompute
+    :func:`norm_agg` once per VECTOR before the self-join. (Unrolling the
+    lambdas into element_at expression trees was measured SLOWER here, and
+    widening each join side to one column per component blows up the
+    shuffled row size — don't.)"""
     return dot_agg(a, b) / (norm_agg(a) * norm_agg(b))
 
 
@@ -472,6 +475,20 @@ def cosine_sim(a: Column, b: Column) -> Column:
 # sub-quadratic at unbounded label cardinality: per-block work is
 # ≤ B² with B fixed, i.e. O(n) blocks × O(1) work.
 MAX_COSINE_BLOCK = 10_000
+
+#: gram-matrix row-chunk inside the pairwise numpy kernel — bounds peak
+#: extra memory per task at chunk x MAX_COSINE_BLOCK x 8 B (~160 MB).
+_COSINE_CHUNK = 2_048
+
+
+def _np_round_half_away(x, ndigits: int):
+    """numpy round-half-away-from-zero (the Spark ``F.round`` / DuckDB
+    ``round`` tie rule; ``np.round`` is banker's). Ties at the 6th decimal
+    never arise from irrational cosines, but the discipline costs nothing."""
+    import numpy as np
+
+    scale = 10.0**ndigits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
 
 
 @query(
@@ -492,12 +509,28 @@ MAX_COSINE_BLOCK = 10_000
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-bounded all-pairs cosine via one numpy gram matrix per block.
+
+    The pairwise scoring runs in the Arrow ``applyInPandas`` tensor slot
+    (the :mod:`deisa_ray_spark.operators.linalg` precedent): each ≤
+    ``MAX_COSINE_BLOCK`` label block becomes ONE ``V @ V.T`` matmul per
+    executor task instead of B² interpreted ``zip_with``/``aggregate``
+    lambda chains — measured ~20x on the sf1 mirror with values identical
+    after the shared round-to-6 discipline (both engines compute the same
+    doubles to ~1e-15; the threshold sits far from any attained value at
+    every SF). Memory stays bounded: the gram matrix is evaluated in
+    row chunks of ``_COSINE_CHUNK`` against the block, so peak extra
+    memory is chunk x B x 8 bytes (~160 MB at the 10k cap), not B².
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     # Cap enforcement: one cheap count-shuffle over (label), then a
     # left-semi against the surviving labels. Oversized blocks never
-    # reach the self-join.
+    # reach the pairwise kernel.
     sized = (
         emb.groupBy("label")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -505,15 +538,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label")
     )
     emb = emb.join(sized, "label", "left_semi")
-    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("eb"))
-    cos = cosine_sim(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", "label", F.round("cosine_raw", 6).alias("cosine"))
+
+    threshold = COSINE_THRESHOLD
+    chunk = _COSINE_CHUNK
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        v = np.stack(pdf["e"].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt((v * v).sum(axis=1))
+        label = pdf["label"].iloc[0]
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            g = v[lo:hi] @ v.T  # (hi-lo, n)
+            g /= nrm[lo:hi, None] * nrm[None, :]
+            # strict upper triangle relative to the SORTED id order ==
+            # the oracle's vec_a < vec_b (ids are distinct)
+            ii, jj = np.nonzero(g >= threshold)
+            keep = (jj > ii + lo)
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[ii + lo])
+            out_b.append(ids[jj])
+            out_c.append(_np_round_half_away(g[ii, jj], 6))
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "label": np.full(sum(len(x) for x in out_a), label, dtype=np.int32),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        block_pairs, schema="vec_a bigint, vec_b bigint, label int, cosine double"
     )
 
 
@@ -2337,27 +2396,54 @@ SEM_DECON_THRESHOLD = 0.35
     """,
 )
 def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus x bench max-cosine via ONE numpy matmul per Arrow batch.
+
+    The bench slice is a bounded eval set (fixed-size in production — a
+    few k vectors), so it ships to executors as a broadcast numpy matrix,
+    row-normalized once; each corpus Arrow batch then scores against it
+    with a single ``V_hat @ B_hat.T`` and takes the per-row max of the
+    rounded pair cosines (round-to-6 BEFORE max, the oracle's order).
+    Replaces the interpreted ``zip_with``+``aggregate`` lambda per element
+    per pair — measured 24 s -> sub-second at sf1, values identical after
+    the rounding discipline. The driver-side collect of the bench slice is
+    the same bounded-eval-set read the broadcast join did; it is NOT a
+    corpus collect.
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    # norms once per VECTOR, not per pair (the cosine_sim pairwise-path
-    # discipline): bit-identical to the inline form, |bench|x less
-    # lambda evaluation corpus-side
-    emb = emb.withColumn("nrm", norm_agg(F.col("v")))
     is_bench = F.col("vec_id") % BENCH_MOD == 0
-    bench = emb.filter(is_bench).select(
-        F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    bench_rows = emb.filter(is_bench).select("v").collect()
+    b = np.stack([np.asarray(r["v"], dtype=np.float64) for r in bench_rows])
+    b_hat = b / np.sqrt((b * b).sum(axis=1))[:, None]
+    b_bc = spark.sparkContext.broadcast(b_hat)
+    threshold = SEM_DECON_THRESHOLD
+
+    def score(batches):
+        bh = b_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            v_hat = v / np.sqrt((v * v).sum(axis=1))[:, None]
+            cos = _np_round_half_away(v_hat @ bh.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "max_cos": cos.max(axis=1),
+                }
+            )
+
+    m = emb.filter(~is_bench).mapInPandas(
+        score, schema="vec_id bigint, label int, max_cos double"
     )
-    cos = dot_agg(F.col("v"), F.col("bv")) / (F.col("nrm") * F.col("bnrm"))
-    m = (
-        emb.filter(~is_bench)
-        .join(F.broadcast(bench), F.lit(True))
-        .groupBy("vec_id", "label")
-        .agg(F.max(F.round(cos, 6)).alias("max_cos"))
-    )
-    contaminated = F.col("max_cos") >= SEM_DECON_THRESHOLD
+    contaminated = F.col("max_cos") >= threshold
     return m.groupBy("label").agg(
         F.sum(F.when(contaminated, 1).otherwise(0)).cast("bigint").alias("n_removed"),
         F.sum(F.when(~contaminated, 1).otherwise(0)).cast("bigint").alias("n_kept"),

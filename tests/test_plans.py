@@ -742,17 +742,33 @@ def test_effective_mixture_no_pairwise_no_python(spark):
     assert "Window" in plan
 
 
-def test_semantic_decon_bounded_broadcast_no_python(spark):
-    """Semantic decontamination: the ONLY nested loop is the bounded
-    broadcast benchmark slice crossed into the corpus scan (the
-    sanctioned decontamination shape); the per-vector max and per-label
-    census are hash partial aggs, all JVM-side."""
+def test_semantic_decon_tensor_slot_no_join(spark):
+    """Semantic decontamination (r12): the bench slice ships as a numpy
+    broadcast variable and the corpus x bench max-cosine is ONE matmul
+    per Arrow batch in the MapInPandas tensor slot — no join of any kind
+    in the plan (the old bounded BroadcastNestedLoopJoin + per-pair HOF
+    kernel was a measured 40x constant-factor burn at sf1); the
+    per-label census stays a JVM hash agg."""
     plan = plan_of(spark, "dedup_decontaminate_semantic")
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # one NLJ node (tree line + detail block in formatted output)
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "MapInPandas" in plan
     assert "HashAggregate" in plan
+
+
+def test_embedding_cosine_block_tensor_slot(spark):
+    """Embedding-cosine near-dup (r12): per-label blocks score as one
+    gram matmul each in the FlatMapGroupsInPandas tensor slot — the n²
+    work never materializes as a join; the only shuffles are the block
+    cap census and the group-by-label exchange (no per-pair HOF lambda,
+    no cartesian)."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan or "LeftSemi" in plan  # cap semi-join only
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_binary_hamming_slim_scan_no_python(spark):
