@@ -31,47 +31,65 @@ the md5-sampled UPPER entry layer):
 3. ONLY those groups' edge partitions are rewritten; every other
    group's files are left physically untouched.
 
-State lives in parquet under ``state_dir``:
+State lives in parquet under ``state_dir`` (layout v3 — r12):
 
-* ``vectors/b{batch_id}`` holds each batch's vectors (overwrite ⇒
-  replay safe: foreachBatch may redeliver a batch after a crash);
-* ``edges/`` is ONE hive-partitioned table, ``view=<id>/grp=<key>``,
-  maintained with dynamic partitionOverwriteMode — the same no-format
-  MERGE discipline as ``maintenance.upsert_parquet``. A batch rewrites
-  exactly the partitions in its group census; untouched partitions keep
-  their exact files (asserted by inode in the tests). Touched groups
-  whose rebuild yields ZERO edges are deleted explicitly (dynamic
-  overwrite only replaces partitions PRESENT in the written frame — an
-  emptied group would otherwise linger with stale edges).
+* ``live/bkt={crc32(vec_id) % LIVE_BUCKETS}`` is the COMPACTED
+  keep-latest vector set, hive-partitioned on a stable id hash. A batch
+  reads and dynamically overwrites ONLY the buckets containing its ids
+  (remove the batch's ids, add the batch's rows) — per-batch vector I/O
+  is O(touched buckets), never the stored history. Through r11 this was
+  ``vectors/b{batch_id}`` append-only version dirs, which forced a
+  mergeSchema read of the FULL history plus a corpus-wide keep-latest
+  window shuffle EVERY batch — the last O(corpus)-per-batch term in the
+  maintainer; ``_migrate_vectors`` upgrades such a dir in place.
+* ``members/view=<v>/grp=<key>`` is the per-view MEMBERS MIRROR: the
+  live set re-partitioned by each view's coarse key (the UPPER layer
+  derives from view 0 by its deterministic vec_id sample — no extra
+  copy). The mirror is what makes the members-of-touched-groups read
+  O(touched partitions): without it the group lookup would scan every
+  bucket, because a hash-bucketed table cannot also be clustered by
+  GEO_VIEWS+1 different group keys. Storage cost: GEO_VIEWS+1 copies of
+  the vectors — the standard index-clustered-storage trade every
+  multi-view ANN server makes; I/O per batch is what the 100 TB brief
+  protects. Maintained incrementally: fresh(v,g) = stored(v,g) minus
+  the batch's vec_ids, plus the batch's rows keyed into g.
+* ``edges/view=<v>/grp=<key>`` is the serving-edge table (unchanged
+  from r11), dynamic-partition-overwritten per batch; untouched
+  partitions keep their exact files (asserted by inode in the tests),
+  and touched groups whose rebuild yields ZERO edges (or zero members)
+  are deleted explicitly — dynamic overwrite only replaces partitions
+  PRESENT in the written frame.
+* ``census/b{batch_id}`` is a WRITE-AHEAD group census (view, grp):
+  appended BEFORE any state mutation, deleted after the batch commits.
+  It exists for one failure window: a crash after the live merge but
+  before the mirror/edge rewrites loses the re-sent ids' OLD coarse
+  keys (the live table now holds their new versions), and without the
+  persisted census a redelivery would never rebuild the moved-away
+  groups. Append-mode writes make redelivery-before-delete safe (the
+  census is a set; duplicates are harmless).
 
-State I/O per batch is therefore O(touched groups), matching the
-compute: nothing in ``process_batch`` reads or writes the untouched
-part of the edge state. (Through r10 the state was versioned full
-snapshots ``edges/v{batch_id}`` — O(total edges) I/O per batch even for
-a one-group batch; ``_migrate_legacy`` upgrades such a dir in place.)
-
-Replay/crash safety without versions: the touched partitions' contents
-are a deterministic function of the vector state alone (members +
-re-sent ids' old keys — ``process_batch`` never reads prior edges), and
-``vectors/b{batch_id}`` writes are idempotent, so redelivering a batch
-rewrites the same partitions with the same rows, and a crash that left
-SOME partitions rewritten converges on redelivery. This is the same
-argument Delta's MERGE gives, minus cross-writer atomicity (one
-maintainer per state dir, which foreachBatch guarantees).
+Replay/crash safety without versions: every rewrite is a deterministic
+function of (live state, batch, census), and each merge step is
+idempotent — removing the batch's ids then adding the batch's rows
+converges whether or not a prior attempt already applied it. A crash
+between any two writes re-runs the same rewrites on redelivery (the
+persisted census ∪ the recomputed one is a superset of the original).
+This is the same argument Delta's MERGE gives, minus cross-writer
+atomicity (one maintainer per state dir, which foreachBatch
+guarantees).
 
 UPSERT semantics (r10): a re-sent ``vec_id`` REPLACES its previous
-version — the member set is keep-latest-per-vec_id (highest batch id
-wins), and the group census for each view includes the re-sent ids'
-OLD coarse keys as well as their new ones, so the stale vector's old
-groups are rebuilt without it and its new groups with it. The
-full-rebuild equivalence contract then reads: maintained state ==
-rebuild over the keep-latest vector set. A duplicate vec_id WITHIN one
-batch is ambiguous (which version wins?) and raises ContractError —
-same-batch dedup is the producer's job.
+version — the live set is keep-latest, and the group census for each
+view includes the re-sent ids' OLD coarse keys (read from the touched
+live buckets before the merge) as well as their new ones, so the stale
+vector's old groups are rebuilt without it and its new groups with it.
+A duplicate vec_id WITHIN one batch is ambiguous (which version wins?)
+and raises ContractError — same-batch dedup is the producer's job.
 
-Work per batch is O(Σ touched-group sizes · cap-bounded pair work) —
-independent of corpus size when batches touch few groups, degenerating
-honestly to a full rebuild when a batch touches every group.
+Work AND state I/O per batch are O(touched buckets + Σ touched-group
+sizes · cap-bounded pair work) — independent of corpus size when
+batches touch few groups, degenerating honestly to a full rebuild when
+a batch touches every group.
 """
 
 from __future__ import annotations
@@ -100,11 +118,25 @@ from deisa_ray_spark.functions.similarity import (
 #: geometric sign-code views, UPPER_VIEW = the sampled entry layer.
 UPPER_VIEW = 100
 
+#: live-table hash buckets. Sized so one bucket holds ~1/LIVE_BUCKETS of
+#: the corpus; at production scale set this so a bucket is a few HDFS
+#: blocks (the per-batch merge reads whole touched buckets). Changing it
+#: requires a one-time re-bucketing (read live, rewrite) — it is a
+#: layout constant, not a tuning knob to flip per batch.
+LIVE_BUCKETS = 64
+
 EDGES_SCHEMA = "view int, grp string, src bigint, dst bigint"
-#: read schema for the partitioned table: data columns first, then the
+#: read schema for the partitioned tables: data columns first, then the
 #: partition columns — explicit so grp is NEVER type-inferred (a geo
 #: code like "0101" would otherwise infer as the integer 101).
 _EDGES_READ_SCHEMA = "src bigint, dst bigint, view int, grp string"
+_LIVE_READ_SCHEMA = "vec_id bigint, label int, e array<double>, bkt int"
+_MEMBERS_READ_SCHEMA = "vec_id bigint, label int, e array<double>, view int, grp string"
+_CENSUS_SCHEMA = "view int, grp string"
+
+
+def _bkt(vec_id):
+    return (F.crc32(vec_id.cast("string")) % LIVE_BUCKETS).cast("int")
 
 
 def _views() -> list:
@@ -121,6 +153,11 @@ def _views() -> list:
     return views
 
 
+#: members-mirror views: UPPER shares view 0's key AND is a deterministic
+#: vec_id-sample of it, so it needs no mirror copy of its own.
+_MIRROR_VIEWS = tuple(range(GEO_VIEWS + 1))
+
+
 class IncrementalServeGraph:
     """foreachBatch processor maintaining the serving edge state."""
 
@@ -131,6 +168,15 @@ class IncrementalServeGraph:
     # -- state layout -----------------------------------------------------
     def _edges_dir(self) -> str:
         return os.path.join(self.state_dir, "edges")
+
+    def _live_dir(self) -> str:
+        return os.path.join(self.state_dir, "live")
+
+    def _members_dir(self) -> str:
+        return os.path.join(self.state_dir, "members")
+
+    def _census_dir(self, batch_id: int) -> str:
+        return os.path.join(self.state_dir, "census", f"b{batch_id}")
 
     def _migrate_legacy(self) -> None:
         """Upgrade an r10-era ``edges/v{batch}`` full-snapshot state dir
@@ -154,9 +200,81 @@ class IncrementalServeGraph:
             return
         latest = sorted(legacy)[-1][1]
         df = self.spark.read.parquet(latest).select("src", "dst", "view", "grp")
-        self._overwrite_partitions(df)
+        self._overwrite_partitions(df, self._edges_dir(), ("view", "grp"))
         for p in snaps:
             shutil.rmtree(p, ignore_errors=True)
+
+    def _migrate_vectors(self) -> None:
+        """Upgrade an r11-era ``vectors/b{batch}`` versioned vector state
+        to the compacted live + members layout in place: one keep-latest
+        pass over the full history (the LAST such pass — per-batch work
+        never does this again), then the version dirs are dropped.
+        Pre-upsert rows (written before the ``_b`` column existed) read
+        as ``_b = -1``: those runs were append-only, so at most one
+        version of each vec_id predates the upgrade and keep-latest
+        ordering stays well-defined. Idempotent: a crash before the
+        ``vectors`` dir is removed re-runs the same deterministic
+        rewrite (no new batch can interleave — migration runs at batch
+        start under the single-maintainer contract)."""
+        vec_dir = os.path.join(self.state_dir, "vectors")
+        paths = sorted(glob.glob(os.path.join(vec_dir, "b*")))
+        if not paths:
+            return
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if "_b" not in df.columns:
+            df = df.withColumn("_b", F.lit(-1))
+        w = W.partitionBy("vec_id").orderBy(F.desc(F.coalesce(F.col("_b"), F.lit(-1))))
+        live = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "vec_id",
+                "label",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
+        (
+            live.withColumn("bkt", _bkt(F.col("vec_id")))
+            .repartition("bkt")
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(self._live_dir())
+        )
+        self._write_members_full(live)
+        free_local_checkpoint(live)
+        shutil.rmtree(vec_dir, ignore_errors=True)
+        self.spark.catalog.refreshByPath(self._live_dir())
+
+    def _write_members_full(self, live: DataFrame) -> None:
+        """Full (static-overwrite) build of the members mirror — used
+        only by migration; steady-state batches rewrite touched
+        partitions dynamically."""
+        frames = []
+        for view, key_fn, _sample in _views():
+            if view not in _MIRROR_VIEWS:
+                continue
+            frames.append(
+                live.select(
+                    "vec_id",
+                    "label",
+                    "e",
+                    F.lit(view).alias("view"),
+                    key_fn().alias("grp"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        (
+            out.repartition("view", "grp")
+            .write.mode("overwrite")
+            .partitionBy("view", "grp")
+            .parquet(self._members_dir())
+        )
+        self.spark.catalog.refreshByPath(self._members_dir())
 
     def _read_edges(self) -> DataFrame:
         self._migrate_legacy()
@@ -168,70 +286,75 @@ class IncrementalServeGraph:
             .select("view", "grp", "src", "dst")
         )
 
-    def _partition_dirs(self, view: int) -> dict:
+    def _read_live_buckets(self, bkts: list) -> DataFrame:
+        """The live rows of the given buckets — a partition-pruned read
+        (``bkt`` is the partition column; untouched buckets contribute
+        zero bytes)."""
+        if not glob.glob(os.path.join(self._live_dir(), "bkt=*")):
+            return self.spark.createDataFrame([], _LIVE_READ_SCHEMA)
+        return (
+            self.spark.read.schema(_LIVE_READ_SCHEMA)
+            .parquet(self._live_dir())
+            .filter(F.col("bkt").isin(bkts))
+        )
+
+    def _read_member_groups(self, census: list) -> DataFrame:
+        """Stored mirror rows for the touched ``(view, grp)`` pairs —
+        partition-pruned on both keys."""
+        if not census or not glob.glob(os.path.join(self._members_dir(), "view=*")):
+            return self.spark.createDataFrame([], _MEMBERS_READ_SCHEMA)
+        pred = None
+        by_view: dict = {}
+        for view, grp in census:
+            by_view.setdefault(view, []).append(grp)
+        for view, grps in by_view.items():
+            p = (F.col("view") == view) & F.col("grp").isin(grps)
+            pred = p if pred is None else (pred | p)
+        return (
+            self.spark.read.schema(_MEMBERS_READ_SCHEMA)
+            .parquet(self._members_dir())
+            .filter(pred)
+        )
+
+    def _partition_dirs(self, base_dir: str, view: int) -> dict:
         """grp value -> on-disk partition dir for one view (grp values
         hive-%-escaped in dir names; unquote restores them)."""
-        base = os.path.join(self._edges_dir(), f"view={view}")
+        base = os.path.join(base_dir, f"view={view}")
         out = {}
         for d in glob.glob(os.path.join(base, "grp=*")):
             out[urllib.parse.unquote(os.path.basename(d)[4:])] = d
         return out
 
-    def _overwrite_partitions(self, edges: DataFrame) -> None:
-        """Dynamic-partition-overwrite ``edges`` (src,dst,view,grp) into
-        the state table — only (view, grp) partitions present in the
-        frame are replaced (the maintenance.upsert_parquet discipline).
-        Repartitioned on the partition keys first so each rewritten
-        partition gets exactly ONE file: without it every write task
-        emits a sliver into every partition it holds rows for — a
-        small-files explosion that grows with both task count and batch
-        count. The extra exchange moves only the FRESH edges (touched
-        groups × batch scale), never the carried state."""
+    def _overwrite_partitions(
+        self, df: DataFrame, target: str, part_cols: tuple
+    ) -> None:
+        """Dynamic-partition-overwrite ``df`` into ``target`` — only
+        partitions present in the frame are replaced (the
+        maintenance.upsert_parquet discipline). Repartitioned on the
+        partition keys first so each rewritten partition gets exactly
+        ONE file: without it every write task emits a sliver into every
+        partition it holds rows for — a small-files explosion that grows
+        with both task count and batch count. The extra exchange moves
+        only the FRESH rows (touched groups × batch scale), never the
+        carried state."""
         conf = self.spark.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                edges.select("src", "dst", "view", "grp")
-                .repartition("view", "grp")
+                df.repartition(*part_cols)
                 .write.mode("overwrite")
-                .partitionBy("view", "grp")
-                .parquet(self._edges_dir())
+                .partitionBy(*part_cols)
+                .parquet(target)
             )
         finally:
             conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        self.spark.catalog.refreshByPath(self._edges_dir())
-
-    def _members_all(self) -> DataFrame:
-        """Every stored vector version ``(vec_id, label, e, _b)`` —
-        re-sent ids appear once per sending batch. Pre-upsert state
-        (vectors written before the ``_b`` column existed) reads as
-        ``_b = -1``: those runs were append-only, so at most one
-        version of each vec_id predates the upgrade and keep-latest
-        ordering stays well-defined."""
-        paths = sorted(glob.glob(os.path.join(self.state_dir, "vectors", "b*")))
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        if "_b" not in df.columns:
-            df = df.withColumn("_b", F.lit(-1))
-        return df.select(
-            "vec_id",
-            "label",
-            F.col("embedding").cast("array<double>").alias("e"),
-            F.coalesce(F.col("_b"), F.lit(-1)).alias("_b"),
-        )
-
-    def _members(self) -> DataFrame:
-        """The LIVE vector set: keep-latest-per-vec_id (upsert)."""
-        w = W.partitionBy("vec_id").orderBy(F.desc("_b"))
-        return (
-            self._members_all()
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "label", "e")
-        )
+        self.spark.catalog.refreshByPath(target)
 
     # -- the batch step ----------------------------------------------------
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
         # duplicate vec_id within ONE batch is an ambiguous upsert
         # (which version wins?) — producer contract violation
         dup = (
@@ -245,53 +368,137 @@ class IncrementalServeGraph:
                 "same-batch upsert order is undefined; dedup upstream"
             )
         self._migrate_legacy()
-        batch.withColumn("_b", F.lit(batch_id)).write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "vectors", f"b{batch_id}")
-        )
-        # ONE materialization each per batch: members feeds every view's
-        # subset filter, old_versions feeds every view's census —
-        # un-checkpointed, each reference would re-read the whole
-        # vectors/b* history and re-run the keep-latest window (~2 scans
-        # x views per batch, against the module's work-per-batch
-        # contract).
-        from deisa_ray_spark.functions.dedup import free_local_checkpoint
-
-        members = self._members().localCheckpoint(eager=True)
+        self._migrate_vectors()
+        # NOT checkpointed: every re-evaluation is one scan of the
+        # batch's staged file — cheaper than materializing a copy
         bvecs = batch.select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
         )
+        if bvecs.isEmpty():
+            return
+        # bounded collect #1: the batch's live buckets (≤ LIVE_BUCKETS)
+        bkts = sorted(
+            r[0]
+            for r in bvecs.select(_bkt(F.col("vec_id")).alias("b")).distinct().collect()
+        )
+        stored = self._read_live_buckets(bkts).localCheckpoint(eager=True)
+        batch_ids = bvecs.select("vec_id")
         # prior versions of RE-SENT ids: their OLD coarse keys must join
-        # the census so the stale vector's groups rebuild without it
-        # (semi join — never a driver-side id list)
+        # the census so the stale vector's groups rebuild without it —
+        # read from the touched buckets only, BEFORE the merge
         old_versions = (
-            self._members_all()
-            .filter(F.col("_b") < batch_id)
-            .join(bvecs.select("vec_id"), "vec_id", "semi")
+            stored.join(batch_ids, "vec_id", "semi")
             .select("vec_id", "label", "e")
             .localCheckpoint(eager=True)
         )
-        fresh_views = []
-        touched: list = []  # (view, [grp, ...]) — the group census
+        # bounded collect #2: the per-view group census (new ∪ re-sent-
+        # old keys) — ≤ 2^GEO_BITS codes / label cardinality per view,
+        # metadata-scale at any corpus size.
+        census: list = []  # (view, grp)
         for view, key_fn, sample in _views():
             b = sample(bvecs) if sample else bvecs
             old = sample(old_versions) if sample else old_versions
-            # bounded collect: the batch's distinct coarse keys (new ∪
-            # re-sent-old) — the group-key census (≤ 2^GEO_BITS codes /
-            # label cardinality), metadata-scale at any corpus size.
-            groups = [
-                r[0]
-                for r in b.select(key_fn().alias("g"))
+            for r in (
+                b.select(key_fn().alias("g"))
                 .unionByName(old.select(key_fn().alias("g")))
                 .distinct()
                 .collect()
-            ]
-            if not groups:
+            ):
+                census.append((view, r[0]))
+        # WRITE-AHEAD census (append mode — see module docstring). Only a
+        # REDELIVERY finds an existing census dir; then fold the prior
+        # attempt's groups in — a redelivery after a partial apply must
+        # rebuild the ORIGINAL touched groups too.
+        cdir = self._census_dir(batch_id)
+        redelivered = os.path.isdir(cdir)
+        self.spark.createDataFrame(census, _CENSUS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(cdir)
+        if redelivered:
+            census = sorted(
+                {
+                    (r["view"], r["grp"])
+                    for r in self.spark.read.schema(_CENSUS_SCHEMA)
+                    .parquet(cdir)
+                    .collect()
+                }
+            )
+
+        # 1. live merge: touched buckets only — remove the batch's ids,
+        # add the batch's rows (idempotent on redelivery)
+        fresh_live = (
+            stored.select("vec_id", "label", "e")
+            .join(batch_ids, "vec_id", "anti")
+            .unionByName(bvecs)
+            .withColumn("bkt", _bkt(F.col("vec_id")))
+        )
+        self._overwrite_partitions(fresh_live, self._live_dir(), ("bkt",))
+
+        # 2. members-mirror merge: fresh(v,g) = stored(v,g) minus batch
+        # ids, plus batch rows keyed into g — touched partitions only
+        # not checkpointed on its own: the fresh_members checkpoint below
+        # materializes this read BEFORE the members dir is overwritten
+        mirror_census = [(v, g) for v, g in census if v in _MIRROR_VIEWS]
+        stored_members = self._read_member_groups(mirror_census)
+        fresh_frames = []
+        for view, key_fn, _sample in _views():
+            if view not in _MIRROR_VIEWS:
                 continue
-            touched.append((view, groups))
-            m = sample(members) if sample else members
-            subset = m.withColumn("grp", key_fn()).filter(F.col("grp").isin(groups))
+            grps = [g for v, g in mirror_census if v == view]
+            if not grps:
+                continue
+            fresh_frames.append(
+                stored_members.filter(F.col("view") == view)
+                .select("vec_id", "label", "e", "view", "grp")
+                .join(batch_ids, "vec_id", "anti")
+                .unionByName(
+                    bvecs.select(
+                        "vec_id",
+                        "label",
+                        "e",
+                        F.lit(view).alias("view"),
+                        key_fn().alias("grp"),
+                    ).filter(F.col("grp").isin(grps))
+                )
+            )
+        fresh_members = fresh_frames[0]
+        for f in fresh_frames[1:]:
+            fresh_members = fresh_members.unionByName(f)
+        fresh_members = fresh_members.localCheckpoint(eager=True)
+        member_present = {
+            (r["view"], r["grp"])
+            for r in fresh_members.select("view", "grp").distinct().collect()
+        }
+        if member_present:
+            self._overwrite_partitions(
+                fresh_members, self._members_dir(), ("view", "grp")
+            )
+        # touched member groups with NO remaining members: dynamic
+        # overwrite never saw their partition — delete explicitly
+        for view in _MIRROR_VIEWS:
+            dirs = self._partition_dirs(self._members_dir(), view)
+            for v, g in mirror_census:
+                if v == view and (v, g) not in member_present and g in dirs:
+                    shutil.rmtree(dirs[g], ignore_errors=True)
+
+        # 3. edge rebuild over the fresh members of the touched groups
+        # (UPPER derives from view 0's mirror by the deterministic
+        # vec_id sample)
+        fresh_views = []
+        for view, key_fn, sample in _views():
+            grps = [g for v, g in census if v == view]
+            if not grps:
+                continue
+            src_view = 0 if view == UPPER_VIEW else view
+            subset = fresh_members.filter(
+                (F.col("view") == src_view) & F.col("grp").isin(grps)
+            ).select("vec_id", "label", "e", "grp")
+            if sample:
+                subset = sample(subset)
             tags = subset.select("vec_id", "grp")
-            assigned = knn_assigned(subset.select("vec_id", "label", "e"), key=key_fn())
+            assigned = knn_assigned(
+                subset.select("vec_id", "label", "e"), key=key_fn()
+            )
             fresh_views.append(
                 knn_graph_from_assigned(assigned, k=SERVE_K)
                 .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
@@ -311,19 +518,23 @@ class IncrementalServeGraph:
                 for r in fresh.select("view", "grp").distinct().collect()
             }
             if present:
-                self._overwrite_partitions(fresh)
-            # touched groups whose rebuild yielded NO edges: dynamic
-            # overwrite never saw their partition — delete the stale
-            # files explicitly or an emptied group would keep serving
-            # its old edges
-            for view, groups in touched:
-                dirs = self._partition_dirs(view)
-                for g in groups:
-                    if (view, g) not in present and g in dirs:
+                self._overwrite_partitions(fresh, self._edges_dir(), ("view", "grp"))
+            # touched groups whose rebuild yielded NO edges: delete the
+            # stale files explicitly or an emptied group would keep
+            # serving its old edges
+            for view, _key_fn, _sample in _views():
+                dirs = self._partition_dirs(self._edges_dir(), view)
+                for v, g in census:
+                    if v == view and (v, g) not in present and g in dirs:
                         shutil.rmtree(dirs[g], ignore_errors=True)
             free_local_checkpoint(fresh)
-        free_local_checkpoint(members)
+        # batch fully applied — the write-ahead census has served its
+        # purpose (a post-delete redelivery recomputes against the
+        # already-converged state; see module docstring)
+        shutil.rmtree(cdir, ignore_errors=True)
+        free_local_checkpoint(fresh_members)
         free_local_checkpoint(old_versions)
+        free_local_checkpoint(stored)
 
     # -- drivers -------------------------------------------------------------
     def run_available(self, src_dir: str, ckpt_dir: str) -> None:

@@ -257,10 +257,13 @@ def test_legacy_versioned_state_migrates(spark, tmp_path):
     assert _edge_set(proc2.base_edges()) == _edge_set(serve_edges_from(live))
 
 
-def test_pre_upsert_state_upgrades(spark, tmp_path):
-    """vectors/b* written BEFORE the _b column existed (append-only
-    runs) must keep working: old rows read as _b = -1 and lose
-    keep-latest to any re-sent version."""
+def test_legacy_versioned_vectors_migrate(spark, tmp_path):
+    """An r11-era ``vectors/b*`` versioned vector state (including
+    pre-upsert files WITHOUT the _b column — append-only runs, read as
+    _b = -1) upgrades in place on the next batch: one keep-latest pass
+    builds the compacted live + members layout, the b* dirs are
+    dropped, and the maintained graph still equals the full rebuild
+    over the keep-latest set."""
     from deisa_ray_spark.functions.similarity import serve_edges_from
     from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
 
@@ -270,21 +273,118 @@ def test_pre_upsert_state_upgrades(spark, tmp_path):
 
     emb = load_table(spark, SF_DIR, "embeddings")
     base = emb.limit(100).cache()
+    # the legacy maintainer's keep-latest view: b0 = base (pre-upsert,
+    # no _b column), b1 re-sent ids 0-1 with label+2 (_b = 1). Build the
+    # EDGE state consistent with that view (as a real legacy run would
+    # have left it), then refactor the vector state into b* version dirs.
+    legacy_live = base.filter(F.col("vec_id") >= 2).unionByName(
+        base.filter(F.col("vec_id") < 2).withColumn("label", F.col("label") + 2)
+    )
     state = str(tmp_path / "state")
     proc = IncrementalServeGraph(spark, state)
-    proc.process_batch(base, 0)
-    # simulate a pre-upgrade b0: strip the _b column from the stored files
-    stripped = spark.read.parquet(state + "/vectors/b0").drop("_b")
-    stripped.write.mode("overwrite").parquet(state + "/vectors/b0_tmp")
-    shutil.rmtree(state + "/vectors/b0")
-    os.rename(state + "/vectors/b0_tmp", state + "/vectors/b0")
+    proc.process_batch(legacy_live, 0)
+    base.select("vec_id", "label", "embedding").write.parquet(state + "/vectors/b0")
+    (
+        base.filter(F.col("vec_id") < 2)
+        .withColumn("label", F.col("label") + 2)
+        .select("vec_id", "label", "embedding")
+        .withColumn("_b", F.lit(1))
+        .write.parquet(state + "/vectors/b1")
+    )
+    shutil.rmtree(state + "/live")
+    shutil.rmtree(state + "/members")
+
     updated = (
         base.filter(F.col("vec_id") < 3)
         .withColumn("label", F.col("label") + 1)
     )
-    proc.process_batch(updated, 1)
+    proc2 = IncrementalServeGraph(spark, state)
+    proc2.process_batch(updated, 2)
+    assert not os.path.exists(state + "/vectors")
     live = base.filter(F.col("vec_id") >= 3).unionByName(updated).select(
         "vec_id", "label",
         F.col("embedding").cast("array<double>").alias("e"),
     )
-    assert _edge_set(proc.base_edges()) == _edge_set(serve_edges_from(live))
+    assert _edge_set(proc2.base_edges()) == _edge_set(serve_edges_from(live))
+
+
+def test_vector_state_io_is_bucket_local(spark, tmp_path):
+    """The r12 vector-state contract: a one-vector batch rewrites ONLY
+    its live bucket partition and its groups' member partitions — every
+    other live bucket and member partition keeps its exact files (same
+    inodes). This is the proof that per-batch vector-state I/O is
+    O(touched buckets + touched groups), not O(corpus): through r11 the
+    maintainer re-read the full vectors/b* history and ran a corpus-wide
+    keep-latest window every batch."""
+    import glob as _glob
+    import os
+    import urllib.parse
+
+    from deisa_ray_spark.streaming.servegraph import (
+        LIVE_BUCKETS,
+        IncrementalServeGraph,
+        _views,
+    )
+
+    import pyspark.sql.functions as F
+    import zlib
+
+    def live_inodes(state):
+        out = {}
+        for d in _glob.glob(f"{state}/live/bkt=*"):
+            out[int(os.path.basename(d)[4:])] = frozenset(
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    def member_inodes(state):
+        out = {}
+        for d in _glob.glob(f"{state}/members/view=*/grp=*"):
+            grp = urllib.parse.unquote(os.path.basename(d)[4:])
+            view = int(os.path.basename(os.path.dirname(d))[5:])
+            out[(view, grp)] = frozenset(
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.limit(150).cache()
+    state = str(tmp_path / "state")
+    proc = IncrementalServeGraph(spark, state)
+    proc.process_batch(base, 0)
+    live_before = live_inodes(state)
+    mem_before = member_inodes(state)
+    assert len(live_before) > 3 and len(mem_before) > 3
+
+    newvec = base.limit(1).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    new_id = newvec.collect()[0]["vec_id"]
+    expected_bkt = zlib.crc32(str(new_id).encode()) % LIVE_BUCKETS
+    nv = newvec.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    expected_groups = set()
+    for view, key_fn, sample in _views():
+        b = sample(nv) if sample else nv
+        for r in b.select(key_fn().alias("g")).distinct().collect():
+            if view <= 90:  # mirror views only (UPPER has no mirror copy)
+                expected_groups.add((view, r[0]))
+    proc.process_batch(newvec, 1)
+    live_after = live_inodes(state)
+    mem_after = member_inodes(state)
+    for bkt, inodes in live_before.items():
+        if bkt != expected_bkt:
+            assert live_after[bkt] == inodes, f"bucket {bkt} rewritten needlessly"
+    assert live_after.get(expected_bkt) != live_before.get(expected_bkt)
+    untouched = [k for k in mem_before if k not in expected_groups]
+    assert untouched
+    for k in untouched:
+        assert mem_after[k] == mem_before[k], f"member partition {k} rewritten"
+    for k in expected_groups:
+        if k in mem_before:
+            assert mem_after.get(k) != mem_before[k], f"touched {k} not rewritten"
+    # the write-ahead census is cleaned up after a committed batch
+    assert _glob.glob(f"{state}/census/*") == []
