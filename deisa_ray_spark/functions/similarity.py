@@ -2175,7 +2175,9 @@ def graph_beam_topk(
 
     edges = serve_edges(spark, sf_dir, serve_k)
     if merge_round:
-        edges = merged_serve_edges(spark, sf_dir, serve_k).localCheckpoint()
+        # session-cached + persisted inside merged_serve_edges — no
+        # per-call localCheckpoint to leak (r12, ADVICE fix)
+        edges = merged_serve_edges(spark, sf_dir, serve_k)
     uedges = upper_edges(spark, sf_dir, serve_k)
     store = knn_assigned_cached(spark, sf_dir)  # (vec_id, e, nrm, bucket, ...)
     q = store.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2258,41 +2260,81 @@ def merged_serve_edges(
     DECLARED via ``sim_graph_beam_topk_merged`` (exact SQL twin in
     ``_merged_edges_ctes``); measured 0.90/0.98 recall@10 at 64k for the
     scaled/xl constants vs 0.72/0.84 unmerged
-    (tools/ann_tier_recall.py, SPARK_GRAFT_ANN_MERGE=1). The incremental
-    maintainer keeps the per-view state — a merged edge belongs to no
-    single view, so this is a serving-time refinement layer over the
-    maintained per-view graph, recomputed from it at read/build time,
-    not a maintainer state change.
+    (tools/ann_tier_recall.py, SPARK_GRAFT_ANN_MERGE=1). Session-cached
+    (the bench builds each query 3x; one materialization per session —
+    also why no caller-managed localCheckpoint exists anymore). The
+    streaming maintainer keeps this layer INCREMENTALLY too (r12):
+    ``IncrementalServeGraph(..., merged=True)`` recomputes exactly the
+    affected sources per batch through the same
+    :func:`merged_directed_from` builder — one source of truth, no
+    drift (equivalence declared via ``stream_serve_graph_merged``).
     """
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    def build() -> DataFrame:
+        edges = serve_edges(spark, sf_dir, serve_k)  # undirected (src, dst)
+        store = knn_assigned_cached(spark, sf_dir)
+        directed = merged_directed_from(
+            edges,
+            store.select("vec_id", "e", "nrm"),
+            serve_k=serve_k,
+            sample_s=sample_s,
+        )
+        return directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    tag = (
+        "merged_serve_edges"
+        if (serve_k, sample_s) == (SERVE_K, MERGE_SAMPLE_S)
+        else f"merged_serve_edges_k{serve_k}_s{sample_s}"
+    )
+    return _session_cached(spark, tag, sf_dir, build, eager=True)
+
+
+def merged_directed_from(
+    und_edges: DataFrame,
+    vectors: DataFrame,
+    serve_k: int = SERVE_K,
+    sample_s: int = MERGE_SAMPLE_S,
+    srcs: "DataFrame | None" = None,
+) -> DataFrame:
+    """DIRECTED per-source merged top-``serve_k`` — the single-source
+    NN-descent-merge builder behind :func:`merged_serve_edges` (batch)
+    and the streaming maintainer's per-batch recompute (which passes
+    ``srcs`` = the affected sources). ``und_edges`` (src, dst) must
+    contain EVERY undirected edge of each source in ``srcs`` and of
+    each of their sampled mids (extra edges of other nodes are
+    harmless); ``vectors`` (vec_id, e, nrm) must cover every id that
+    appears. With ``srcs=None`` computes all sources."""
     from deisa_ray_spark.functions.dedup import dot_agg
 
-    edges = serve_edges(spark, sf_dir, serve_k)  # undirected (src, dst)
-    store = knn_assigned_cached(spark, sf_dir)
+    base = und_edges if srcs is None else und_edges.join(srcs, "src", "semi")
     # deterministic S-sample of each node's out-edges (md5 order — no
     # cosine needed for candidate GENERATION, only for the final rank)
     ws = W.partitionBy("src").orderBy(
         F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), F.col("dst")
     )
     hop1 = (
-        edges.withColumn("rn", F.row_number().over(ws))
+        base.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= sample_s)
         .select("src", F.col("dst").alias("mid"))
     )
     hop2 = (
         hop1.join(
-            edges.select(F.col("src").alias("mid"), F.col("dst").alias("cand")),
+            und_edges.select(F.col("src").alias("mid"), F.col("dst").alias("cand")),
             "mid",
         )
         .select("src", "cand")
         .filter(F.col("src") != F.col("cand"))
     )
     cands = hop2.unionByName(
-        edges.select("src", F.col("dst").alias("cand"))
+        base.select("src", F.col("dst").alias("cand"))
     ).distinct()
-    va = store.select(
+    va = vectors.select(
         F.col("vec_id").alias("src"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    vb = store.select(
+    vb = vectors.select(
         F.col("vec_id").alias("cand"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
     scored = cands.join(va, "src").join(vb, "cand").select(
@@ -2303,14 +2345,11 @@ def merged_serve_edges(
         ).alias("cosine"),
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("cand"))
-    directed = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= serve_k)
         .select("src", F.col("cand").alias("dst"))
     )
-    return directed.unionByName(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
 
 
 @query("sim_graph_beam_topk", oracle=_beam_oracle_sql())

@@ -24,7 +24,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deisa_ray_spark.functions.similarity import _serve_edges_ctes, _upper_ctes
+from deisa_ray_spark.functions.similarity import (
+    _merged_edges_ctes,
+    _serve_edges_ctes,
+    _upper_ctes,
+)
 from deisa_ray_spark.operators.stream_cc_query import stage_ordered_shards
 from deisa_ray_spark.registry import query
 
@@ -190,5 +194,80 @@ def stream_serve_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         proc = IncrementalServeGraph(spark, f"{work}/state")
         proc.run_available(f"{work}/src", f"{work}/ckpt")
         return _fingerprint(proc)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# stream_serve_graph_merged — the MAINTAINED cross-view NN-descent
+# merged layer (r12): IncrementalServeGraph(merged=True) recomputes the
+# merged top-k per batch for exactly the affected sources (members of
+# touched groups ∪ nodes with an edge into them — servegraph module
+# docstring) through the same merged_directed_from builder the batch
+# artifact uses, so the maintained state must equal merged_serve_edges
+# rebuilt over the vectors seen so far — exactly, for any append-only
+# batching. The oracle is the batch m_edges CTE chain (the twin
+# sim_graph_beam_topk_merged is checked against) with the fingerprint
+# rollup on top. The source is the deterministic half-slice
+# (vec_id % 2 = 0) so the declared query's two full-touch toy batches
+# stay mirror-affordable; the equivalence is scale-free (the upsert and
+# locality tests exercise the same contract at other shapes).
+# --------------------------------------------------------------------------
+_MERGED_SRC = """
+    emb_half AS MATERIALIZED (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
+    )"""
+
+_MERGED_ORACLE = f"""
+    WITH {_MERGED_SRC},
+    {_serve_edges_ctes(src="emb_half")},
+    {_merged_edges_ctes()}
+    SELECT 'merged' AS layer, src % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+           CAST(sum({_EDGE_HASH}) AS BIGINT) AS checksum
+    FROM m_edges GROUP BY layer, src % 8
+    """
+
+
+@query("stream_serve_graph_merged", oracle=_MERGED_ORACLE)
+def stream_serve_graph_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the half-slice as ordered shards, maintain base + merged
+    layers incrementally, fingerprint the maintained MERGED edge state."""
+    from deisa_ray_spark.sources.registry import load_table
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    work = tempfile.mkdtemp(prefix="stream_servegraph_m_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 0
+        )
+        stage_ordered_shards(emb, f"{work}/src", N_SHARDS, order_col="vec_id")
+        proc = IncrementalServeGraph(spark, f"{work}/state", merged=True)
+        proc.run_available(f"{work}/src", f"{work}/ckpt")
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        out = (
+            proc.merged_edges()
+            .groupBy(F.lit("merged").alias("layer"), (F.col("src") % 8).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+                F.countDistinct("src").cast("bigint").alias("n_src"),
+                F.sum(h).cast("bigint").alias("checksum"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

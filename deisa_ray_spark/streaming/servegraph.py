@@ -159,11 +159,32 @@ _MIRROR_VIEWS = tuple(range(GEO_VIEWS + 1))
 
 
 class IncrementalServeGraph:
-    """foreachBatch processor maintaining the serving edge state."""
+    """foreachBatch processor maintaining the serving edge state.
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    ``merged=True`` additionally maintains the CROSS-VIEW NN-descent
+    merged layer (functions.similarity.merged_serve_edges — the
+    recall-carrying tier at large corpora) incrementally: the merged
+    top-k of a source is a pure function of (its own union-graph
+    neighborhood, its sampled mids' neighborhoods), so the batch
+    recomputes it ONLY for the affected sources — members of the
+    touched groups plus every node with an edge into them (lost AND
+    gained neighbors both land in that set: per-view edges are
+    group-closed, so any edge that changed has both endpoints in a
+    touched group) — through the same ``merged_directed_from`` builder
+    the batch artifact uses. State: ``merged/bkt=crc32(src)%LIVE_BUCKETS``
+    directed rows, merged with the live-table discipline (remove the
+    affected sources, add their recomputed rows, dynamically overwrite
+    only the buckets holding them). Must be enabled from the FIRST
+    batch (or it full-builds once on first sight of existing state).
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, merged: bool = False):
         self.spark = spark
         self.state_dir = state_dir
+        self.merged = merged
+        #: telemetry for the locality tests: buckets rewritten by the
+        #: last merged maintenance step (None until one ran)
+        self.last_merged_buckets: "list | None" = None
 
     # -- state layout -----------------------------------------------------
     def _edges_dir(self) -> str:
@@ -177,6 +198,9 @@ class IncrementalServeGraph:
 
     def _census_dir(self, batch_id: int) -> str:
         return os.path.join(self.state_dir, "census", f"b{batch_id}")
+
+    def _merged_dir(self) -> str:
+        return os.path.join(self.state_dir, "merged")
 
     def _migrate_legacy(self) -> None:
         """Upgrade an r10-era ``edges/v{batch}`` full-snapshot state dir
@@ -298,11 +322,11 @@ class IncrementalServeGraph:
             .filter(F.col("bkt").isin(bkts))
         )
 
-    def _read_member_groups(self, census: list) -> DataFrame:
-        """Stored mirror rows for the touched ``(view, grp)`` pairs —
-        partition-pruned on both keys."""
-        if not census or not glob.glob(os.path.join(self._members_dir(), "view=*")):
-            return self.spark.createDataFrame([], _MEMBERS_READ_SCHEMA)
+    def _read_groups(self, base_dir: str, schema: str, census: list) -> DataFrame:
+        """Stored rows of a ``view=/grp=`` table for the given
+        ``(view, grp)`` pairs — partition-pruned on both keys."""
+        if not census or not glob.glob(os.path.join(base_dir, "view=*")):
+            return self.spark.createDataFrame([], schema)
         pred = None
         by_view: dict = {}
         for view, grp in census:
@@ -310,11 +334,27 @@ class IncrementalServeGraph:
         for view, grps in by_view.items():
             p = (F.col("view") == view) & F.col("grp").isin(grps)
             pred = p if pred is None else (pred | p)
-        return (
-            self.spark.read.schema(_MEMBERS_READ_SCHEMA)
-            .parquet(self._members_dir())
-            .filter(pred)
-        )
+        return self.spark.read.schema(schema).parquet(base_dir).filter(pred)
+
+    def _read_member_groups(self, census: list) -> DataFrame:
+        return self._read_groups(self._members_dir(), _MEMBERS_READ_SCHEMA, census)
+
+    def _keys_of(self, vec_frame: DataFrame) -> list:
+        """Bounded collect: the distinct mirror-view ``(view, grp)``
+        pairs of a vector frame — ≤ label-cardinality + GEO_VIEWS ×
+        2^GEO_BITS pairs regardless of row count (the same metadata-
+        scale argument as the batch census)."""
+        frames = []
+        for view, key_fn, _sample in _views():
+            if view not in _MIRROR_VIEWS:
+                continue
+            frames.append(
+                vec_frame.select(F.lit(view).alias("view"), key_fn().alias("grp"))
+            )
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return sorted((r["view"], r["grp"]) for r in u.distinct().collect())
 
     def _partition_dirs(self, base_dir: str, view: int) -> dict:
         """grp value -> on-disk partition dir for one view (grp values
@@ -528,6 +568,8 @@ class IncrementalServeGraph:
                     if v == view and (v, g) not in present and g in dirs:
                         shutil.rmtree(dirs[g], ignore_errors=True)
             free_local_checkpoint(fresh)
+        if self.merged:
+            self._maintain_merged(census, fresh_members, old_versions, bvecs)
         # batch fully applied — the write-ahead census has served its
         # purpose (a post-delete redelivery recomputes against the
         # already-converged state; see module docstring)
@@ -535,6 +577,181 @@ class IncrementalServeGraph:
         free_local_checkpoint(fresh_members)
         free_local_checkpoint(old_versions)
         free_local_checkpoint(stored)
+
+    # -- merged cross-view layer (opt-in) -----------------------------------
+    def _maintain_merged(
+        self,
+        census: list,
+        fresh_members: DataFrame,
+        old_versions: DataFrame,
+        bvecs: DataFrame,
+    ) -> None:
+        """Recompute the merged top-k for exactly the AFFECTED sources
+        (class docstring) and merge them into ``merged/bkt=*``. Reads
+        are partition-pruned throughout: the key censuses are bounded
+        by the total group-key space (labels + GEO_VIEWS·2^GEO_BITS),
+        the edge/member reads touch only those keys' partitions, and
+        the state merge touches only the affected sources' buckets."""
+        from deisa_ray_spark.functions.dedup import free_local_checkpoint, norm_agg
+        from deisa_ray_spark.functions.similarity import (
+            MERGE_SAMPLE_S,
+            merged_directed_from,
+        )
+
+        def sym(e: DataFrame) -> DataFrame:
+            e = e.select("src", "dst")
+            return e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+
+        merged_dir = self._merged_dir()
+        full = not glob.glob(os.path.join(merged_dir, "bkt=*"))
+        freeable = []
+        if full:
+            # first build (or enabled over pre-existing state): every
+            # live source — the one corpus-sized pass, never repeated
+            vecs = (
+                self.spark.read.schema(_MEMBERS_READ_SCHEMA)
+                .parquet(self._members_dir())
+                .filter(F.col("view") == 0)
+                .select("vec_id", "label", "e")
+            )
+            und = sym(
+                self.spark.read.schema(_EDGES_READ_SCHEMA)
+                .parquet(self._edges_dir())
+                .filter(F.col("view") != UPPER_VIEW)
+            )
+            affected = None
+        else:
+            av = (
+                fresh_members.select("vec_id", "label", "e")
+                .unionByName(old_versions)
+                .unionByName(bvecs)
+            )
+            # K1: every group an A-version belongs to (old + new keys)
+            k1 = self._keys_of(av)
+            e1 = self._read_groups(self._edges_dir(), _EDGES_READ_SCHEMA, k1)
+            a_ids = av.select("vec_id").distinct()
+            # B: nodes with an edge into A — any changed edge has both
+            # endpoints in a touched group (group-closed), so A ∪ B
+            # covers every source whose neighborhood, sample, or
+            # candidate vectors changed
+            b_ids = (
+                sym(e1)
+                .join(a_ids.withColumnRenamed("vec_id", "src"), "src", "semi")
+                .select(F.col("dst").alias("vec_id"))
+            )
+            affected = (
+                a_ids.unionByName(b_ids).distinct().localCheckpoint(eager=True)
+            )
+            freeable.append(affected)
+            m1 = (
+                self._read_member_groups(k1)
+                .select("vec_id", "label", "e")
+                .dropDuplicates(["vec_id"])
+            )
+            aff_vec = m1.join(affected, "vec_id", "semi").localCheckpoint(eager=True)
+            freeable.append(aff_vec)
+            # K2: the affected sources' groups — their complete edge sets
+            k2 = self._keys_of(aff_vec)
+            e2 = self._read_groups(self._edges_dir(), _EDGES_READ_SCHEMA, k2)
+            nbrs_aff = sym(e2).join(
+                affected.withColumnRenamed("vec_id", "src"), "src", "semi"
+            )
+            # K3: the sampled mids' groups — their complete edge sets
+            # (same md5-order sample merged_directed_from takes; the
+            # edge sets per affected src are identical, so the samples
+            # coincide)
+            ws = W.partitionBy("src").orderBy(
+                F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), F.col("dst")
+            )
+            mids = (
+                nbrs_aff.withColumn("rn", F.row_number().over(ws))
+                .filter(F.col("rn") <= MERGE_SAMPLE_S)
+                .select(F.col("dst").alias("vec_id"))
+                .distinct()
+            )
+            m2 = (
+                self._read_member_groups(k2)
+                .select("vec_id", "label", "e")
+                .dropDuplicates(["vec_id"])
+            )
+            mid_vec = m2.join(mids, "vec_id", "semi").localCheckpoint(eager=True)
+            freeable.append(mid_vec)
+            kk = sorted(set(k2) | set(self._keys_of(mid_vec)))
+            und = sym(self._read_groups(self._edges_dir(), _EDGES_READ_SCHEMA, kk))
+            vecs = (
+                self._read_member_groups(kk)
+                .select("vec_id", "label", "e")
+                .dropDuplicates(["vec_id"])
+            )
+        directed = merged_directed_from(
+            und,
+            vecs.withColumn("nrm", norm_agg(F.col("e"))).select("vec_id", "e", "nrm"),
+            serve_k=SERVE_K,
+            srcs=None if affected is None else affected.withColumnRenamed(
+                "vec_id", "src"
+            ),
+        )
+        if affected is None:
+            directed = directed.withColumn("bkt", _bkt(F.col("src")))
+            (
+                directed.repartition("bkt")
+                .write.mode("overwrite")
+                .partitionBy("bkt")
+                .parquet(merged_dir)
+            )
+            self.spark.catalog.refreshByPath(merged_dir)
+            self.last_merged_buckets = None  # full build — locality n/a
+        else:
+            # bounded collect: the affected sources' buckets
+            m_bkts = sorted(
+                r[0]
+                for r in affected.select(_bkt(F.col("vec_id")).alias("b"))
+                .distinct()
+                .collect()
+            )
+            stored_m = (
+                self.spark.read.schema("src bigint, dst bigint, bkt int")
+                .parquet(merged_dir)
+                .filter(F.col("bkt").isin(m_bkts))
+                .select("src", "dst")
+            )
+            fresh = (
+                stored_m.join(
+                    affected.withColumnRenamed("vec_id", "src"), "src", "anti"
+                )
+                .unionByName(directed)
+                .withColumn("bkt", _bkt(F.col("src")))
+                .localCheckpoint(eager=True)
+            )
+            freeable.append(fresh)
+            self._overwrite_partitions(fresh, merged_dir, ("bkt",))
+            present = {r[0] for r in fresh.select("bkt").distinct().collect()}
+            for b in m_bkts:
+                if b not in present:
+                    # bucket held ONLY affected sources that all came
+                    # back edgeless — dynamic overwrite never saw it
+                    shutil.rmtree(
+                        os.path.join(merged_dir, f"bkt={b}"), ignore_errors=True
+                    )
+            self.last_merged_buckets = m_bkts
+        for df in freeable:
+            free_local_checkpoint(df)
+
+    def merged_edges(self) -> DataFrame:
+        """Undirected merged cross-view edges — equals
+        ``merged_serve_edges()`` rebuilt over the live vector set."""
+        if not glob.glob(os.path.join(self._merged_dir(), "bkt=*")):
+            return self.spark.createDataFrame([], "src bigint, dst bigint")
+        d = (
+            self.spark.read.schema("src bigint, dst bigint, bkt int")
+            .parquet(self._merged_dir())
+            .select("src", "dst")
+        )
+        return d.unionByName(
+            d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
 
     # -- drivers -------------------------------------------------------------
     def run_available(self, src_dir: str, ckpt_dir: str) -> None:

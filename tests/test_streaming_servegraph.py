@@ -388,3 +388,115 @@ def test_vector_state_io_is_bucket_local(spark, tmp_path):
             assert mem_after.get(k) != mem_before[k], f"touched {k} not rewritten"
     # the write-ahead census is cleaned up after a committed batch
     assert _glob.glob(f"{state}/census/*") == []
+
+
+def test_merged_maintained_equals_rebuild_with_upsert(spark, tmp_path):
+    """merged=True: after a base batch and an UPSERT batch (changed
+    label + negated embedding), the maintained merged layer must equal
+    merged_serve_edges rebuilt over the keep-latest vector set — the
+    affected-sources recompute is exact, not approximate."""
+    from deisa_ray_spark.functions.dedup import norm_agg
+    from deisa_ray_spark.functions.similarity import (
+        merged_directed_from,
+        serve_edges_from,
+    )
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.limit(200).cache()
+    updated = (
+        base.filter(F.col("vec_id") < 5)
+        .withColumn("label", F.col("label") + 1)
+        .withColumn("embedding", F.transform(F.col("embedding"), lambda x: -x))
+    )
+    proc = IncrementalServeGraph(spark, str(tmp_path / "state"), merged=True)
+    proc.process_batch(base, 0)
+    proc.process_batch(updated, 1)
+    live = (
+        base.filter(F.col("vec_id") >= 5)
+        .unionByName(updated)
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    d = merged_directed_from(
+        serve_edges_from(live),
+        live.select("vec_id", "e").withColumn("nrm", norm_agg(F.col("e"))),
+    )
+    expected = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    assert _edge_set(proc.merged_edges()) == _edge_set(expected)
+
+
+def _clustered_vectors(spark, n_clusters=32, per_cluster=10, dim=64):
+    """Deterministic well-separated clusters: the first 18 dims are a
+    per-cluster ±1 sign pattern (so all three geo views and the label
+    view see cluster-determined groups), the rest tiny per-vector
+    jitter — a corpus where a one-vector batch touches FEW groups, so
+    the merged-maintenance locality claim is observable."""
+    rows = []
+    for c in range(n_clusters):
+        h = (c * 2654435761) & 0xFFFFFFFF
+        for i in range(per_cluster):
+            vid = c * per_cluster + i
+            e = []
+            for d in range(dim):
+                if d < 18:
+                    e.append(1.0 if (h >> d) & 1 else -1.0)
+                else:
+                    e.append(((vid * 31 + d) % 7 - 3) * 0.01 + 0.05)
+            rows.append((vid, e, c))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_merged_maintenance_is_bucket_local(spark, tmp_path):
+    """On a clustered corpus, a one-vector batch's merged recompute is
+    confined to the affected sources' buckets: every merged/bkt=*
+    partition outside the maintainer's recorded touched set keeps its
+    exact files, and the touched set is a strict minority of the
+    buckets — per-batch merged-state I/O is O(affected), not O(corpus).
+    Correctness of the same batch is covered by the equivalence test
+    above and the declared stream_serve_graph_merged oracle."""
+    import glob as _glob
+    import os
+
+    from deisa_ray_spark.streaming.servegraph import IncrementalServeGraph
+
+    import pyspark.sql.functions as F
+
+    def merged_inodes(state):
+        out = {}
+        for d in _glob.glob(f"{state}/merged/bkt=*"):
+            out[int(os.path.basename(d)[4:])] = frozenset(
+                os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    vecs = _clustered_vectors(spark).cache()
+    state = str(tmp_path / "state")
+    proc = IncrementalServeGraph(spark, state, merged=True)
+    proc.process_batch(vecs, 0)
+    before = merged_inodes(state)
+    assert len(before) > 10
+
+    newvec = vecs.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(9_000_000).cast("bigint")
+    )
+    proc.process_batch(newvec, 1)
+    after = merged_inodes(state)
+    touched = set(proc.last_merged_buckets or [])
+    assert touched, "incremental path should record its buckets"
+    assert len(touched) < len(before) // 2, (
+        f"one-vector batch touched {len(touched)} of {len(before)} merged "
+        "buckets — recompute set is not local"
+    )
+    for bkt, inodes in before.items():
+        if bkt not in touched:
+            assert after[bkt] == inodes, f"merged bucket {bkt} rewritten needlessly"
