@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     # snapshot mixture-drift card (one-scan stack + keyed partial agg).
     "sim_graph_beam_topk_scaled",
     "sim_graph_beam_topk_merged",
+    "sim_graph_beam_topk_xl",
     "sim_tier_table",
     "report_snapshot_drift",
     "samp_mixture_rebalance",
@@ -239,6 +240,20 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Self-archive the FULL panel next to this script: the driver's
+    # BENCH_r{N}.json capture truncates to a 2000-char tail (r10 and
+    # r11 each lost ~22 queries' timings), so per-query history lives
+    # here and is committed as BENCH_FULL_r{N}.json at round close.
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+        print(f"# full panel archived at {path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout must not fail the bench
+        print(f"# archive skipped: {exc}", file=sys.stderr)
     spark.stop()
 
 

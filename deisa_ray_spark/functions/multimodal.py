@@ -112,23 +112,34 @@ def decode_image_real(payload: bytes, fmt: str = "PNG") -> np.ndarray:
     """REAL image decode. PIL when installed (every format); otherwise
     PNG decodes through the pure-Python spec codec
     (``formats/pngmini.py`` — stdlib zlib, chunk CRCs verified, all five
-    scanline filters). Non-PNG formats without PIL stay gated: JPEG
-    needs a DCT/huffman stack this container does not ship."""
+    scanline filters) and baseline grayscale JPEG through
+    ``formats/jpegmini.py`` (r12 — T.81 marker parse, canonical Huffman,
+    byte unstuffing, DC prediction, zigzag/dequant, exact float IDCT).
+    Color / subsampled / progressive JPEG and other formats stay gated:
+    stated, not silent."""
+    # the try covers ONLY the import: an ImportError raised inside
+    # PIL's lazy per-format plugin loading during the decode itself
+    # must surface, not masquerade as "PIL not installed"
     try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:  # pragma: no cover — PIL absent in this env
         import io
 
-        from PIL import Image
-
-        return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
-    except ImportError:
-        pass
+        return np.asarray(Image.open(io.BytesIO(payload)))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from deisa_ray_spark.formats.pngmini import decode_png
 
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from deisa_ray_spark.formats.jpegmini import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
     raise NotImplementedError(
-        f"real {fmt} decode requires PIL (not installed); only PNG has "
-        "a pure-Python decode path (formats/pngmini.py)"
+        f"real {fmt} decode requires PIL (not installed); only PNG and "
+        "baseline grayscale JPEG have pure-Python decode paths "
+        "(formats/pngmini.py, formats/jpegmini.py)"
     )
 
 
@@ -410,12 +421,18 @@ def mm_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pack into parquet-of-binary (make_media_df's shape) and read that —
 # this query pins the raw-file entry path.
 # --------------------------------------------------------------------------
+#: the dir the declared oracle's read_blob is pinned to — the ONE
+#: definition; mirrors retarget oracles by substituting THIS constant
+#: (tools/sf1_mirror.py) instead of guessing the literal.
+BLOB_ORACLE_DIR = "/root/testdata/sf0.01"
+
+
 @query(
     "mm_binary_ingest",
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(filename, '[^/]+$') AS file_name,
            size AS n_bytes
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('{BLOB_ORACLE_DIR}/*.parquet')
     """,
 )
 def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +974,122 @@ def mm_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id bigint, filter_type int, width int, height int, "
         "n_pixels bigint, mean_px double, min_px double, max_px double, "
         "std_px double",
+    )
+    return raw.withColumn("mean_px", F.round("mean_px", 6)).withColumn(
+        "std_px", F.round("std_px", 6)
+    )
+
+
+# --------------------------------------------------------------------------
+# mm_image_jpeg_decode — REAL baseline-JPEG decode as a declared,
+# oracle-checked query (r12, closing the multimodal family's last
+# format gate): payloads are genuine JPEG byte streams (SOI/DQT/SOF0/
+# DHT/SOS/EOI, entropy-coded with the spec's Annex-K Huffman tables and
+# byte stuffing, built by formats/jpegmini.encode_jpeg_gray), and the
+# feature stage decodes them through decode_image_real (the
+# PIL-or-jpegmini gate). JPEG is lossy, so a closed-form oracle needs
+# the DECODED values, not the inputs: the fixture quantizes with a
+# table of ones and derives each image's DCT coefficient block from a
+# formula, making the decoded pixels exactly
+# ``clamp(floor(IDCT(c) + 128.5), 0, 255)`` — an expression DuckDB can
+# evaluate per pixel (the IDCT double sum over ``range(8) u, range(8)
+# v`` with the same half-away rounding the decoder uses). Every stage
+# of the real decode path runs inside the declared query: Huffman +
+# unstuffing, DC prediction across blocks is exercised by the
+# mm_jpeg fixture tests; here each image is one 8x8 block so the SQL
+# stays one join deep.
+# --------------------------------------------------------------------------
+N_JPEG = 16
+#: coefficient formula shared by the fixture and the oracle
+_JPEG_COEF = "(((m.m * 7 + u.u * 3 + v.v * 5) % 13) - 6)"
+
+
+@query(
+    "mm_image_jpeg_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT m.m AS media_id, x.x AS x, y.y AS y,
+             GREATEST(0, LEAST(255, FLOOR(SUM(
+               (CASE WHEN u.u = 0 THEN 1.0 / sqrt(2.0) ELSE 1.0 END)
+               * (CASE WHEN v.v = 0 THEN 1.0 / sqrt(2.0) ELSE 1.0 END)
+               * {_JPEG_COEF}
+               * cos((2 * x.x + 1) * u.u * pi() / 16)
+               * cos((2 * y.y + 1) * v.v * pi() / 16)
+             ) / 4.0 + 128.5))) AS p
+      FROM range(0, {N_JPEG}) m(m), range(0, 8) x(x), range(0, 8) y(y),
+           range(0, 8) u(u), range(0, 8) v(v)
+      GROUP BY m.m, x.x, y.y
+    )
+    SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           round(avg(p), 6) AS mean_px,
+           CAST(min(p) AS DOUBLE) AS min_px,
+           CAST(max(p) AS DOUBLE) AS max_px,
+           round(stddev_pop(p), 6) AS std_px
+    FROM px GROUP BY media_id
+    """,
+)
+def mm_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → ship as binary → REAL baseline-JPEG decode → stats."""
+    from deisa_ray_spark.formats.jpegmini import encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["id"]:
+                m = int(m)
+                co = np.array(
+                    [
+                        [((m * 7 + u * 3 + v * 5) % 13) - 6 for v in range(8)]
+                        for u in range(8)
+                    ],
+                    dtype=np.int32,
+                )[None, :, :]
+                rows.append(
+                    {
+                        "media_id": m,
+                        "payload": encode_jpeg_gray(co, width=8, height=8),
+                        "meta": {"width": 8, "height": 8, "channels": 1,
+                                 "n_frames": None, "sample_rate": None},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = spark.range(0, N_JPEG, numPartitions=2).mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+                T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, False),
+            ]
+        ),
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image_real(bytes(r.payload), fmt="JPEG")
+                assert img.shape == (r.meta["height"], r.meta["width"])
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "n_pixels": img.size,
+                        "mean_px": float(img.mean()),
+                        "min_px": float(img.min()),
+                        "max_px": float(img.max()),
+                        "std_px": float(img.std()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    raw = media.mapInPandas(
+        feats,
+        schema="media_id bigint, width int, height int, n_pixels bigint, "
+        "mean_px double, min_px double, max_px double, std_px double",
     )
     return raw.withColumn("mean_px", F.round("mean_px", 6)).withColumn(
         "std_px", F.round("std_px", 6)

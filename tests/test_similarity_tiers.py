@@ -7,25 +7,34 @@ from __future__ import annotations
 from deisa_ray_spark.functions.similarity import (
     BEAM_B,
     BEAM_R,
+    CLONE_VIEWS,
     SCALED_BEAM_B,
     SCALED_SERVE_K,
     SERVE_K,
     SIM_TIER_TABLE,
+    XL_BEAM_B,
+    XL_SERVE_K,
     select_tier,
 )
 
 
 def test_tier_table_matches_declared_constants():
     rows = {r[0]: r for r in SIM_TIER_TABLE}
-    assert rows["default"][2:6] == (SERVE_K, BEAM_B, BEAM_R, 0)
-    assert rows["scaled+merge"][2:6] == (
-        SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R, 1,
+    assert rows["default"][2:7] == (SERVE_K, BEAM_B, BEAM_R, 0, 0)
+    assert rows["scaled+merge"][2:7] == (
+        SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R, 1, 0,
     )
-    assert rows["xl+merge"][5] == 1
+    assert rows["xl+clones+merge"][2:7] == (
+        XL_SERVE_K, XL_BEAM_B, BEAM_R, 1, CLONE_VIEWS,
+    )
     # bands are strictly increasing; every row carries a measured recall
     bands = [r[1] for r in SIM_TIER_TABLE]
     assert bands == sorted(bands) and len(set(bands)) == len(bands)
-    assert all(0.0 < r[6] <= 1.0 and r[7] > 0 for r in SIM_TIER_TABLE)
+    assert all(0.0 < r[7] <= 1.0 and r[8] > 0 for r in SIM_TIER_TABLE)
+    # the band edge never exceeds ~1.5x the measured point (the VERDICT
+    # r11 rule: edges are measured, or near-measured with the growth
+    # data beside them — never a 3x extrapolation)
+    assert all(r[1] <= 1.6 * r[8] for r in SIM_TIER_TABLE)
 
 
 def test_select_tier_bands():
@@ -33,9 +42,9 @@ def test_select_tier_bands():
     assert select_tier(4_000)[0] == "default"
     assert select_tier(4_001)[0] == "scaled+merge"
     assert select_tier(30_000)[0] == "scaled+merge"
-    assert select_tier(64_000)[0] == "xl+merge"
+    assert select_tier(64_000)[0] == "xl+clones+merge"
     # past the largest measured band: largest tier, caveat documented
-    assert select_tier(10_000_000)[0] == "xl+merge"
+    assert select_tier(10_000_000)[0] == "xl+clones+merge"
 
 
 def test_tier_query_matches_oracle_shape(spark):
@@ -45,8 +54,8 @@ def test_tier_query_matches_oracle_shape(spark):
     assert len(rows) == len(SIM_TIER_TABLE)
     assert rows[0].asDict() == {
         "tier": "default", "n_max": 4_000, "serve_k": SERVE_K,
-        "beam_b": BEAM_B, "beam_r": BEAM_R, "merge": 0,
-        "recall_at_10": 1.0, "measured_n": 2_000,
+        "beam_b": BEAM_B, "beam_r": BEAM_R, "merge": 0, "clone_views": 0,
+        "recall_at_10": 0.940, "measured_n": 4_000,
     }
 
 

@@ -117,14 +117,22 @@ def main() -> None:
             results[name] = rec
             print(f"{name}: SPARK ERROR {rec['detail']}", file=sys.stderr)
             continue
-        # path-pinned oracle (mm_binary_ingest's read_blob bakes the
-        # driver's sf0.01 dir into static SQL): retarget it at the
-        # mirror's SF dir so both engines list the same files
+        # path-pinned oracle (mm_binary_ingest's read_blob bakes a dir
+        # into static SQL): retarget it at the mirror's SF dir so both
+        # engines list the same files. The baked dir comes from the
+        # module's own constant (the one definition), and any pinned
+        # path that survives the substitution is a loud failure — a
+        # silent no-op would compare engines over different file sets.
+        from deisa_ray_spark.functions.multimodal import BLOB_ORACLE_DIR
+
         oracle = (
-            spec.oracle.replace("/root/testdata/sf0.01", SF1_DIR)
-            if spec.oracle
-            else None
+            spec.oracle.replace(BLOB_ORACLE_DIR, SF1_DIR) if spec.oracle else None
         )
+        if oracle and "read_blob" in oracle and SF1_DIR not in oracle:
+            raise RuntimeError(
+                f"{name}: path-pinned oracle not retargeted — baked dir "
+                f"does not match BLOB_ORACLE_DIR ({BLOB_ORACLE_DIR})"
+            )
         if oracle is None:
             rec["status"] = "rows_only"
             counts["rows_only"] += 1
