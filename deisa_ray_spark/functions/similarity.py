@@ -2573,9 +2573,16 @@ SIM_TIER_TABLE = [
     ("default", 4_000, SERVE_K, BEAM_B, BEAM_R, 0, 0, 0.940, 4_000),
     ("scaled+merge", 30_000, SCALED_SERVE_K, SCALED_BEAM_B, BEAM_R, 1, 0,
      1.000, 30_000),
-    ("xl+clones+merge", 100_000, XL_SERVE_K, XL_BEAM_B, BEAM_R, 1,
+    ("xl+clones+merge", 64_000, XL_SERVE_K, XL_BEAM_B, BEAM_R, 1,
      CLONE_VIEWS, 1.000, 64_000),
 ]
+# Band edges == measured points for ALL rows (the r11 rule, strict).
+# 64k is the largest point this sandbox sustains: the 100k/200k sweeps
+# died spilling the merge round's bounded-but-large n·S·deg candidate
+# shuffle (~45 GB at 100k) to the single local disk — a one-disk limit,
+# not a plan defect (the shuffle distributes on a cluster). Corpora past
+# 64k take the xl row as a recipe with that caveat; growing the band is
+# a measurement task (bigger scratch disk), not new engineering.
 
 
 def select_tier(n: int) -> tuple:

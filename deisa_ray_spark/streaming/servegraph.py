@@ -161,6 +161,14 @@ _MIRROR_VIEWS = tuple(range(GEO_VIEWS + 1))
 class IncrementalServeGraph:
     """foreachBatch processor maintaining the serving edge state.
 
+    The maintained view set is the DEFAULT tier's (block + GEO_VIEWS +
+    upper). Tier-specific augmentations (the xl tier's corpus-sized
+    clone views — functions.similarity.CLONE_VIEWS) are build-time
+    artifacts rebuilt with the tier; they are group-closed pure
+    functions of the vector, so extending the maintainer to them is the
+    same machinery with more ``_views()`` rows — deliberately not paid
+    per batch until a maintained xl deployment needs it.
+
     ``merged=True`` additionally maintains the CROSS-VIEW NN-descent
     merged layer (functions.similarity.merged_serve_edges — the
     recall-carrying tier at large corpora) incrementally: the merged

@@ -199,5 +199,13 @@ def test_decode_image_real_png_path():
     try:
         import PIL  # noqa: F401
     except ImportError:
-        with pytest.raises(NotImplementedError):
+        # JPEG now has a pure-Python path (formats/jpegmini, r12): a
+        # malformed FFD8 payload raises the codec's OWN format error,
+        # not the not-implemented gate...
+        from deisa_ray_spark.formats.jpegmini import JpegFormatError
+
+        with pytest.raises(JpegFormatError):
             decode_image_real(b"\xff\xd8\xff\xe0 not actually jpeg")
+        # ...which remains for formats with no pure-Python decoder
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"GIF89a not decodable here")

@@ -31,10 +31,9 @@ def test_tier_table_matches_declared_constants():
     bands = [r[1] for r in SIM_TIER_TABLE]
     assert bands == sorted(bands) and len(set(bands)) == len(bands)
     assert all(0.0 < r[7] <= 1.0 and r[8] > 0 for r in SIM_TIER_TABLE)
-    # the band edge never exceeds ~1.5x the measured point (the VERDICT
-    # r11 rule: edges are measured, or near-measured with the growth
-    # data beside them — never a 3x extrapolation)
-    assert all(r[1] <= 1.6 * r[8] for r in SIM_TIER_TABLE)
+    # band edge == measured point, strictly (the r11 rule): every row's
+    # recall is measured AT its own edge, never extrapolated past it
+    assert all(r[1] == r[8] for r in SIM_TIER_TABLE)
 
 
 def test_select_tier_bands():
