@@ -196,6 +196,11 @@ def encode_jpeg_gray(coeff_blocks: np.ndarray, width: int, height: int) -> bytes
         diff = zz[0] - pred
         pred = zz[0]
         s = _category(diff)
+        if s > 11 or any(_category(v) > 10 for v in zz[1:]):
+            raise JpegFormatError(
+                "coefficient out of the baseline tables' range "
+                "(DC diff category <= 11, AC category <= 10)"
+            )
         code, ln = dc_codes[s]
         w.write(code, ln)
         if s:

@@ -135,3 +135,28 @@ def test_decode_image_real_routes_jpeg():
     co = _blocks([{(0, 0): 80}])
     img = decode_image_real(encode_jpeg_gray(co, 8, 8), fmt="JPEG")
     assert (img == 138).all()
+
+
+def test_out_of_range_coefficients_raise_cleanly():
+    """DC diffs past category 11 / AC past category 10 are outside the
+    Annex-K tables — the encoder must say so, not KeyError."""
+    with pytest.raises(JpegFormatError):
+        encode_jpeg_gray(_blocks([{(0, 0): 2048}]), 8, 8)
+    with pytest.raises(JpegFormatError):
+        encode_jpeg_gray(_blocks([{(3, 3): 1024}]), 8, 8)
+
+
+def test_pil_crosscheck_if_available():
+    """When PIL exists (not in this container; auto-activates where it
+    does), our decoder must agree with it on our own fixture bytes."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    import io
+
+    co = _blocks([{(0, 0): 40, (1, 2): 7, (5, 5): -9}])
+    data = encode_jpeg_gray(co, 8, 8)
+    ours = decode_jpeg_gray(data)
+    theirs = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+    # PIL's IDCT is integer-approximated (libjpeg); allow 1-off pixels
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
