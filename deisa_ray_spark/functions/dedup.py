@@ -197,6 +197,27 @@ def _session_cached(
     return df
 
 
+def drain_session_cache() -> int:
+    """Unpersist and forget EVERY session-cached frame (all tags, all
+    sessions). Long-lived processes that sweep many queries — the full
+    pytest suite runs the 230-query oracle mirror first and then ~40
+    more Spark modules in the same 4 GB driver — must call this between
+    phases, or the mirror's persisted shingle/band/vocab/serve artifacts
+    stay resident for the rest of the process and eventually starve a
+    broadcast build (the r12 full-suite OOM). Returns the number of
+    entries dropped; tolerates frames whose SparkSession has stopped."""
+    n = 0
+    for k in list(_PERSIST_CACHE):
+        old = _PERSIST_CACHE.pop(k)
+        _EAGER_DONE.discard(k)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # stopped session
+        n += 1
+    return n
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle table, persisted: both dedup queries reference it from
     multiple join branches (signatures + verify sides), and without

