@@ -278,10 +278,16 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
+        if pos + 2 > len(data):
+            raise JpegFormatError("truncated marker")
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == 0xFFD9:  # EOI without scan
             break
+        if pos + 4 > len(data):
+            raise JpegFormatError("truncated marker header")
         ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise JpegFormatError("segment length overruns stream")
         seg = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
         if marker == 0xFFDB:
@@ -335,6 +341,13 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 return table[(ln, code)]
         raise JpegFormatError("invalid Huffman code")
 
+    # A stream can reach its SOS with the tables it references never
+    # declared — that is a FORMAT defect, not a KeyError (the clean
+    # format-error contract decode_image_real relies on).
+    if (0, comp_dc) not in huff or (1, comp_ac) not in huff:
+        raise JpegFormatError("missing Huffman table referenced by scan")
+    if comp_q not in qt:
+        raise JpegFormatError("missing quantization table referenced by frame")
     dc_tab = huff[(0, comp_dc)]
     ac_tab = huff[(1, comp_ac)]
     q = qt[comp_q]

@@ -568,6 +568,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         v = np.stack(pdf["e"].to_numpy()).astype(np.float64, copy=False)
         nrm = np.sqrt((v * v).sum(axis=1))
+        if not nrm.all():
+            # A zero-norm vector has no cosine: the numpy kernel would
+            # emit NaN rows that `>= threshold` silently DROPS while the
+            # HOF/DuckDB forms rank NaN greater-than-everything — a
+            # silent cross-engine divergence. Fail loudly instead
+            # (cosine dedup over zero vectors is a data bug upstream).
+            bad = ids[nrm == 0.0]
+            raise ValueError(
+                f"zero-norm embedding(s) in cosine block: vec_id {bad[:5].tolist()}"
+            )
         label = pdf["label"].iloc[0]
         out_a, out_b, out_c = [], [], []
         n = len(ids)
@@ -2440,8 +2450,22 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_bench = F.col("vec_id") % BENCH_MOD == 0
     bench_rows = emb.filter(is_bench).select("v").collect()
+    if not bench_rows:
+        # Empty bench slice (a corpus whose vec_ids contain no multiple
+        # of BENCH_MOD): the oracle's m CTE joins against an empty b, so
+        # its per-label aggregate has ZERO rows — degrade identically
+        # instead of letting np.stack([]) raise (r12 ADVICE).
+        return spark.createDataFrame(
+            [], "label int, n_removed bigint, n_kept bigint, top_bench_cosine double"
+        )
     b = np.stack([np.asarray(r["v"], dtype=np.float64) for r in bench_rows])
-    b_hat = b / np.sqrt((b * b).sum(axis=1))[:, None]
+    b_nrm = np.sqrt((b * b).sum(axis=1))
+    if not b_nrm.all():
+        # same loud-error contract as the block kernel: NaN cosines
+        # from a zero-norm bench vector would silently diverge from
+        # the oracle's NaN-is-greatest comparison semantics
+        raise ValueError("zero-norm embedding(s) in the bench slice")
+    b_hat = b / b_nrm[:, None]
     b_bc = spark.sparkContext.broadcast(b_hat)
     threshold = SEM_DECON_THRESHOLD
 
@@ -2451,7 +2475,10 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
-            v_hat = v / np.sqrt((v * v).sum(axis=1))[:, None]
+            v_nrm = np.sqrt((v * v).sum(axis=1))
+            if not v_nrm.all():
+                raise ValueError("zero-norm embedding(s) in the corpus slice")
+            v_hat = v / v_nrm[:, None]
             cos = _np_round_half_away(v_hat @ bh.T, 6)
             yield pd.DataFrame(
                 {

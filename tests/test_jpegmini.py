@@ -160,3 +160,40 @@ def test_pil_crosscheck_if_available():
     theirs = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
     # PIL's IDCT is integer-approximated (libjpeg); allow 1-off pixels
     assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+
+def _strip_segment(data: bytes, marker: bytes) -> bytes:
+    """Remove one whole marker segment (marker + length + payload)."""
+    import struct
+
+    i = data.index(marker)
+    ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    return data[:i] + data[i + 2 + ln :]
+
+
+def test_missing_dht_is_clean_format_error():
+    """A stream whose scan references never-declared Huffman tables must
+    raise JpegFormatError, not KeyError (r12 ADVICE: the clean
+    format-error contract decode_image_real relies on)."""
+    data = encode_jpeg_gray(_blocks([{(0, 0): 8}]), 8, 8)
+    with pytest.raises(JpegFormatError, match="Huffman"):
+        decode_jpeg_gray(_strip_segment(data, b"\xff\xc4"))
+
+
+def test_missing_dqt_is_clean_format_error():
+    data = encode_jpeg_gray(_blocks([{(0, 0): 8}]), 8, 8)
+    with pytest.raises(JpegFormatError, match="quantization"):
+        decode_jpeg_gray(_strip_segment(data, b"\xff\xdb"))
+
+
+def test_truncated_marker_header_is_clean_format_error():
+    """Cutting the stream mid marker-length must raise JpegFormatError,
+    not struct.error — including a length field that points past EOF."""
+    data = encode_jpeg_gray(_blocks([{(0, 0): 8}]), 8, 8)
+    i = data.index(b"\xff\xdb")
+    with pytest.raises(JpegFormatError):
+        decode_jpeg_gray(data[: i + 3])  # marker + half its length field
+    clipped = bytearray(data)
+    clipped[i + 2 : i + 4] = b"\xff\xff"  # length overruns the stream
+    with pytest.raises(JpegFormatError):
+        decode_jpeg_gray(bytes(clipped))

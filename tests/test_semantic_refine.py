@@ -173,3 +173,51 @@ def test_sem_bucket_truncates_not_pads_short_embeddings(spark):
     df = spark.createDataFrame([(0, [1.0, -1.0, 1.0])], "vec_id long, e array<double>")
     got = df.select(_sem_bucket(F.col("e"), 24).alias("b")).first().b
     assert got == "101"
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """Stage a minimal embeddings table under a tmp sf_dir (the loader
+    only needs vec_id/label/embedding)."""
+    import os
+
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return sf_dir
+
+
+def test_semantic_decontaminate_empty_bench_slice(spark, tmp_path):
+    """A corpus whose vec_ids contain no multiple of BENCH_MOD must
+    degrade to the oracle's empty per-label aggregate (its m CTE joins
+    an empty b), not crash in np.stack([]) (r12 ADVICE)."""
+    from deisa_ray_spark.functions.dedup import dedup_decontaminate_semantic
+
+    rows = [(i, 0, [1.0, 2.0, 3.0]) for i in (1, 2, 3, 5, 98)]
+    sf_dir = _write_embeddings(spark, tmp_path, rows)
+    out = dedup_decontaminate_semantic(spark, sf_dir)
+    assert out.columns == ["label", "n_removed", "n_kept", "top_bench_cosine"]
+    assert out.count() == 0
+
+
+def test_zero_norm_embedding_fails_loudly(spark, tmp_path):
+    """Zero-norm vectors have no cosine; the numpy kernels must raise a
+    loud ValueError instead of silently dropping NaN pairs that the
+    HOF/DuckDB forms would rank as greater-than-everything (r12
+    ADVICE)."""
+    import pytest
+
+    from deisa_ray_spark.functions.dedup import (
+        dedup_decontaminate_semantic,
+        dedup_embedding_cosine,
+    )
+
+    rows = [(0, 0, [0.0, 0.0, 0.0]), (1, 0, [1.0, 0.0, 0.0]), (2, 0, [1.0, 1.0, 0.0])]
+    sf_dir = _write_embeddings(spark, tmp_path, rows)
+    with pytest.raises(Exception, match="zero-norm"):
+        dedup_embedding_cosine(spark, sf_dir).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        dedup_decontaminate_semantic(spark, sf_dir).collect()
