@@ -56,6 +56,13 @@ EXTRA_QUERIES = [
     "stream_serve_graph_upsert",
     # round-11: UNK-free byte-fallback WordPiece on the same holdout
     "txt_wp_byte_fallback_holdout",
+    # round-13 (judge ask #3): the r12-touched/new queries that had no
+    # sf1 artifact entry — the two reworked cosine kernels, the merged
+    # maintainer equivalence oracle, and the baseline-JPEG decode
+    "dedup_embedding_cosine",
+    "dedup_decontaminate_semantic",
+    "stream_serve_graph_merged",
+    "mm_image_jpeg_decode",
 ]
 TABLES = (
     "region nation customer supplier part orders lineitem events "
