@@ -199,13 +199,15 @@ def _session_cached(
 
 def drain_session_cache() -> int:
     """Unpersist and forget EVERY session-cached frame (all tags, all
-    sessions). Long-lived processes that sweep many queries — the full
-    pytest suite runs the 230-query oracle mirror first and then ~40
-    more Spark modules in the same 4 GB driver — must call this between
-    phases, or the mirror's persisted shingle/band/vocab/serve artifacts
-    stay resident for the rest of the process and eventually starve a
-    broadcast build (the r12 full-suite OOM). Returns the number of
-    entries dropped; tolerates frames whose SparkSession has stopped."""
+    sessions) AND the session model caches (BPE/WordPiece/unigram/
+    quality/IVF — vocab-sized localCheckpointed frames whose blocks the
+    block manager pins until explicitly unpersisted). Long-lived
+    processes that sweep many queries — the full pytest suite runs the
+    230-query oracle mirror first and then ~40 more Spark modules in
+    the same 4 GB driver — must call this between phases, or the
+    accumulated artifacts starve a later hash build (the r12 full-suite
+    broadcast OOM; the residual r13 BytesToBytesMap failure). Returns
+    the number of entries dropped; tolerates stopped sessions."""
     n = 0
     for k in list(_PERSIST_CACHE):
         old = _PERSIST_CACHE.pop(k)
@@ -215,6 +217,32 @@ def drain_session_cache() -> int:
         except Exception:
             pass  # stopped session
         n += 1
+
+    def _free(obj) -> int:
+        if hasattr(obj, "unpersist"):
+            free_local_checkpoint(obj)  # checkpointed models: free blocks
+            try:
+                obj.unpersist()
+            except Exception:
+                pass
+            return 1
+        if isinstance(obj, tuple):
+            return sum(_free(x) for x in obj)
+        return 0
+
+    from deisa_ray_spark.functions import bpe, quality_model, unigram, wordpiece
+    from deisa_ray_spark.functions import similarity as _sim
+
+    for cache in (
+        bpe._BPE_CACHE,
+        wordpiece._WP_CACHE,
+        unigram._UNI_CACHE,
+        quality_model._QCM_CACHE,
+        _sim._IVF_CACHE,
+    ):
+        for k in list(cache):
+            n += _free(cache.pop(k))
+    _sim._QMAT_CACHE.clear()
     return n
 
 
