@@ -770,15 +770,19 @@ def mrl_prefix_table(
     real cluster) and scan THAT — a genuinely narrow scan, not a slice
     over the wide column.
 
-    The cache key includes a fingerprint of the source parquet's file
-    sizes+mtimes: the testdata REGENERATES in place between rounds, and
+    Staging is PER-PROCESS (``paths.run_scratch_root``): every
+    invocation rebuilds the prefix table from the source parquet — the
+    point of the staged table is the narrow-scan PLAN SHAPE, not
+    amortizing the (one slice-projection write) build across runs. The
+    cache key still includes a fingerprint of the source parquet's file
+    sizes+mtimes: the testdata can regenerate in place MID-SESSION, and
     a path-only key would silently serve stale prefixes against fresh
     embeddings (wrong shortlists, no loud failure). The build reads the
     source with a FRESH scan (bypassing the registry's pinned-listing
-    table cache) so the bytes written always match the fingerprint even
-    if the data regenerated mid-session. Publication/eviction go
-    through the shared ``paths.publish_fingerprinted_dir`` protocol
-    (also the bench split-staging cache's)."""
+    table cache) so the bytes written always match the fingerprint.
+    Publication/eviction go through the shared
+    ``paths.publish_fingerprinted_dir`` protocol (also the bench
+    split-staging cache's)."""
     import hashlib
     import os
 
@@ -806,7 +810,7 @@ def mrl_prefix_table(
         with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
             f.write(fp_key)
 
-    root_dir = os.path.join(paths.scratch_root(scratch_root), "mrl_prefix")
+    root_dir = os.path.join(paths.run_scratch_root(scratch_root), "mrl_prefix")
     path = paths.publish_fingerprinted_dir(root_dir, src_key, fp_key, build)
     return spark.read.parquet(os.path.join(path, "data"))
 
@@ -1806,63 +1810,30 @@ def _clone_code_sql(view: int, bits: int = CLONE_BITS, col: str = "embedding") -
 
 
 # --------------------------------------------------------------------------
-# Staged serving-graph artifacts (r13). A graph-ANN SERVING layer must
-# not rebuild its index inside every query process: the kNN/merge
-# construction is an INDEX BUILD — paid once per (corpus, tier
-# constants) — while a query is entry scoring plus a bounded beam walk
-# over STORED edges. Every tier's edge set is therefore a build-once
-# disk artifact under the shared ``paths.publish_fingerprinted_dir``
-# protocol (the same discipline as the bench table splits and the MRL
-# prefix cache), keyed by the embeddings table's size+mtime fingerprint
-# plus every compile-time constant that shapes the edges. First touch
-# builds and publishes; every later session — a fresh bench process, a
-# serving job, the mrr eval — reads parquet. Fairness vs the oracles is
-# unchanged: the DuckDB twins still build from scratch each run, and
-# the artifact content is by construction the edge set a fresh build
-# over the fingerprinted corpus produces — which is exactly what the
-# per-round oracle hash-match verifies.
+# Serving-graph edge caching (r13). A graph-ANN SERVING layer must not
+# rebuild its index inside every query: the kNN/merge construction is
+# an INDEX BUILD — paid once per (corpus, tier constants) — while a
+# query is entry scoring plus a bounded beam walk over STORED edges.
+# Within one process every tier's edge set is therefore built ONCE and
+# held persisted (``_session_cached``), shared across the whole family
+# (base/scaled/merged/xl/mrr reuse each other's assignments and edges).
+# Deliberately NOT a cross-run disk artifact: a fingerprint-keyed cache
+# surviving the process would amortize work the bench is supposed to
+# measure (every bench/oracle invocation must compute from the parquet
+# inputs) and would poison cross-core-count comparisons. In production
+# the maintained state layout (streaming/servegraph.py) is the durable
+# store; these declared queries state the build+serve semantics
+# end-to-end, and their DuckDB twins build from scratch the same way.
 # --------------------------------------------------------------------------
 
 
 def _graph_artifact_cached(spark: SparkSession, tag: str, sf_dir: str, build) -> DataFrame:
-    """Session-cached edge frame backed by a fingerprinted on-disk
-    parquet artifact: read when published, build+publish otherwise.
-    ``tag`` must encode every tier constant the edges depend on (k,
-    sample width, clone views); the corpus version and the remaining
-    structural constants go into the artifact key here."""
-    import hashlib
-    import os
-
-    from deisa_ray_spark import paths
+    """Session-cached, eagerly-materialized edge frame. ``tag`` must
+    encode every tier constant the edges depend on (k, sample width,
+    clone views) so distinct tiers never collide."""
     from deisa_ray_spark.functions.dedup import _session_cached
 
-    def read_or_build() -> DataFrame:
-        src = os.path.join(str(sf_dir), "embeddings.parquet")
-        if not os.path.exists(src):
-            return build()  # synthetic/test frame without a table file
-        consts = (
-            f"{tag}|gv{GEO_VIEWS}x{GEO_BITS}|kcap{KNN_BLOCK_CAP}"
-            f"|cb{CLONE_BITS}|uh{UPPER_HEX}"
-        )
-        src_key = hashlib.md5(
-            f"{os.path.abspath(str(sf_dir))}|{consts}".encode()
-        ).hexdigest()[:12]
-        fp_key = paths.fingerprint_paths([("embeddings", src)])
-
-        def publish(tmp: str) -> None:
-            # small-file discipline: edge sets are O(n·k·views) rows —
-            # a handful of files is right at any declared tier band
-            build().coalesce(8).write.mode("overwrite").parquet(
-                os.path.join(tmp, "edges")
-            )
-            with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
-                f.write(fp_key)
-
-        root = os.path.join(paths.scratch_root(), "serve_graph")
-        out = paths.publish_fingerprinted_dir(root, src_key, fp_key, publish)
-        return spark.read.parquet(os.path.join(out, "edges"))
-
-    return _session_cached(spark, tag, sf_dir, read_or_build, eager=True)
+    return _session_cached(spark, tag, sf_dir, build, eager=True)
 
 
 def clone_edges(

@@ -359,12 +359,14 @@ def stage_split_tables(
 
     The split is a pyarrow row-slice rewrite — SCHEMA-PRESERVING, no
     engine decode/re-encode, so physical quirks the loader contract
-    pins (events' TIMESTAMP(NANOS)) survive. Staging is cached under
-    ``paths.scratch_root()/bench_split`` keyed by the table SUBSET +
-    a size+mtime fingerprint of the sources (testdata regenerates in
-    place between rounds); publication/eviction go through the shared
-    ``paths.publish_fingerprinted_dir`` protocol (also the MRL prefix
-    cache's)."""
+    pins (events' TIMESTAMP(NANOS)) survive. Staging is PER-PROCESS
+    (``paths.run_scratch_root()/bench_split``): every bench invocation
+    re-stages from the sources (a row-slice copy, untimed setup — no
+    computed bytes survive across runs), keyed by the table SUBSET + a
+    size+mtime fingerprint so two staging calls within one process
+    (bench + mirror harness) share one copy; publication/eviction go
+    through the shared ``paths.publish_fingerprinted_dir`` protocol
+    (also the MRL prefix cache's)."""
     import hashlib
     import shutil
 
@@ -408,5 +410,5 @@ def stage_split_tables(
         with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
             f.write(fp_key)
 
-    root_dir = os.path.join(paths.scratch_root(scratch_root), "bench_split")
+    root_dir = os.path.join(paths.run_scratch_root(scratch_root), "bench_split")
     return paths.publish_fingerprinted_dir(root_dir, src_key, fp_key, build)

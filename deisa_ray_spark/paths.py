@@ -14,8 +14,10 @@ Resolution order:
    dir would be owned by whoever ran first).
 
 Callers that stage derived data should take a ``scratch_root=None``
-parameter and resolve it through :func:`scratch_root`, keeping the
-policy in one place.
+parameter and resolve it through :func:`run_scratch_root` (per-process:
+staged artifacts never outlive the invocation that built them — see its
+docstring for why), keeping the policy in one place. :func:`scratch_root`
+alone resolves the shared base directory.
 """
 
 from __future__ import annotations
@@ -43,6 +45,50 @@ def scratch_root(explicit: str | None = None) -> str:
         or os.path.join(tempfile.gettempdir(), f"deisa_scratch_{_user_tag()}")
     )
     os.makedirs(root, exist_ok=True)
+    return root
+
+
+_RUN_TOKEN: str | None = None
+
+
+def run_scratch_root(explicit: str | None = None) -> str:
+    """Per-PROCESS staging root: ``<scratch_root>/run-<pid>-<token>``.
+
+    Every artifact the engine derives from the source tables (MRL
+    stored-prefix table, bench table splits) stages under THIS root, so
+    nothing computed from the inputs survives the process: each bench /
+    oracle invocation rebuilds its staged artifacts from the parquet
+    sources. A cross-run fingerprint-keyed cache would amortize work the
+    bench is supposed to measure, and would silently poison cross-core-
+    count comparisons (an artifact staged by a ``local[32]`` run served
+    to a ``local[8]`` run). Within the process the
+    :func:`publish_fingerprinted_dir` protocol still dedups concurrent
+    builders and in-place data regenerations.
+
+    The dir is removed at interpreter exit (best effort); a root
+    abandoned by a killed process is aged out (>6 h since its newest
+    mtime) by the next process that initializes its own."""
+    global _RUN_TOKEN
+    import shutil
+    import uuid
+
+    base = scratch_root(explicit)
+    first = _RUN_TOKEN is None
+    if first:
+        _RUN_TOKEN = uuid.uuid4().hex[:8]
+    if first:
+        now = time.time()
+        for d in os.listdir(base):
+            if d.startswith("run-") and not d.startswith(f"run-{os.getpid()}-"):
+                full = os.path.join(base, d)
+                if now - _tree_newest_mtime(full) > 6 * 3600:
+                    shutil.rmtree(full, ignore_errors=True)
+    root = os.path.join(base, f"run-{os.getpid()}-{_RUN_TOKEN}")
+    if not os.path.isdir(root):
+        import atexit
+
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
 
 

@@ -43,11 +43,42 @@ def _drain_session_cache_per_module():
     ~35 min in, JVM death, 14 collateral failures). Draining per module
     bounds residency to one module's working set; within-module reuse
     (where the cache pays) is untouched, and cross-module rebuilds at
-    sf0.001 cost seconds."""
+    sf0.001 cost seconds.
+
+    The Python-side cache drain alone proved insufficient (r13 run 2:
+    BytesToBytesMap execution-memory failure; run 3: JVM death again):
+    localCheckpoint blocks from eager fixed-point loops (beam hops,
+    PageRank, CC, NN-descent) and join broadcasts are only reclaimed by
+    the JVM ContextCleaner AFTER a full GC, and its periodic GC fires
+    every 30 min — longer than most of the suite. So after the Python
+    drain: unpersist every still-registered RDD (catches checkpoints no
+    Python cache tracks), clear the session's DataFrame CacheManager,
+    and force a py4j + JVM GC so the cleaner actually releases broadcast
+    and checkpoint blocks between modules."""
     yield
+    import gc
+
+    from pyspark.sql import SparkSession
+
     from deisa_ray_spark.functions.dedup import drain_session_cache
 
     drain_session_cache()
+    s = SparkSession._instantiatedSession  # never CREATE one just to drain
+    if s is None or s.sparkContext._jsc is None:
+        return
+    try:
+        sc = s.sparkContext
+        jmap = sc._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            try:
+                jrdd.unpersist(True)
+            except Exception:
+                pass
+        s.catalog.clearCache()
+        gc.collect()  # drop py4j refs so the JVM GC can collect them
+        sc._jvm.System.gc()
+    except Exception:
+        pass  # a stopped/absent session has nothing to drain
 
 
 @pytest.fixture(scope="session")

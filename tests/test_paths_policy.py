@@ -26,12 +26,26 @@ def test_scratch_root_resolution_order(tmp_path, monkeypatch):
     assert "deisa_scratch_" in paths.scratch_root()  # tempdir fallback
 
 
+def test_run_scratch_root_is_per_process_and_stable(tmp_path, monkeypatch):
+    monkeypatch.setenv(paths.ENV_VAR, str(tmp_path / "r"))
+    a = paths.run_scratch_root()
+    b = paths.run_scratch_root()
+    assert a == b, "must be stable within one process"
+    assert f"run-{os.getpid()}-" in a, "must be keyed to THIS process"
+    assert os.path.isdir(a)
+
+
 def test_mrl_prefix_stages_under_scratch_root(spark, tmp_path, monkeypatch):
     root = tmp_path / "scratch"
     monkeypatch.setenv(paths.ENV_VAR, str(root))
     df = mrl_prefix_table(spark, SF_DIR)
-    staged = root / "mrl_prefix"
-    assert staged.is_dir() and any(staged.iterdir()), "cache not under root"
+    # staging is PER-PROCESS: <root>/run-<pid>-<token>/mrl_prefix — no
+    # artifact computed from the sources may survive the invocation
+    # that built it (and the run dir is removed at interpreter exit)
+    run_dirs = [d for d in root.iterdir() if d.name.startswith(f"run-{os.getpid()}-")]
+    assert len(run_dirs) == 1, f"expected one per-process run dir, got {run_dirs}"
+    staged = run_dirs[0] / "mrl_prefix"
+    assert staged.is_dir() and any(staged.iterdir()), "cache not under run root"
     # staged prefixes match a fresh slice of the source
     want = (
         spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
@@ -44,10 +58,11 @@ def test_mrl_prefix_stages_under_scratch_root(spark, tmp_path, monkeypatch):
     )
     assert df.count() == want.count()
     assert df.exceptAll(want).count() == 0
-    # explicit param overrides the env root
+    # explicit param overrides the env root (same per-run layout)
     other = tmp_path / "other"
     mrl_prefix_table(spark, SF_DIR, scratch_root=str(other))
-    assert (other / "mrl_prefix").is_dir()
+    other_runs = [d for d in other.iterdir() if d.name.startswith(f"run-{os.getpid()}-")]
+    assert len(other_runs) == 1 and (other_runs[0] / "mrl_prefix").is_dir()
 
 
 def test_publish_eviction_spares_inflight_build_dirs(tmp_path):
