@@ -23,6 +23,7 @@ import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from deisa_ray_spark.functions.dedup import MAX_COSINE_BLOCK, cosine_sim
 from deisa_ray_spark.registry import query
@@ -1578,40 +1579,72 @@ def knn_assigned(
 def knn_graph_from_assigned(assigned: DataFrame, k: int = KNN_K) -> DataFrame:
     """Bounded-block kNN edges over an assignment frame
     (``vec_id, label, e, nrm, bucket, depth``) — the pair+rank stage
-    shared by the session-cached artifact and the refinement tests."""
-    from deisa_ray_spark.functions.dedup import dot_agg
+    shared by the session-cached artifact and the refinement tests.
 
-    a = assigned.select(
-        "vec_id", "label", "depth", "bucket",
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    Each ≤ ``KNN_BLOCK_CAP`` bucket scores as ONE numpy gram matmul +
+    top-k in the ``applyInPandas`` tensor slot (r13; the
+    ``dedup_embedding_cosine`` kernel discipline — guide §4: a pairwise
+    hot path must not run B² interpreted ``zip_with``/``aggregate``
+    lambda chains). vs the previous bucket self-join + HOF dot + window
+    rank: one exchange (group-by-bucket) instead of three (join both
+    sides + window), no B²-row join materialization, and ~20× less
+    per-pair CPU. Values are identical: same round-to-6 before ranking,
+    same (cosine DESC, neighbor_id ASC) tie rule via a stable argsort
+    over the id-sorted block — every tier build and the declared
+    sim_knn_graph hash-match their unchanged oracles."""
+    import numpy as np
+    import pandas as pd
+
+    from deisa_ray_spark.functions.dedup import _np_round_half_away
+
+    types = {f.name: f.dataType.simpleString() for f in assigned.schema.fields}
+    out_schema = (
+        f"vec_id {types['vec_id']}, label {types['label']}, "
+        f"depth {types['depth']}, rank int, "
+        f"neighbor_id {types['vec_id']}, cosine double"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), "bucket",
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    # Norms once per VECTOR (n rows) instead of twice per PAIR (n² rows):
-    # cosine = dot_agg/(na*nb) with the same FP sequence as cosine_sim,
-    # bit-identical to the inline form at ~2x less per-pair work
-    # (measured 5.9 s -> 3.3 s at sf0.1).
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "label",
-            "depth",
-            "neighbor_id",
-            F.round(
-                dot_agg(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
+    empty = {
+        "vec_id": [], "label": [], "depth": [], "rank": [],
+        "neighbor_id": [], "cosine": [],
+    }
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        # id-sorted block: stable argsort then breaks cosine ties in
+        # ascending neighbor_id order — the engine/oracle rank rule
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        v = np.stack(pdf["e"].to_numpy()).astype(np.float64, copy=False)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        if not nrm.all():
+            # parity with the cosine kernels: a zero-norm vector has no
+            # cosine — fail loudly instead of silently ranking NaNs
+            bad = ids[nrm == 0.0]
+            raise ValueError(
+                f"zero-norm embedding(s) in kNN block: vec_id {bad[:5].tolist()}"
+            )
+        g = v @ v.T
+        g /= nrm[:, None] * nrm[None, :]
+        g = _np_round_half_away(g, 6)  # round BEFORE ranking (oracle rule)
+        np.fill_diagonal(g, -np.inf)  # never self; kk < n keeps it out
+        kk = min(k, n - 1)
+        order = np.argsort(-g, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, kk),
+                "label": np.repeat(pdf["label"].to_numpy(), kk),
+                "depth": np.repeat(pdf["depth"].to_numpy(), kk),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+                "neighbor_id": ids[order].ravel(),
+                "cosine": np.take_along_axis(g, order, axis=1).ravel(),
+            }
         )
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "label", "depth", "rank", "neighbor_id", "cosine")
-    )
+
+    return assigned.select("vec_id", "label", "e", "nrm", "bucket", "depth").groupBy(
+        "bucket"
+    ).applyInPandas(block_topk, schema=out_schema)
 
 
 def knn_assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1830,10 +1863,24 @@ def _clone_code_sql(view: int, bits: int = CLONE_BITS, col: str = "embedding") -
 def _graph_artifact_cached(spark: SparkSession, tag: str, sf_dir: str, build) -> DataFrame:
     """Session-cached, eagerly-materialized edge frame. ``tag`` must
     encode every tier constant the edges depend on (k, sample width,
-    clone views) so distinct tiers never collide."""
+    clone views) so distinct tiers never collide.
+
+    The built frame is ``localCheckpoint``-ed, not merely persisted:
+    the serving walk references the edge set in EVERY hop job, and a
+    plain persist leaves the full build DAG (17 unioned view builds +
+    the NN-descent merge for the xl tier) in the logical plan — each
+    hop's action then re-analyzes that whole tree before hitting the
+    cache barrier (measured 1.8 s → 7.4 s warm on the merged tier when
+    the r13 rework briefly dropped lineage truncation). Checkpointing
+    collapses the cached plan to a LogicalRDD scan, which is what the
+    cross-process artifact read used to provide — without any state
+    surviving the process."""
     from deisa_ray_spark.functions.dedup import _session_cached
 
-    return _session_cached(spark, tag, sf_dir, build, eager=True)
+    def build_truncated() -> DataFrame:
+        return build().localCheckpoint(eager=True)
+
+    return _session_cached(spark, tag, sf_dir, build_truncated, eager=True)
 
 
 def clone_edges(
@@ -2260,17 +2307,22 @@ def _beam_expand(
             .filter(F.col("node") != F.col("qid"))
             .distinct()
         )
-        # visited ∪ freshly-scored, deduped — max() over identical
-        # values keeps determinism without caring which copy survives.
-        # localCheckpoint: v is referenced twice next round (beam + the
-        # union), so an untruncated plan doubles per hop; the superseded
-        # hop's checkpoint blocks are freed explicitly (they are
-        # otherwise held until driver GC, × 3 bench builds per query).
-        nxt = (
-            v.unionByName(score(cand))
-            .groupBy("qid", "node")
-            .agg(F.max("cosine").alias("cosine"))
-        )
+        # Score only FRESHLY-reached nodes (r13): the visited set is
+        # unique per (qid, node) by induction — uv0 is a distinct
+        # queries × entries cross, and every later round unions a
+        # disjoint (anti-joined), distinct fresh set — so visited ∪
+        # fresh needs NO re-aggregation. The previous union +
+        # groupBy(max) shape re-scored every visited node each hop and
+        # paid one extra full-visited-set exchange per hop; scores are
+        # deterministic, so the surviving values are identical.
+        # localCheckpoint: v is referenced three times next round
+        # (beam + anti-join + union), so an untruncated plan would
+        # re-execute the whole prior chain per reference; the
+        # superseded hop's checkpoint blocks are freed explicitly (they
+        # are otherwise held until driver GC, × 3 bench builds per
+        # query).
+        fresh = cand.join(v.select("qid", "node"), ["qid", "node"], "left_anti")
+        nxt = v.unionByName(score(fresh))
         if checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
             # hop 0's v is a lazy plan over the persisted store (no
@@ -2332,6 +2384,24 @@ def _cosine_vs_queries(Q, QN, qidx):
         return pd.Series(_np_round_half_away(d / (QN[ii] * nn.to_numpy()), 6))
 
     return cos
+
+
+@F.pandas_udf(DoubleType())  # DataType instance: no session needed at import
+def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow pair-dot slot: one vectorized row-wise einsum per Arrow
+    batch of (vector, vector) pairs — for pair streams too wide/sparse
+    for a block gram matmul (the NN-descent merge's n·S·k candidate
+    scoring). Replaces the per-pair interpreted ``zip_with`` +
+    ``aggregate`` fold (guide §4 — the r12 20× HOF lesson); callers
+    keep norms precomputed per vector and the round-to-6 JVM-side, so
+    ranked values are unchanged against the oracle twins."""
+    import numpy as np
+
+    if not len(a):
+        return pd.Series(np.array([], dtype=np.float64))
+    return pd.Series(
+        np.einsum("ij,ij->i", np.stack(a.to_numpy()), np.stack(b.to_numpy()))
+    )
 
 
 def graph_beam_topk(
@@ -2495,9 +2565,9 @@ def merged_directed_from(
     contain EVERY undirected edge of each source in ``srcs`` and of
     each of their sampled mids (extra edges of other nodes are
     harmless); ``vectors`` (vec_id, e, nrm) must cover every id that
-    appears. With ``srcs=None`` computes all sources."""
-    from deisa_ray_spark.functions.dedup import dot_agg
-
+    appears. With ``srcs=None`` computes all sources. Candidate scoring
+    (the merge's dominant n·S·k term) runs in the Arrow ``_pair_dot``
+    slot — see its docstring."""
     base = und_edges if srcs is None else und_edges.join(srcs, "src", "semi")
     # deterministic S-sample of each node's out-edges (md5 order — no
     # cosine needed for candidate GENERATION, only for the final rank)
@@ -2530,7 +2600,7 @@ def merged_directed_from(
         "src",
         "cand",
         F.round(
-            dot_agg(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            _pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
         ).alias("cosine"),
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("cand"))

@@ -39,24 +39,51 @@ def stage_bucket_shards(
     DETERMINISTIC doc_id-bucket projection (doc_id·N DIV (max+1)) —
     byte-stable across runs, unlike repartitionByRange's sampled
     boundaries — with strictly increasing mtimes so FileStreamSource
-    delivers bucket order. Each shard is one distributed filter + write
-    (no driver data movement; at scale a shard is simply the arriving
-    crawl drop, already a file set)."""
-    from deisa_ray_spark.operators.stream_cc_query import (
-        pin_increasing_mtimes,
-        write_single_parquet_file,
-    )
+    delivers bucket order.
+
+    ONE distributed write for all shards (r13; guide §1/§6 — the old
+    one-filter-and-write-per-shard loop re-scanned the corpus n_shards
+    times and paid a job per shard): hash-repartition on the shard
+    projection puts every shard in exactly one task, ``partitionBy``
+    emits one file per shard value, and the driver moves the files into
+    the flat ``shard-%05d.parquet`` layout the stream source reads (a
+    metadata rename, no data movement)."""
+    import glob
+    import shutil
+
+    from deisa_ray_spark.operators.stream_cc_query import pin_increasing_mtimes
 
     os.makedirs(dest, exist_ok=True)
     n = docs.agg((F.max("doc_id") + 1).alias("n")).first()["n"]
+    tmp = f"{dest}_w"
+    (
+        docs.select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") * n_shards / F.lit(n)).cast("int").alias("shard"),
+        )
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
     paths = []
     for i in range(n_shards):
-        part = docs.filter(
-            (F.col("doc_id") * n_shards / F.lit(n)).cast("int") == i
-        ).select("doc_id", "text")
         out = f"{dest}/shard-{i:05d}.parquet"
-        write_single_parquet_file(part, out)
+        parts = sorted(glob.glob(f"{tmp}/shard={i}/part-*"))
+        if parts:
+            # repartition(n, shard) put the whole shard in one task →
+            # exactly one file; assert the invariant rather than merge
+            assert len(parts) == 1, f"shard {i} split across files: {parts}"
+            shutil.move(parts[0], out)
+        else:
+            # empty shard (sparse doc_ids): stage a schema-bearing
+            # empty file so the stream still delivers the batch
+            empty = docs.sparkSession.createDataFrame([], DOC_SCHEMA)
+            empty.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/e{i}")
+            shutil.move(sorted(glob.glob(f"{tmp}/e{i}/part-*"))[0], out)
         paths.append(out)
+    shutil.rmtree(tmp, ignore_errors=True)
     pin_increasing_mtimes(paths)
     return paths
 

@@ -7,12 +7,16 @@ append-only — its size is the vocabulary, which Heaps' law keeps
 sublinear in corpus size (the same reason txt_tfidf's df table is
 manageable). Each micro-batch:
 
-1. distinct batch tokens (one keyed partial agg over the batch),
-2. LEFT ANTI join against the seen table → the batch's NEW types
+1. ONE keyed partial agg over the batch → distinct types AND their
+   counts together (tokenize once; the stats and new-type jobs both
+   reuse the checkpointed per-type frame),
+2. stats row (batch_id, n_new_types, n_tokens_batch) from a flagged
+   left join against the (deduped) seen table — written while seen/
+   is still the pre-batch state,
+3. LEFT ANTI join against the seen table → the batch's NEW types
    (an equi-join on tok — deliberately not broadcast: vocabulary is
    unbounded at corpus scale, AQE may still broadcast small states),
-3. append the new types with this batch_id; append one stats row
-   (batch_id, n_new_types, n_tokens_batch).
+   appended with this batch_id.
 
 Batch-equivalence contract: for IN-ORDER contiguous shards (the
 stream_cc arrival-order class), per-batch new-type counts equal the
@@ -58,21 +62,46 @@ class IncrementalVocab:
         )
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
-        toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        batch_types = toks.distinct()
-        new_types = (
-            batch_types.join(self._seen().select("tok"), "tok", "left_anti")
-            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            .localCheckpoint(eager=True)  # seen/ is both input and output
+        # ONE tokenize pass per batch (r13; guide §1): the keyed partial
+        # agg yields the distinct types AND their counts together, so
+        # the stats job reuses the checkpointed per-type frame instead
+        # of re-running explode+split (the old shape tokenized twice and
+        # spent 4 jobs/batch — checkpoint new, write new, count new,
+        # write stats; this one spends 3 with strictly less work).
+        # Checkpointing CUTS the lineage from seen/ (which the next
+        # statements both read and append to); the appended part file is
+        # invisible to jobs planned before the write lands.
+        counted = (
+            docs.select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        # stats FIRST, while seen/ is still the pre-batch state (the
+        # new-types append below would otherwise be visible to this
+        # job's scan and zero the count). The flag side deduplicates:
+        # replayed batches re-append seen rows, and a dup match in a
+        # plain left join would multiply cnt.
+        seen_toks = self._seen().select("tok").distinct()
+        joined = counted.join(
+            seen_toks.withColumn("seen_flag", F.lit(1)), "tok", "left"
+        )
+        stats = joined.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_tokens_batch"),
+            F.count(F.when(F.col("seen_flag").isNull(), 1)).cast("bigint").alias(
+                "n_new_types"
+            ),
+        ).select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "n_new_types",
+            "n_tokens_batch",
+        )
+        stats.write.mode("append").parquet(self.stats_dir)
+        new_types = counted.join(seen_toks, "tok", "left_anti").select(
+            "tok", F.lit(batch_id).cast("bigint").alias("batch_id")
         )
         new_types.write.mode("append").parquet(self.seen_dir)
         self._has_seen = True
-        stats = toks.agg(F.count(F.lit(1)).alias("n_tokens_batch")).select(
-            F.lit(batch_id).cast("bigint").alias("batch_id"),
-            F.lit(new_types.count()).cast("bigint").alias("n_new_types"),
-            F.col("n_tokens_batch").cast("bigint"),
-        )
-        stats.write.mode("append").parquet(self.stats_dir)
 
     def run_available(
         self,

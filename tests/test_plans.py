@@ -721,14 +721,33 @@ def test_containment_equi_join_only(spark):
 
 
 def test_knn_graph_blocked_not_cartesian(spark):
-    """kNN graph: the self-join keys on the label block (equi-join) and
-    the per-node top-K is a window with group-limit pushdown — no
-    corpus-quadratic product, no Python."""
+    """kNN graph (r13): each bounded bucket scores as ONE numpy gram
+    matmul + top-k in the FlatMapGroupsInPandas tensor slot — the B²
+    pair set never materializes as a join (the old bucket self-join +
+    HOF dot + WindowGroupLimit paid three exchanges and interpreted
+    per-pair lambdas); no corpus-quadratic product, no row-at-a-time
+    Python. The artifact is session-cached, so the declared query's
+    visible plan is the InMemoryTableScan over it — pin the kernel on
+    the BUILDER's plan."""
+    import contextlib
+    import io
+
+    from deisa_ray_spark.functions.similarity import _emb, knn_assigned, knn_graph_from_assigned
+
     plan = plan_of(spark, "sim_knn_graph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "WindowGroupLimit" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+    df = knn_graph_from_assigned(knn_assigned(_emb(spark, SF_DIR)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    build_plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in build_plan
+    assert "CartesianProduct" not in build_plan
+    assert "BroadcastNestedLoopJoin" not in build_plan
+    assert "BatchEvalPython" not in build_plan
 
 
 def test_effective_mixture_no_pairwise_no_python(spark):
