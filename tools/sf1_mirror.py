@@ -95,6 +95,19 @@ def main() -> None:
     spark = get_session(
         app_name="sf1_mirror", shuffle_partitions=max(8, os.cpu_count() or 8)
     )
+    # Spark reads the same ≥8-file split staging bench.py applies at
+    # every SF (r13): the generator's one-file/one-row-group layout caps
+    # every scan at ONE task, which serializes the heavy per-row
+    # expansion stages — the span family's "superlinear" sf1 cost in the
+    # r11/r12 artifacts was exactly this (measured: the whole 2.4M-span
+    # tokenize+md5 chain ran as a single task). The oracle keeps reading
+    # the raw files, as everywhere else. Opt out: SPARK_GRAFT_BENCH_SPLIT=0.
+    spark_sf1_dir = SF1_DIR
+    if os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1") != "0":
+        from deisa_ray_spark.maintenance import stage_split_tables
+
+        spark_sf1_dir = stage_split_tables(SF1_DIR, min_files=8)
+        print(f"# spark tables staged split at {spark_sf1_dir}", file=sys.stderr)
     specs = load_all()
     only = os.environ.get("SPARK_GRAFT_SF1_ONLY")
     if only:
@@ -114,7 +127,7 @@ def main() -> None:
         rec: dict = {}
         t0 = time.time()
         try:
-            spd = spec.fn(spark, SF1_DIR).toPandas()
+            spd = spec.fn(spark, spark_sf1_dir).toPandas()
             rec["spark_s"] = round(time.time() - t0, 2)
             rec["rows"] = int(spd.shape[0])
         except Exception as e:  # noqa: BLE001 — record and continue
