@@ -153,9 +153,10 @@ def main() -> None:
 
     # The testdata writes each table as ONE file/row group — capping
     # every scan at one task, a generator artifact no real table has.
-    # Stage a schema-preserving ≥8-file split (cached by data
-    # fingerprint) and bench against that, so scan parallelism is
-    # honest. Oracles/correctness keep reading the original sf_dir.
+    # Stage a schema-preserving ≥8-file split (per-process scratch,
+    # rebuilt every invocation — no staged bytes survive across runs)
+    # and bench against that, so scan parallelism is honest.
+    # Oracles/correctness keep reading the original sf_dir.
     # Opt out with SPARK_GRAFT_BENCH_SPLIT=0.
     if os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1") != "0":
         from deisa_ray_spark.maintenance import stage_split_tables
@@ -166,16 +167,20 @@ def main() -> None:
         sf_dir = staged
 
     specs = load_all()
-    # Shuffle partitions = this host's core count (matching cores
-    # measured ~9% faster than 8 on the join-heavy queries at sf0.1;
-    # AQE still coalesces the tiny stages) — derived, not hardcoded, so
-    # the rationale holds on any machine. At cluster scale this is 2-3×
-    # total cores instead — see session.get_session docstring. Broadcast
-    # threshold covers every dimension table at this SF so star joins
-    # never shuffle the big side.
+    # Shuffle partitions = the ALLOCATED core count ($SPARK_GRAFT_CPUS,
+    # the same value sizing local[N]) — matching cores measured ~9%
+    # faster than 8 on the join-heavy queries at sf0.1; AQE still
+    # coalesces the tiny stages. Derived, not hardcoded, and derived
+    # from the allocation rather than os.cpu_count() so the driver's
+    # lower-core-count scaling re-run gets a partitioning matched to
+    # ITS cores, not this host's physical count. At cluster scale this
+    # is 2-3× total cores instead — see session.get_session docstring.
+    # Broadcast threshold covers every dimension table at this SF so
+    # star joins never shuffle the big side.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_session(
         app_name="deisa_ray_spark_bench",
-        shuffle_partitions=max(8, os.cpu_count() or 8),
+        shuffle_partitions=max(8, cpus),
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": "64MB"},
     )
 
