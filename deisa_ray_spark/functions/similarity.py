@@ -2389,12 +2389,13 @@ def _cosine_vs_queries(Q, QN, qidx):
 @F.pandas_udf(DoubleType())  # DataType instance: no session needed at import
 def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow pair-dot slot: one vectorized row-wise einsum per Arrow
-    batch of (vector, vector) pairs — for pair streams too wide/sparse
-    for a block gram matmul (the NN-descent merge's n·S·k candidate
-    scoring). Replaces the per-pair interpreted ``zip_with`` +
-    ``aggregate`` fold (guide §4 — the r12 20× HOF lesson); callers
-    keep norms precomputed per vector and the round-to-6 JVM-side, so
-    ranked values are unchanged against the oracle twins."""
+    batch of (vector, vector) pairs — the FALLBACK merge scorer for
+    vector stores past :data:`MERGE_MATRIX_CAP` (the primary path
+    ships only id pairs — see :func:`_pair_cos_vs_store`). Replaces
+    the per-pair interpreted ``zip_with`` + ``aggregate`` fold (guide
+    §4 — the r12 20× HOF lesson); callers keep norms precomputed per
+    vector and the round-to-6 JVM-side, so ranked values are unchanged
+    against the oracle twins."""
     import numpy as np
 
     if not len(a):
@@ -2402,6 +2403,76 @@ def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         np.einsum("ij,ij->i", np.stack(a.to_numpy()), np.stack(b.to_numpy()))
     )
+
+
+#: vector-store rows above which the merge scorer falls back from the
+#: broadcast-matrix id-pair path to the join+pair-dot path. The
+#: declared tiers are BANDED — xl's measured ceiling is 64k vectors
+#: (SCALING.md; past-band corpora take the recipe, not this code
+#: path) — so 2x that band bounds the broadcast at ~64 MB
+#: (131072 x 64 float64), far under the executor broadcast budget.
+MERGE_MATRIX_CAP = 131072
+
+
+def _pair_cos_vs_store(spark: SparkSession, vectors: DataFrame):
+    """Broadcast-matrix pair-cosine scorer for the NN-descent merge, or
+    ``None`` when ``vectors`` exceeds :data:`MERGE_MATRIX_CAP`.
+
+    The merge's candidate stream is n·S·k ID PAIRS; joining both
+    vectors onto every pair shipped ~1 KB per candidate through the
+    join shuffle and again through Arrow (measured at the sf1 10x
+    point: 44.2M candidate pairs for the xl tier — tens of GB moved to
+    score 16-byte id pairs; the 161→270 s xl regression this replaced).
+    Instead the band-bounded vector store is collected ONCE (bounded by
+    construction: ``limit(cap+1)``), broadcast, and each Arrow batch of
+    (src, cand) longs scores as one row-indexed einsum — the same
+    bounded-side-in-closure discipline as :func:`_cosine_vs_queries`,
+    with the bound coming from the declared tier bands. Float path is
+    IDENTICAL to the join shape (same float64 dot, one IEEE division,
+    round-to-6 JVM-side), so ranked values hash-match the unchanged
+    oracle twins; zero-norm vectors yield the same NaN/inf the join
+    shape produced."""
+    import numpy as np
+
+    rows = (
+        vectors.select("vec_id", "e", "nrm").limit(MERGE_MATRIX_CAP + 1).collect()
+    )
+    if len(rows) > MERGE_MATRIX_CAP:
+        return None
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = (
+        np.array([list(r["e"]) for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    N = np.array([r["nrm"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, E, N))
+
+    @F.pandas_udf(DoubleType())
+    def pc(a: pd.Series, b: pd.Series) -> pd.Series:
+        ids_, E_, N_ = bc.value
+        if not len(a):
+            return pd.Series(np.array([], dtype=np.float64))
+        av = a.to_numpy(dtype=np.int64)
+        bv = b.to_numpy(dtype=np.int64)
+        ia = np.searchsorted(ids_, av)
+        ib = np.searchsorted(ids_, bv)
+        # the caller semi-joins both sides onto the store's ids, so a
+        # miss here is a code bug, not a data condition — fail loudly
+        if (
+            ia.max(initial=-1) >= len(ids_)
+            or ib.max(initial=-1) >= len(ids_)
+            or not (np.take(ids_, ia, mode="clip") == av).all()
+            or not (np.take(ids_, ib, mode="clip") == bv).all()
+        ):
+            raise ValueError("merge pair id missing from the vector store")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(
+                np.einsum("ij,ij->i", E_[ia], E_[ib]) / (N_[ia] * N_[ib])
+            )
+
+    return pc
 
 
 def graph_beam_topk(
@@ -2565,9 +2636,14 @@ def merged_directed_from(
     contain EVERY undirected edge of each source in ``srcs`` and of
     each of their sampled mids (extra edges of other nodes are
     harmless); ``vectors`` (vec_id, e, nrm) must cover every id that
-    appears. With ``srcs=None`` computes all sources. Candidate scoring
-    (the merge's dominant n·S·k term) runs in the Arrow ``_pair_dot``
-    slot — see its docstring."""
+    appears (pairs touching an uncovered id are dropped, as the
+    original inner joins did). With ``srcs=None`` computes all sources.
+    Candidate scoring (the merge's dominant n·S·k term) ships ONLY the
+    id pair per candidate and scores against the broadcast band-bounded
+    store (:func:`_pair_cos_vs_store` — guide §2.2: at sf1 the xl tier
+    generates 44.2M candidate pairs; joining 2x64 doubles onto each
+    moved tens of GB to compute 16-byte-keyed dots), falling back to
+    the vector-join + :func:`_pair_dot` shape past the band cap."""
     base = und_edges if srcs is None else und_edges.join(srcs, "src", "semi")
     # deterministic S-sample of each node's out-edges (md5 order — no
     # cosine needed for candidate GENERATION, only for the final rank)
@@ -2590,19 +2666,39 @@ def merged_directed_from(
     cands = hop2.unionByName(
         base.select("src", F.col("dst").alias("cand"))
     ).distinct()
-    va = vectors.select(
-        F.col("vec_id").alias("src"), F.col("e").alias("ea"), F.col("nrm").alias("na")
-    )
-    vb = vectors.select(
-        F.col("vec_id").alias("cand"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
-    )
-    scored = cands.join(va, "src").join(vb, "cand").select(
-        "src",
-        "cand",
-        F.round(
-            _pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cosine"),
-    )
+    pc = _pair_cos_vs_store(und_edges.sparkSession, vectors)
+    if pc is not None:
+        # primary path: pairs stay two longs wide; the two id semi-joins
+        # reproduce the former inner joins' drop-uncovered-id semantics
+        # (vec_id is unique in the store, so semi == inner here)
+        vid = vectors.select("vec_id")
+        scored = (
+            cands.join(vid.withColumnRenamed("vec_id", "src"), "src", "semi")
+            .join(vid.withColumnRenamed("vec_id", "cand"), "cand", "semi")
+            .select(
+                "src",
+                "cand",
+                F.round(pc(F.col("src"), F.col("cand")), 6).alias("cosine"),
+            )
+        )
+    else:
+        va = vectors.select(
+            F.col("vec_id").alias("src"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        vb = vectors.select(
+            F.col("vec_id").alias("cand"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        scored = cands.join(va, "src").join(vb, "cand").select(
+            "src",
+            "cand",
+            F.round(
+                _pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("cand"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
