@@ -2391,7 +2391,7 @@ def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow pair-dot slot: one vectorized row-wise einsum per Arrow
     batch of (vector, vector) pairs — the FALLBACK merge scorer for
     vector stores past :data:`MERGE_MATRIX_CAP` (the primary path
-    ships only id pairs — see :func:`_pair_cos_vs_store`). Replaces
+    ships only id pairs — see :func:`_merge_topk_vs_store`). Replaces
     the per-pair interpreted ``zip_with`` + ``aggregate`` fold (guide
     §4 — the r12 20× HOF lesson); callers keep norms precomputed per
     vector and the round-to-6 JVM-side, so ranked values are unchanged
@@ -2414,9 +2414,9 @@ def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
 MERGE_MATRIX_CAP = 131072
 
 
-def _pair_cos_vs_store(spark: SparkSession, vectors: DataFrame):
-    """Broadcast-matrix pair-cosine scorer for the NN-descent merge, or
-    ``None`` when ``vectors`` exceeds :data:`MERGE_MATRIX_CAP`.
+def _merge_topk_vs_store(spark: SparkSession, vectors: DataFrame, serve_k: int):
+    """Grouped broadcast-matrix top-k scorer for the NN-descent merge,
+    or ``None`` when ``vectors`` exceeds :data:`MERGE_MATRIX_CAP`.
 
     The merge's candidate stream is n·S·k ID PAIRS; joining both
     vectors onto every pair shipped ~1 KB per candidate through the
@@ -2424,14 +2424,16 @@ def _pair_cos_vs_store(spark: SparkSession, vectors: DataFrame):
     point: 44.2M candidate pairs for the xl tier — tens of GB moved to
     score 16-byte id pairs; the 161→270 s xl regression this replaced).
     Instead the band-bounded vector store is collected ONCE (bounded by
-    construction: ``limit(cap+1)``), broadcast, and each Arrow batch of
-    (src, cand) longs scores as one row-indexed einsum — the same
-    bounded-side-in-closure discipline as :func:`_cosine_vs_queries`,
-    with the bound coming from the declared tier bands. Float path is
-    IDENTICAL to the join shape (same float64 dot, one IEEE division,
-    round-to-6 JVM-side), so ranked values hash-match the unchanged
-    oracle twins; zero-norm vectors yield the same NaN/inf the join
-    shape produced."""
+    construction: ``limit(cap+1)``), broadcast, and each src's
+    candidate GROUP scores as one matrix-vector product with the
+    top-``serve_k`` taken INSIDE the kernel — the knn block kernel's
+    discipline (round-to-6 BEFORE ranking, cosine DESC / candidate ASC
+    ties via a stable argsort over the id-sorted group), so the
+    selected edge set is identical to the former
+    score-all-pairs-then-window shape while emitting n·k rows instead
+    of n·S·k scored rows (no 44M-row window exchange, and the Arrow
+    stream returns k ids per group instead of a double per pair).
+    Zero-norm vectors raise loudly, same as every other r13 kernel."""
     import numpy as np
 
     rows = (
@@ -2449,30 +2451,40 @@ def _pair_cos_vs_store(spark: SparkSession, vectors: DataFrame):
     N = np.array([r["nrm"] for r in rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((ids, E, N))
 
-    @F.pandas_udf(DoubleType())
-    def pc(a: pd.Series, b: pd.Series) -> pd.Series:
-        ids_, E_, N_ = bc.value
-        if not len(a):
-            return pd.Series(np.array([], dtype=np.float64))
-        av = a.to_numpy(dtype=np.int64)
-        bv = b.to_numpy(dtype=np.int64)
-        ia = np.searchsorted(ids_, av)
-        ib = np.searchsorted(ids_, bv)
-        # the caller semi-joins both sides onto the store's ids, so a
-        # miss here is a code bug, not a data condition — fail loudly
-        if (
-            ia.max(initial=-1) >= len(ids_)
-            or ib.max(initial=-1) >= len(ids_)
-            or not (np.take(ids_, ia, mode="clip") == av).all()
-            or not (np.take(ids_, ib, mode="clip") == bv).all()
-        ):
-            raise ValueError("merge pair id missing from the vector store")
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(
-                np.einsum("ij,ij->i", E_[ia], E_[ib]) / (N_[ia] * N_[ib])
-            )
+    from deisa_ray_spark.functions.dedup import _np_round_half_away
 
-    return pc
+    def score_topk(cands: DataFrame) -> DataFrame:
+        types = {f.name: f.dataType.simpleString() for f in cands.schema.fields}
+        out_schema = f"src {types['src']}, dst {types['cand']}"
+
+        def group_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids_, E_, N_ = bc.value
+            s = int(pdf["src"].iloc[0])
+            c = np.sort(pdf["cand"].to_numpy(np.int64))
+            isrc = int(np.searchsorted(ids_, s))
+            ib = np.searchsorted(ids_, c)
+            # the caller semi-joins both sides onto the store's ids, so
+            # a miss here is a code bug, not a data condition
+            if (
+                isrc >= len(ids_)
+                or ids_[isrc] != s
+                or ib.max(initial=-1) >= len(ids_)
+                or not (np.take(ids_, ib, mode="clip") == c).all()
+            ):
+                raise ValueError("merge pair id missing from the vector store")
+            nn = N_[ib] * N_[isrc]
+            if not nn.all():
+                raise ValueError(
+                    f"zero-norm embedding in merge group of src {s}"
+                )
+            cos = _np_round_half_away(E_[ib] @ E_[isrc] / nn, 6)
+            kk = min(serve_k, len(c))
+            order = np.argsort(-cos, kind="stable")[:kk]
+            return pd.DataFrame({"src": np.full(kk, s), "dst": c[order]})
+
+        return cands.groupBy("src").applyInPandas(group_topk, schema=out_schema)
+
+    return score_topk
 
 
 def graph_beam_topk(
@@ -2639,11 +2651,13 @@ def merged_directed_from(
     appears (pairs touching an uncovered id are dropped, as the
     original inner joins did). With ``srcs=None`` computes all sources.
     Candidate scoring (the merge's dominant n·S·k term) ships ONLY the
-    id pair per candidate and scores against the broadcast band-bounded
-    store (:func:`_pair_cos_vs_store` — guide §2.2: at sf1 the xl tier
-    generates 44.2M candidate pairs; joining 2x64 doubles onto each
-    moved tens of GB to compute 16-byte-keyed dots), falling back to
-    the vector-join + :func:`_pair_dot` shape past the band cap."""
+    id pair per candidate and takes each source's top-``serve_k``
+    INSIDE the broadcast-store kernel (:func:`_merge_topk_vs_store` —
+    guide §2.2: at sf1 the xl tier generates 44.2M candidate pairs;
+    joining 2x64 doubles onto each moved tens of GB to compute
+    16-byte-keyed dots, and windowing the scored pairs shuffled all
+    44.2M rows again), falling back to the vector-join +
+    :func:`_pair_dot` + window shape past the band cap."""
     base = und_edges if srcs is None else und_edges.join(srcs, "src", "semi")
     # deterministic S-sample of each node's out-edges (md5 order — no
     # cosine needed for candidate GENERATION, only for the final rank)
@@ -2666,39 +2680,35 @@ def merged_directed_from(
     cands = hop2.unionByName(
         base.select("src", F.col("dst").alias("cand"))
     ).distinct()
-    pc = _pair_cos_vs_store(und_edges.sparkSession, vectors)
-    if pc is not None:
+    scorer = _merge_topk_vs_store(und_edges.sparkSession, vectors, serve_k)
+    if scorer is not None:
         # primary path: pairs stay two longs wide; the two id semi-joins
         # reproduce the former inner joins' drop-uncovered-id semantics
-        # (vec_id is unique in the store, so semi == inner here)
+        # (vec_id is unique in the store, so semi == inner here); the
+        # kernel ranks round-to-6 cosines and emits each src's top-k
+        # directly, so no scored-pair window shuffle exists in the plan
         vid = vectors.select("vec_id")
-        scored = (
+        return scorer(
             cands.join(vid.withColumnRenamed("vec_id", "src"), "src", "semi")
             .join(vid.withColumnRenamed("vec_id", "cand"), "cand", "semi")
-            .select(
-                "src",
-                "cand",
-                F.round(pc(F.col("src"), F.col("cand")), 6).alias("cosine"),
-            )
         )
-    else:
-        va = vectors.select(
-            F.col("vec_id").alias("src"),
-            F.col("e").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-        vb = vectors.select(
-            F.col("vec_id").alias("cand"),
-            F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-        scored = cands.join(va, "src").join(vb, "cand").select(
-            "src",
-            "cand",
-            F.round(
-                _pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
-        )
+    va = vectors.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vectors.select(
+        F.col("vec_id").alias("cand"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = cands.join(va, "src").join(vb, "cand").select(
+        "src",
+        "cand",
+        F.round(
+            _pair_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine"),
+    )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("cand"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -17,9 +17,11 @@ def _directed_set(df):
 
 def test_merge_scorer_paths_identical(spark, monkeypatch):
     """Force the fallback (cap=0) and compare against the primary
-    broadcast-matrix path on the same inputs: identical edge sets.
-    The float path is IEEE-identical by construction (same float64
-    dot, one double division, round-to-6 JVM-side); this pins it."""
+    broadcast-matrix grouped-top-k path on the same inputs: identical
+    edge sets. The float path matches by construction (same float64
+    dot, one double division, round-half-away-6 before ranking, ties
+    cosine DESC / candidate ASC); this pins it against the
+    join + pair-dot + window shape."""
     import deisa_ray_spark.functions.similarity as sim
 
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -30,11 +32,15 @@ def test_merge_scorer_paths_identical(spark, monkeypatch):
     und = sim.serve_edges_from(live)
 
     primary = sim.merged_directed_from(und, vectors)
-    assert sim._pair_cos_vs_store(spark, vectors) is not None  # store < cap
+    assert (
+        sim._merge_topk_vs_store(spark, vectors, sim.SERVE_K) is not None
+    )  # store < cap
 
     monkeypatch.setattr(sim, "MERGE_MATRIX_CAP", 0)
     fallback = sim.merged_directed_from(und, vectors)
-    assert sim._pair_cos_vs_store(spark, vectors) is None  # cap routes away
+    assert (
+        sim._merge_topk_vs_store(spark, vectors, sim.SERVE_K) is None
+    )  # cap routes away
 
     p, f = _directed_set(primary), _directed_set(fallback)
     assert p == f and len(p) > 0
