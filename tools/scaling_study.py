@@ -51,6 +51,15 @@ def spark_totals() -> dict[str, float]:
 
     out = {}
     for sf, sf_dir in sf_dirs().items():
+        # Same scan-parallelism protocol as bench.py / sf1_mirror.py:
+        # the generator's one-file/one-row-group layout caps every scan
+        # at ONE task; stage the schema-preserving >=8-file split so
+        # the headline table describes the shipped bench protocol.
+        # DuckDB keeps reading the raw files, as everywhere else.
+        if os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "1") != "0":
+            from deisa_ray_spark.maintenance import stage_split_tables
+
+            sf_dir = stage_split_tables(sf_dir, min_files=8)
         total = 0.0
         for name in BENCH_QUERIES:
             fn = specs[name].fn
