@@ -172,7 +172,18 @@ def bpe_train_from_words(wf: DataFrame, k: int = BPE_MERGES):
         F.lit(_SEP + _EOW + _SEP),
     )
     cur = wf.select("w", "cnt", s0.alias("s")).localCheckpoint()
-    merges = None
+    # One Spark action per round: the 1-row argmax is COLLECTED (same
+    # plan, same count-desc/pa/pb tie order) and the round's literal
+    # replace is applied with driver-side constants — the former 1-row
+    # localCheckpoint + broadcast left-join-on-TRUE paid a second
+    # action plus a join per round for a single row. An exhausted
+    # round collects [] and passes the state through unchanged
+    # (mirrors the oracle's CASE WHEN EXISTS). The word state is
+    # checkpointed every few rounds (not every round): between
+    # checkpoints the lineage is a chain of literal replaces — linear,
+    # not the tripling that forced per-round cuts in the join shape.
+    merge_rows: list[tuple] = []
+    dirty = 0
     for rnd in range(1, k + 1):
         syms = _syms()
         sz = F.size(syms)
@@ -192,48 +203,31 @@ def bpe_train_from_words(wf: DataFrame, k: int = BPE_MERGES):
             .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "pa", "pb")
             .limit(1)
-            .select(
-                F.lit(rnd).alias("round"),
-                F.col("pa").alias("lhs"),
-                F.col("pb").alias("rhs"),
-                F.concat("pa", "pb").alias("merged"),
-                "pair_count",
-            )
-            .localCheckpoint()  # 1 row — the round's model update
+            .collect()  # 1 bounded row — the round's model update
         )
-        merges = best if merges is None else merges.unionAll(best)
-        # LEFT join on TRUE, not crossJoin: an exhausted-pairs round
-        # has an EMPTY best frame, and a cross join would annihilate
-        # the whole vocab — the left join keeps every word with NULL
-        # lhs/rhs, and the conditional passes s through unchanged
-        # (mirrors the oracle's CASE WHEN EXISTS)
-        nxt = (
-            cur.join(F.broadcast(best.select("lhs", "rhs")), F.lit(True), "left")
-            .select(
-                "w",
-                "cnt",
-                F.when(F.col("lhs").isNull(), F.col("s"))
-                .otherwise(
-                    F.replace(
-                        F.col("s"),
-                        F.concat(
-                            F.lit(_SEP),
-                            F.col("lhs"),
-                            F.lit(_SEP + _SEP),
-                            F.col("rhs"),
-                            F.lit(_SEP),
-                        ),
-                        F.concat(
-                            F.lit(_SEP), F.col("lhs"), F.col("rhs"), F.lit(_SEP)
-                        ),
-                    )
-                )
-                .alias("s"),
-            )
-            .localCheckpoint()
+        if not best:
+            continue  # pairs exhausted: state unchanged, no merge row
+        pa, pb, pcnt = best[0]["pa"], best[0]["pb"], best[0]["pair_count"]
+        merge_rows.append((rnd, pa, pb, pa + pb, pcnt))
+        cur = cur.select(
+            "w",
+            "cnt",
+            F.replace(
+                F.col("s"),
+                F.lit(_SEP + pa + _SEP + _SEP + pb + _SEP),
+                F.lit(_SEP + pa + pb + _SEP),
+            ).alias("s"),
         )
-        free_local_checkpoint(cur)  # superseded round — never read again
-        cur = nxt
+        dirty += 1
+        if dirty >= 4 or rnd == k:
+            nxt = cur.localCheckpoint()
+            free_local_checkpoint(cur)  # superseded chain — never read again
+            cur, dirty = nxt, 0
+    spark = wf.sparkSession
+    merges = spark.createDataFrame(
+        merge_rows,
+        "round INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    )
     return merges, cur
 
 

@@ -228,6 +228,8 @@ def drain_session_cache() -> int:
             return 1
         if isinstance(obj, tuple):
             return sum(_free(x) for x in obj)
+        if isinstance(obj, dict):
+            return sum(_free(x) for x in obj.values())
         return 0
 
     from deisa_ray_spark.functions import bpe, quality_model, unigram, wordpiece
@@ -236,6 +238,7 @@ def drain_session_cache() -> int:
     for cache in (
         bpe._BPE_CACHE,
         wordpiece._WP_CACHE,
+        wordpiece._HOLDOUT_CACHE,
         unigram._UNI_CACHE,
         quality_model._QCM_CACHE,
         _sim._IVF_CACHE,

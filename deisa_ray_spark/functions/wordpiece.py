@@ -208,7 +208,13 @@ def wp_train_from_words(wf: DataFrame, k: int = WP_MERGES):
         F.regexp_replace(F.expr("substring(w, 2)"), "(.)", _SEP + "##$1" + _SEP),
     )
     cur = wf.select("w", "cnt", s0.alias("s")).localCheckpoint()
-    merges = None
+    # One action per round (same shape as bpe_train_from_words): the
+    # 1-row likelihood argmax is collected — identical plan, identical
+    # score_fp-desc/pa/pb tie order — and the round's literal replace
+    # uses driver-side constants; state checkpoints every few rounds
+    # (the between-checkpoint lineage is a linear replace chain).
+    merge_rows: list[tuple] = []
+    dirty = 0
     for rnd in range(1, k + 1):
         syms = _syms()
         sym_counts = (
@@ -238,45 +244,32 @@ def wp_train_from_words(wf: DataFrame, k: int = WP_MERGES):
         best = (
             scored.orderBy(F.col("score_fp").desc(), "pa", "pb")
             .limit(1)
-            .select(
-                F.lit(rnd).alias("round"),
-                F.col("pa").alias("lhs"),
-                F.col("pb").alias("rhs"),
-                F.concat(
-                    "pa",
-                    F.when(F.col("pb").startswith("##"), F.expr("substring(pb, 3)"))
-                    .otherwise(F.col("pb")),
-                ).alias("merged"),
-                F.col("pcnt").alias("pair_count"),
-                "score_fp",
-            )
-            .localCheckpoint()  # 1 row — the round's model update
+            .collect()  # 1 bounded row — the round's model update
         )
-        merges = best if merges is None else merges.unionAll(best)
-        # LEFT join on TRUE (not crossJoin): an exhausted-pairs round has
-        # an EMPTY best frame and a cross join would annihilate the vocab
-        nxt = (
-            cur.join(F.broadcast(best.select("lhs", "rhs", "merged")), F.lit(True), "left")
-            .select(
-                "w",
-                "cnt",
-                F.when(F.col("lhs").isNull(), F.col("s"))
-                .otherwise(
-                    F.replace(
-                        F.col("s"),
-                        F.concat(
-                            F.lit(_SEP), F.col("lhs"),
-                            F.lit(_SEP + _SEP), F.col("rhs"), F.lit(_SEP),
-                        ),
-                        F.concat(F.lit(_SEP), F.col("merged"), F.lit(_SEP)),
-                    )
-                )
-                .alias("s"),
-            )
-            .localCheckpoint()
+        if not best:
+            continue  # pairs exhausted: state unchanged, no merge row
+        pa, pb = best[0]["pa"], best[0]["pb"]
+        merged = pa + (pb[2:] if pb.startswith("##") else pb)
+        merge_rows.append((rnd, pa, pb, merged, best[0]["pcnt"], best[0]["score_fp"]))
+        cur = cur.select(
+            "w",
+            "cnt",
+            F.replace(
+                F.col("s"),
+                F.lit(_SEP + pa + _SEP + _SEP + pb + _SEP),
+                F.lit(_SEP + merged + _SEP),
+            ).alias("s"),
         )
-        free_local_checkpoint(cur)  # superseded round — never read again
-        cur = nxt
+        dirty += 1
+        if dirty >= 4 or rnd == k:
+            nxt = cur.localCheckpoint()
+            free_local_checkpoint(cur)  # superseded chain — never read again
+            cur, dirty = nxt, 0
+    merges = wf.sparkSession.createDataFrame(
+        merge_rows,
+        "round INT, lhs STRING, rhs STRING, merged STRING,"
+        " pair_count BIGINT, score_fp BIGINT",
+    )
     return merges, cur
 
 
@@ -631,12 +624,51 @@ def _holdout_oracle() -> str:
     """
 
 
+#: session-keyed holdout artifacts shared by the fertility A/B and the
+#: byte-fallback report: the held-flagged word-freq frame and the
+#: WordPiece state trained on the md5-threshold train slice (both
+#: queries train the IDENTICAL model — training it twice was ~1/3 of
+#: the pair's wall clock). Drained with the other model caches.
+_HOLDOUT_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _holdout_arts(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _HOLDOUT_CACHE.get(key)
+    if hit is None:
+        for k in [k for k in _HOLDOUT_CACHE if k != key]:
+            _HOLDOUT_CACHE.pop(k)
+        from deisa_ray_spark.functions.bpe import _word_freq
+
+        docs = load_table(spark, sf_dir, "documents")
+        wf = (
+            _word_freq(docs)
+            .withColumn(
+                "held",
+                (F.substring(F.md5("w"), 1, 1) < HOLDOUT_HEX_LT).cast("int"),
+            )
+            .localCheckpoint()  # read by 3 trainers + the final joins
+        )
+        hit = {"wf": wf}
+        _HOLDOUT_CACHE[key] = hit
+    return hit
+
+
+def _holdout_wp_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-slice WordPiece state, trained once per session."""
+    arts = _holdout_arts(spark, sf_dir)
+    if "wp_state" not in arts:
+        train_wf = arts["wf"].filter(F.col("held") == 0).select("w", "cnt")
+        _wm, wstate = wp_train_from_words(train_wf)
+        arts["wp_state"] = wstate
+    return arts["wp_state"]
+
+
 def _tok_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached per-word frame ``(w, cnt, held, n_tok, wp_np,
     wp_unk, uni_np, uni_unk)``: all three tokenizers trained on the
     md5-threshold train slice of the lexicon, every word encoded."""
     from deisa_ray_spark.functions.bpe import (
-        _word_freq,
         bpe_apply_merges,
         bpe_train_from_words,
     )
@@ -647,30 +679,48 @@ def _tok_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        wf = (
-            _word_freq(docs)
-            .withColumn(
-                "held",
-                (F.substring(F.md5("w"), 1, 1) < HOLDOUT_HEX_LT).cast("int"),
-            )
-            .localCheckpoint()  # read by 3 trainers + the final join
-        )
+        wf = _holdout_arts(spark, sf_dir)["wf"]
         train_wf = wf.filter(F.col("held") == 0).select("w", "cnt")
-        merges, _vocab = bpe_train_from_words(train_wf)
-        benc = bpe_apply_merges(wf.select("w"), merges)
-        _wm, wstate = wp_train_from_words(train_wf)
-        wenc = wp_encode_words(wstate, words=wf.select("w")).select(
-            "w",
-            F.col("n_pieces").alias("wp_np"),
-            F.col("unk").alias("wp_unk"),
-        )
-        model, _dpw, _ml = uni_train_from_words(train_wf)
-        uenc = uni_encode_words(wf.select("w", "cnt"), model).select(
-            "w",
-            F.col("n_pieces").alias("uni_np"),
-            F.col("unk").alias("uni_unk"),
-        )
+
+        # The three tokenizer families are INDEPENDENT sequential job
+        # chains over the (tiny, lexicon-sized) word table — each round
+        # is scheduling latency, not compute, so the chains overlap
+        # nearly perfectly (guide §2.6: submit independent jobs from a
+        # small thread pool). Each thread materializes its family's
+        # encode frame eagerly; the final join reads checkpoints only.
+        def _bpe() -> DataFrame:
+            merges, _vocab = bpe_train_from_words(train_wf)
+            return bpe_apply_merges(wf.select("w"), merges).localCheckpoint()
+
+        def _wp() -> DataFrame:
+            wstate = _holdout_wp_state(spark, sf_dir)
+            return (
+                wp_encode_words(wstate, words=wf.select("w"))
+                .select(
+                    "w",
+                    F.col("n_pieces").alias("wp_np"),
+                    F.col("unk").alias("wp_unk"),
+                )
+                .localCheckpoint()
+            )
+
+        def _uni() -> DataFrame:
+            model, _dpw, _ml = uni_train_from_words(train_wf)
+            return (
+                uni_encode_words(wf.select("w", "cnt"), model)
+                .select(
+                    "w",
+                    F.col("n_pieces").alias("uni_np"),
+                    F.col("unk").alias("uni_unk"),
+                )
+                .localCheckpoint()
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fb, fw, fu = pool.submit(_bpe), pool.submit(_wp), pool.submit(_uni)
+            benc, wenc, uenc = fb.result(), fw.result(), fu.result()
         return (
             wf.join(benc, "w", "left")
             .join(wenc, "w", "left")
@@ -911,17 +961,11 @@ def _tok_holdout_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.functions.dedup import _session_cached
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        wf = (
-            _word_freq(docs)
-            .withColumn(
-                "held",
-                (F.substring(F.md5("w"), 1, 1) < HOLDOUT_HEX_LT).cast("int"),
-            )
-            .localCheckpoint()  # read by the trainer and the final join
-        )
-        train_wf = wf.filter(F.col("held") == 0).select("w", "cnt")
-        _merges, wstate = wp_train_from_words(train_wf)
+        # Shares the held-flagged word table AND the trained train-slice
+        # WordPiece state with the fertility holdout (the two queries
+        # train the identical model; whichever runs first trains it).
+        wf = _holdout_arts(spark, sf_dir)["wf"]
+        wstate = _holdout_wp_state(spark, sf_dir)
         enc = wp_encode_words_bytefallback(wstate, words=wf.select("w"))
         return wf.join(enc, "w")
 
