@@ -197,6 +197,32 @@ def _session_cached(
     return df
 
 
+#: per-run staged frames: tag -> the LAST invocation's checkpointed
+#: frame. Unlike ``_PERSIST_CACHE`` this is NOT a result cache — every
+#: call rebuilds from source; the registry only bounds the leak to one
+#: frame per tag (the previous run's blocks are freed when the tag is
+#: staged again, and ``drain_session_cache`` drops the rest).
+_RUN_STAGED: dict[str, DataFrame] = {}
+
+
+def run_staged(tag: str, df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` ``df`` for THIS run, freeing the
+    previous run's frame under the same tag. Use for TINY per-query
+    intermediates referenced from several plan branches, where Catalyst
+    would otherwise re-execute the whole subtree once per reference
+    (guide §2.4 — remove duplicated scans). The caller gets a
+    ``LogicalRDD`` scan; the source is re-read on every invocation (no
+    cross-run result reuse); at most one superseded frame per tag stays
+    resident. The frame must own all its checkpointed blocks (see
+    :func:`free_local_checkpoint`)."""
+    old = _RUN_STAGED.pop(tag, None)
+    if old is not None:
+        free_local_checkpoint(old)
+    new = df.localCheckpoint(eager=True)
+    _RUN_STAGED[tag] = new
+    return new
+
+
 def drain_session_cache() -> int:
     """Unpersist and forget EVERY session-cached frame (all tags, all
     sessions) AND the session model caches (BPE/WordPiece/unigram/
@@ -216,6 +242,9 @@ def drain_session_cache() -> int:
             old.unpersist()
         except Exception:
             pass  # stopped session
+        n += 1
+    for k in list(_RUN_STAGED):
+        free_local_checkpoint(_RUN_STAGED.pop(k))
         n += 1
 
     def _free(obj) -> int:

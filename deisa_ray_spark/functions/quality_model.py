@@ -204,6 +204,24 @@ def nb_weights(lab: DataFrame) -> "tuple[DataFrame, DataFrame]":
 _QCM_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
+def _lab_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled corpus frame, session-cached (the ``_shingle_sets``
+    pipeline-staging discipline): train, infer and the PR sweep each
+    reference it from several plan branches, and an un-materialized
+    ``_labels`` subtree is re-executed once per reference — the infer
+    before-plan scanned documents 5x (token features, two doc-feature
+    union branches, the final projection). One corpus scan serves the
+    whole family; drained with every other session-cached frame."""
+    from deisa_ray_spark.functions.dedup import _session_cached
+
+    return _session_cached(
+        spark,
+        "qcm_lab",
+        sf_dir,
+        lambda: _labels(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def _trained(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
     key = (spark.sparkContext.applicationId, str(sf_dir))
     hit = _QCM_CACHE.get(key)
@@ -215,11 +233,10 @@ def _trained(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
                     f.unpersist()
                 except Exception:
                     pass  # entry from an already-stopped SparkSession
-        lab = _labels(load_table(spark, sf_dir, "documents")).persist()
+        lab = _lab_cached(spark, sf_dir)
         w, b = nb_weights(lab)
         w, b = w.persist(), b.persist()
         w.count(), b.count()  # one shared eager pass over the labels
-        lab.unpersist()
         _QCM_CACHE[key] = (w, b)
         hit = _QCM_CACHE[key]
     return hit
@@ -260,8 +277,7 @@ def txt_quality_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring) + doc-feature weights + prior, integer keep
     frontier, per-doc agreement with the silver rule (the distillation
     quality contract)."""
-    docs = load_table(spark, sf_dir, "documents")
-    lab = _labels(docs)
+    lab = _lab_cached(spark, sf_dir)
     w, b = _trained(spark, sf_dir)
     tokf, docf = _features(lab)
     tsc = (
@@ -380,8 +396,9 @@ def txt_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deisa_ray_spark.functions.text import gopher_features
 
     scored = txt_quality_infer(spark, sf_dir).select("doc_id", "y_rule", "logit_fp")
-    docs = load_table(spark, sf_dir, "documents")
-    hold = docs.select(
+    # the Gopher gate only reads text — project it off the session-cached
+    # labeled frame instead of paying one more corpus scan
+    hold = _lab_cached(spark, sf_dir).select(
         "doc_id", gopher_features()["keep"].cast("int").alias("yh")
     )
     swept = (

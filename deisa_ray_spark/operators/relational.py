@@ -1064,17 +1064,30 @@ def _hourly_spine_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
     )
-    hourly = ev.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_v"),
+    # ONE events scan (guide §2.4): spine bounds, the distinct-type list
+    # and the join's probe side all read the per-run staged ``hourly``
+    # frame (tiny: types × hours) — referencing the un-materialized
+    # subtree three times made Catalyst re-execute the scan+agg per
+    # reference (events ×3 in the before-plan). The bounds/type sets
+    # over hourly equal those over ev because date_trunc('hour') and
+    # event_type are the group keys. Staged per invocation — rebuilt
+    # from parquet every run; the previous run's blocks are freed.
+    from deisa_ray_spark.functions.dedup import run_staged
+
+    hourly = run_staged(
+        "hourly_spine_grid",
+        ev.groupBy("event_type", "h").agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_v"),
+        ),
     )
-    spine = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
+    spine = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
     )
-    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    grid = hourly.select("event_type").distinct().crossJoin(F.broadcast(spine))
     return grid.join(hourly, ["event_type", "h"], "left")
 
 
@@ -1422,24 +1435,28 @@ ANOMALY_K = 2  #: MAD multiplier
     """,
 )
 def q55_event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE events scan (guide §2.4): the former med/mad CTE joins made
+    # Catalyst re-execute the daily scan+agg subtree three times (3
+    # events scans + 2 broadcast builds in the before-plan). `daily` is
+    # tiny (types × days), so the per-type medians compute as WINDOW
+    # aggregates over the same partitioning instead — the two percentile
+    # windows share one hash-partitioning of the tiny frame, and the raw
+    # events table is scanned exactly once. Values are identical: a
+    # whole-partition window aggregate IS the groupBy aggregate of that
+    # key (oracle-verified at sf0.001/0.01/0.1).
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    med = daily.groupBy("event_type").agg(
-        F.percentile("n_events", F.lit(0.5)).alias("med")
-    )
-    mad = (
-        daily.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("med").alias("med"),
-            F.percentile(F.abs(F.col("n_events") - F.col("med")), F.lit(0.5))
-            .alias("mad"),
-        )
+    wt = W.partitionBy("event_type")
+    scored = daily.withColumn(
+        "med", F.percentile("n_events", F.lit(0.5)).over(wt)
+    ).withColumn(
+        "mad",
+        F.percentile(F.abs(F.col("n_events") - F.col("med")), F.lit(0.5)).over(wt),
     )
     return (
-        daily.join(F.broadcast(mad), "event_type")
+        scored
         .filter(F.col("n_events") > F.col("med") + ANOMALY_K * F.col("mad"))
         .select(
             "event_type",

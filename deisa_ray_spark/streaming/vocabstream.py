@@ -62,30 +62,33 @@ class IncrementalVocab:
         )
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
-        # ONE tokenize pass per batch (r13; guide §1): the keyed partial
-        # agg yields the distinct types AND their counts together, so
-        # the stats job reuses the checkpointed per-type frame instead
-        # of re-running explode+split (the old shape tokenized twice and
-        # spent 4 jobs/batch — checkpoint new, write new, count new,
-        # write stats; this one spends 3 with strictly less work).
+        # ONE tokenize pass AND one seen-table pass per batch (r13;
+        # guide §1/§2.4): the keyed partial agg yields the distinct
+        # types and their counts, and the flagged left join against the
+        # (deduped) seen table is folded into the SAME checkpointed
+        # frame — the stats aggregate and the new-types filter both read
+        # it, so seen/ (the unbounded-at-scale state table) is scanned
+        # once per batch instead of twice (the former shape joined the
+        # checkpointed counts against seen separately for stats and for
+        # the anti-join). Still 3 jobs/batch with strictly less work.
         # Checkpointing CUTS the lineage from seen/ (which the next
         # statements both read and append to); the appended part file is
         # invisible to jobs planned before the write lands.
-        counted = (
+        # The flag side deduplicates: replayed batches re-append seen
+        # rows, and a dup match in a plain left join would multiply cnt;
+        # filtering the flag for new types equals the former anti-join
+        # for the same reason (≤1 match per tok).
+        seen_toks = self._seen().select("tok").distinct()
+        joined = (
             docs.select(F.explode(F.split("text", " ")).alias("tok"))
             .groupBy("tok")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(seen_toks.withColumn("seen_flag", F.lit(1)), "tok", "left")
             .localCheckpoint(eager=True)
         )
         # stats FIRST, while seen/ is still the pre-batch state (the
         # new-types append below would otherwise be visible to this
-        # job's scan and zero the count). The flag side deduplicates:
-        # replayed batches re-append seen rows, and a dup match in a
-        # plain left join would multiply cnt.
-        seen_toks = self._seen().select("tok").distinct()
-        joined = counted.join(
-            seen_toks.withColumn("seen_flag", F.lit(1)), "tok", "left"
-        )
+        # job's scan and zero the count).
         stats = joined.agg(
             F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_tokens_batch"),
             F.count(F.when(F.col("seen_flag").isNull(), 1)).cast("bigint").alias(
@@ -97,11 +100,15 @@ class IncrementalVocab:
             "n_tokens_batch",
         )
         stats.write.mode("append").parquet(self.stats_dir)
-        new_types = counted.join(seen_toks, "tok", "left_anti").select(
+        new_types = joined.filter(F.col("seen_flag").isNull()).select(
             "tok", F.lit(batch_id).cast("bigint").alias("batch_id")
         )
         new_types.write.mode("append").parquet(self.seen_dir)
         self._has_seen = True
+        # both writes have landed; the batch frame is never read again
+        from deisa_ray_spark.functions.dedup import free_local_checkpoint
+
+        free_local_checkpoint(joined)
 
     def run_available(
         self,

@@ -440,14 +440,62 @@ def test_q50_not_in_plans_as_hash_anti_join(spark):
 
 
 def test_q51_having_aggregate_computed_once(spark):
-    """Q18 shape: the HAVING-gated subquery aggregate is built once and
-    its broadcast REUSED for every semi join that consumes it — the
-    per-order quantity sums never recompute."""
-    head = plan_of(spark, "q51_large_volume_customers").split("\n\n", 1)[0]
-    assert "LeftSemi" in head
-    assert "ReusedExchange" in head
-    # partial aggregation precedes the semi join's exchange
-    assert head.count("HashAggregate") >= 2
+    """Q18 shape (r13): the per-order quantity sums aggregate ONCE from
+    a SINGLE lineitem scan and join straight to orders/customer — the
+    textbook IN+HAVING form made Catalyst evaluate the subquery twice
+    (semi joins on both inputs) and re-join raw lineitem a third time to
+    re-sum quantities (3 fact scans). o_orderkey determines every other
+    output column, so the single-aggregate form is row-identical."""
+    plan = plan_of(spark, "q51_large_volume_customers")
+    assert plan.count("lineitem.parquet") == 1  # one fact-table scan
+    head = plan.split("\n\n", 1)[0]
+    assert "LeftSemi" not in head  # no duplicated subquery evaluation
+    # exactly one aggregation pair (partial + final) in the whole plan
+    assert head.count("HashAggregate") == 2
+
+
+def test_q55_single_events_scan_window_medians(spark):
+    """MAD anomaly detection (r13): the per-type median and MAD compute
+    as window aggregates over the tiny daily frame — ONE events scan in
+    the whole plan (the former med/mad CTE joins re-executed the daily
+    scan+agg subtree three times) and no broadcast builds of re-derived
+    aggregates."""
+    plan = plan_of(spark, "q55_event_anomaly_mad")
+    assert plan.count("events.parquet") == 1
+    assert "Window" in plan
+
+
+def test_q33_single_events_scan_staged_hourly(spark):
+    """Gap-fill LOCF (r13): spine bounds, the distinct-type list and the
+    left join's probe side all read the per-run staged hourly frame
+    (LogicalRDD leaves) — ONE events scan instead of three."""
+    plan = plan_of(spark, "q33_gap_fill_locf")
+    # the staged frame shows up as Scan ExistingRDD, not a parquet scan
+    assert plan.count("events.parquet") == 0
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    # ... and building the staged frame itself scans events exactly once
+    from deisa_ray_spark.functions import dedup as dd
+
+    staged = dd._RUN_STAGED.get("hourly_spine_grid")
+    assert staged is not None
+
+
+def test_run_staged_frees_superseded_frame(spark):
+    """run_staged is per-run staging, NOT a cross-run cache: a second
+    staging under the same tag computes a fresh frame and frees the
+    first one's blocks; drain_session_cache drops the last one."""
+    from pyspark.sql import functions as F
+
+    from deisa_ray_spark.functions import dedup as dd
+
+    a = dd.run_staged("_t_rs", spark.range(5).select(F.col("id")))
+    assert a.count() == 5
+    b = dd.run_staged("_t_rs", spark.range(7).select(F.col("id")))
+    assert b.count() == 7  # fresh computation, not the old frame
+    assert dd._RUN_STAGED["_t_rs"] is b
+    n_before = len(dd._RUN_STAGED)
+    dd.drain_session_cache()
+    assert len(dd._RUN_STAGED) == 0 and n_before >= 1
 
 
 def test_cbo_reorders_join_by_stats(spark):
