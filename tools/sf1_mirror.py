@@ -126,8 +126,16 @@ def main() -> None:
     for name, spec in sorted(specs.items()):
         rec: dict = {}
         t0 = time.time()
+        # Raw-FILE queries (read_blob oracles, e.g. mm_binary_ingest's
+        # binaryFile listing) must see the SAME file set as their
+        # retargeted oracle — the split staging rewrites table layout
+        # (one file -> a directory of parts), so a file-listing query
+        # over the staged dir would compare different inputs (found as
+        # a 0-vs-10-row mismatch the first time the FULL mirror ran
+        # with staging; every per-table reader is unaffected).
+        spark_dir = SF1_DIR if (spec.oracle and "read_blob" in spec.oracle) else spark_sf1_dir
         try:
-            spd = spec.fn(spark, spark_sf1_dir).toPandas()
+            spd = spec.fn(spark, spark_dir).toPandas()
             rec["spark_s"] = round(time.time() - t0, 2)
             rec["rows"] = int(spd.shape[0])
         except Exception as e:  # noqa: BLE001 — record and continue
